@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table registry over the driver-provided parquet star schema
+  * (TESTDATA.md). Mirrors the reference's catalog bootstrap
+  * (flink-table-api-java/…/catalog/GenericInMemoryCatalog.java — see
+  * SURVEY.md §1.4) as plain Spark temp views: the declarative reads keep
+  * filter/column pushdown and partition pruning available to Catalyst.
+  */
+object Tables {
+  val relational: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+  val extras: Seq[String] = Seq("events", "documents", "embeddings")
+  val all: Seq[String] = relational ++ extras
+
+  /** Raw parquet read — single narrow scan, no driver-side work. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is TIMESTAMP(NANOS); Spark only reads it via the
+      // legacy long passthrough — set it lazily so driver-created
+      // sessions work too.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      normalizeEventTime(spark.read.parquet(s"$dir/$name.parquet"))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** events.ts is parquet timestamp[ns]; Spark's native timestamp is µs.
+    * Normalize to µs TimestampType at the scan boundary so every
+    * downstream operator (windows, watermarks, interval joins) sees a
+    * plain event-time column (SURVEY.md §1.2 ns-precision note).
+    */
+  private def normalizeEventTime(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case TimestampType => df
+      case LongType => // read under spark.sql.legacy.parquet.nanosAsLong
+        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      case _ => df
+    }
+  }
+
+  /** Register every table as a temp view named exactly as in the oracle
+    * SQL, so Spark-side SQL and the DuckDB oracle share table names.
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
