@@ -13,7 +13,9 @@ object SparkEntry {
     queries_registry
 
   private lazy val queries_registry: Seq[QueryDef] =
-    graft.queries.RelationalQueries.all
+    graft.queries.RelationalQueries.all ++
+      graft.queries.ScalarQueries.all ++
+      graft.queries.AnalyticQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
