@@ -15,7 +15,8 @@ object SparkEntry {
   private lazy val queries_registry: Seq[QueryDef] =
     graft.queries.RelationalQueries.all ++
       graft.queries.ScalarQueries.all ++
-      graft.queries.AnalyticQueries.all
+      graft.queries.AnalyticQueries.all ++
+      graft.queries.PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity-search operators over an `Array[Float]` column:
+  * brute-force cosine top-k (the correctness baseline) and an IVF-style
+  * bucketed variant (the scale path). Everything is expressed with
+  * `zip_with`/`aggregate` higher-order functions — codegen-friendly, no
+  * UDFs — and all math is promoted to double with left-to-right
+  * accumulation so results are reproducible.
+  *
+  * 100 TB posture:
+  *  - the query set / centroid set is small by construction → broadcast;
+  *    the corpus side never shuffles for brute-force scoring (narrow map
+  *    + per-query top-k partial aggregation via window over query key);
+  *  - IVF turns global search into a bucket-local join: corpus is
+  *    assigned to its nearest centroid once (broadcast argmin), then
+  *    queries probe only their own bucket — the join is keyed on the
+  *    bucket id, AQE handles residual skew.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, computed in double. */
+  def cosine(a: Column, b: Column): Column = {
+    def d(c: Column): Column = c.cast("array<double>")
+    val dot = aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), _ + _)
+    val na = sqrt(aggregate(transform(d(a), x => x * x), lit(0.0), _ + _))
+    val nb = sqrt(aggregate(transform(d(b), x => x * x), lit(0.0), _ + _))
+    dot / (na * nb)
+  }
+
+  /** DuckDB twin of [[cosine]] (same order of operations, double math). */
+  def cosineSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(list_zip(CAST($x AS DOUBLE[]), CAST($y AS DOUBLE[])), p -> p[1] * p[2]))"
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
+  /** Brute-force top-k: for every query vector, the k most-similar corpus
+    * vectors (self excluded), deterministic tie-break on corpus id.
+    * `queries` is expected to be small (it is broadcast).
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** IVF bucket assignment: nearest centroid per vector (max cosine,
+    * tie-break on centroid id). Centroids are broadcast; output carries
+    * the original id, vector, and its bucket.
+    */
+  def ivfAssign(
+      corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroidIdCol: String = "centroid_id"): DataFrame = {
+    val cent = broadcast(centroids.select(
+      col(centroidIdCol).as("cid"), col(vecCol).as("centv")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("csim").desc, col("cid"))
+    corpus.crossJoin(cent)
+      .withColumn("csim", cosine(col(vecCol), col("centv")))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1)
+      .select(col(idCol), col(vecCol), col("cid").as("bucket"))
+  }
+
+  /** IVF top-k: queries probe only their own bucket (nprobe=1). Recall is
+    * traded for a bucket-local keyed join instead of a global scan.
+    */
+  def ivfTopK(
+      assigned: DataFrame, queryIds: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(assigned.join(queryIds, idCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("bucket")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    assigned.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("bucket"))
+      .join(q, "bucket")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs within a blocking column
+    * (e.g. a cluster label): pairs with cosine >= threshold.
+    */
+  def cosineNearDupPairs(
+      df: DataFrame, blockCol: String, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = df.select(col(blockCol).as("blk"), col(idCol).as("id"), col(vecCol).as("v"))
+    v.as("x").join(v.as("y"),
+        col("x.blk") === col("y.blk") && col("x.id") < col("y.id"))
+      .withColumn("sim", cosine(col("x.v"), col("y.v")))
+      .filter(col("sim") >= threshold)
+      .select(col("x.blk").as("blk"), col("x.id").as("id_a"),
+        col("y.id").as("id_b"), round(col("sim"), 6).as("sim"))
+  }
+}

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: n-gram-heuristic
+  * language ID, quality scoring, token counting, and document
+  * fingerprinting. All single-pass narrow transformations (one projection
+  * over the corpus — no shuffle at all until the caller aggregates), so
+  * they stream through a 100 TB corpus at scan speed.
+  */
+object TextAnalysis {
+
+  import TextOps._
+
+  /** Tiny per-language stopword inventories (public lists, truncated to
+    * high-frequency forms). Deterministic heuristic, not a model.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "nicht"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "pour", "dans", "avec"))
+
+  /** Count of token occurrences (not distinct) that appear in `words`. */
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => words.map(w => t === w).reduce(_ || _)))
+
+  private def hitsSql(toks: String, words: Seq[String]): String = {
+    val set = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter($toks, t -> list_contains($set, t)))"
+  }
+
+  /** Language-ID: argmax of per-language stopword occurrence counts; ties
+    * and all-zero fall back to 'und' (undetermined).
+    */
+  def languageId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = stopwords.map { case (lang, words) => (lang, hits(toks, words)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    // first language (alphabetical registration order) achieving the max
+    scored.reverse.foldLeft(lit("und")) { case (acc, (lang, score)) =>
+      when(best > 0 && score === best, lit(lang)).otherwise(acc)
+    }
+  }
+
+  def languageIdSql(text: String): String = {
+    val toks = tokensSql(text)
+    val scores = stopwords.map { case (lang, words) => (lang, hitsSql(toks, words)) }
+    val best = scores.map(_._2).reduceRight((a, b) => s"greatest($a, $b)")
+    scores.reverse.foldLeft("'und'") { case (acc, (lang, score)) =>
+      s"(CASE WHEN $best > 0 AND $score = $best THEN '$lang' ELSE $acc END)"
+    }
+  }
+
+  /** Whitespace token count of the raw text. */
+  def wsTokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+")).cast("long")
+
+  def wsTokenCountSql(text: String): String =
+    s"len(string_split_regex(trim($text), '\\s+'))"
+
+  /** BPE-ish subword count: alphabetic runs split into <=4-char pieces,
+    * digit runs, and isolated symbols — a cheap deterministic stand-in
+    * for a real tokenizer's piece count.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]{1,4}|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+      .cast("long")
+
+  def bpeishTokenCountSql(text: String): String =
+    s"len(regexp_extract_all(lower($text), '[a-z]{1,4}|[0-9]+|[^a-z0-9\\s]'))"
+
+  /** Quality metrics + a single score in [0,1]:
+    * length_score  = min(n_tokens/100, 1)
+    * alpha_ratio   = alphanumeric-or-space chars / chars
+    * stop_ratio    = min(stopword hits (any lang) / tokens * 5, 1)
+    * mean_tok_len  sweet spot around 3..10 chars → len_ok indicator
+    * score = 0.4*length + 0.3*alpha + 0.2*stop + 0.1*len_ok
+    */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val nChars = length(text).cast("double")
+    val alnum = length(regexp_replace(lower(text), "[^a-z0-9 ]", "")).cast("double")
+    val allStops = stopwords.flatMap(_._2)
+    val stopHits = size(filter(toks, t => allStops.map(w => t === w).reduce(_ || _))).cast("double")
+    val meanLen = aggregate(transform(toks, t => length(t).cast("double")), lit(0.0), _ + _) / nTok
+    val lengthScore = least(nTok / 100.0, lit(1.0))
+    val alphaRatio = alnum / nChars
+    val stopRatio = least(stopHits / nTok * 5.0, lit(1.0))
+    val lenOk = when(meanLen >= 3.0 && meanLen <= 10.0, 1.0).otherwise(0.0)
+    Seq(
+      "n_tokens" -> size(toks).cast("long"),
+      "mean_tok_len" -> round(meanLen, 6),
+      "alpha_ratio" -> round(alphaRatio, 6),
+      "stop_ratio" -> round(stopRatio, 6),
+      "quality_score" -> round(
+        lengthScore * 0.4 + alphaRatio * 0.3 + stopRatio * 0.2 + lenOk * 0.1, 6))
+  }
+
+  def qualitySqls(text: String): Seq[(String, String)] = {
+    val toks = tokensSql(text)
+    val allStops = stopwords.flatMap(_._2)
+    val nTok = s"CAST(len($toks) AS DOUBLE)"
+    val alnum = s"CAST(length(regexp_replace(lower($text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)"
+    val stopHits = s"CAST(${hitsSql(toks, allStops)} AS DOUBLE)"
+    val meanLen = s"(list_sum(list_transform($toks, t -> CAST(length(t) AS DOUBLE))) / $nTok)"
+    val lengthScore = s"least($nTok / 100.0, 1.0)"
+    val alphaRatio = s"($alnum / CAST(length($text) AS DOUBLE))"
+    val stopRatio = s"least($stopHits / $nTok * 5.0, 1.0)"
+    val lenOk = s"(CASE WHEN $meanLen >= 3.0 AND $meanLen <= 10.0 THEN 1.0 ELSE 0.0 END)"
+    Seq(
+      "n_tokens" -> s"len($toks)",
+      "mean_tok_len" -> s"round($meanLen, 6)",
+      "alpha_ratio" -> s"round($alphaRatio, 6)",
+      "stop_ratio" -> s"round($stopRatio, 6)",
+      "quality_score" -> s"round($lengthScore * 0.4 + $alphaRatio * 0.3 + $stopRatio * 0.2 + $lenOk * 0.1, 6)")
+  }
+
+  /** Content fingerprint: md5 of the normalized text (stable across
+    * whitespace/punctuation variants), plus a 32-bit rolling-style hash.
+    */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  def fingerprintSql(text: String): String = s"md5(${normalizeSql(text)})"
+}

@@ -1,0 +1,302 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.{Dedup, Similarity, TextAnalysis, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operator surface (BASELINE.json north star):
+  * deduplication, similarity search, and text analysis over the
+  * `documents` / `embeddings` tables, each with a DuckDB oracle that
+  * reproduces the exact same deterministic hash/float math (see
+  * [[graft.operators.TextOps]] for the shared primitives).
+  */
+object PipelineQueries {
+
+  import TextOps.{HashP => P}
+
+  private val NumHashes = 16
+  private val Bands = 4
+  private val ShingleN = 3
+
+  // ------------------------------------------------------------------
+  // shared oracle-SQL fragments (CTEs mirroring the operators)
+  // ------------------------------------------------------------------
+
+  /** CTEs: toks → sh (shingle lists) → shd (distinct shingles) → hs (hashes). */
+  private val shingleCtes: String = {
+    val toks = TextOps.tokensSql("text")
+    s"""toks AS (SELECT doc_id, $toks AS t FROM documents),
+       sh AS (SELECT doc_id, ${TextOps.shinglesSql("t", ShingleN)} AS shingles FROM toks),
+       shd AS (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh),
+       hs AS (SELECT doc_id, ${TextOps.hash32Sql("s")} AS h FROM shd)"""
+  }
+
+  // ------------------------------------------------------------------
+  // q30 exact dedup
+  // ------------------------------------------------------------------
+
+  val q30ExactDedup: QueryDef = QueryDef(
+    "q30_exact_dedup",
+    (s, dir) =>
+      Dedup.exactClusters(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("fingerprint")),
+    Some(s"""
+      SELECT md5(${TextOps.normalizeSql("text")}) AS fingerprint,
+             MIN(doc_id) AS kept_id, COUNT(*) AS cluster_size
+      FROM documents
+      GROUP BY 1
+      ORDER BY fingerprint
+    """))
+
+  // ------------------------------------------------------------------
+  // q31 minhash + LSH near-dup pairs
+  // ------------------------------------------------------------------
+
+  val q31MinhashDedup: QueryDef = QueryDef(
+    "q31_minhash_dedup",
+    (s, dir) =>
+      Dedup.minhashDedup(Tables.load(s, dir, "documents"), "doc_id", "text",
+          NumHashes, Bands, ShingleN, threshold = 0.8)
+        .orderBy(col("doc_a"), col("doc_b")), {
+      val params = TextOps.hashParams(NumHashes)
+      val minExprs = params.zipWithIndex.map { case ((a, b), i) =>
+        s"min(${TextOps.universalHashSql("h", a, b)}) AS mh$i"
+      }.mkString(",\n             ")
+      val rows = NumHashes / Bands
+      val bandSelects = (0 until Bands).map { bnd =>
+        val cols = (0 until rows).map(r => s"mh${bnd * rows + r}").mkString(", ")
+        s"SELECT doc_id, concat_ws('_', $bnd, $cols) AS bk FROM sig"
+      }.mkString("\n        UNION ALL ")
+      Some(s"""
+      WITH $shingleCtes,
+      sig AS (SELECT doc_id, $minExprs FROM hs GROUP BY doc_id),
+      bands AS ($bandSelects),
+      capped AS (SELECT doc_id, bk FROM (
+        SELECT doc_id, bk, COUNT(*) OVER (PARTITION BY bk) AS bn FROM bands) t
+        WHERE bn <= 1000),
+      cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                FROM capped x JOIN capped y ON x.bk = y.bk AND x.doc_id < y.doc_id),
+      hd AS (SELECT DISTINCT doc_id, h FROM hs),
+      cnts AS (SELECT doc_id, COUNT(*) AS n FROM hd GROUP BY doc_id),
+      inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+                FROM cands c
+                JOIN hd hx ON hx.doc_id = c.doc_a
+                JOIN hd hy ON hy.doc_id = c.doc_b AND hy.h = hx.h
+                GROUP BY 1, 2)
+      SELECT i.doc_a, i.doc_b,
+             round(i.i * 1.0 / (ca.n + cb.n - i.i), 6) AS jaccard
+      FROM inter i
+      JOIN cnts ca ON ca.doc_id = i.doc_a
+      JOIN cnts cb ON cb.doc_id = i.doc_b
+      WHERE round(i.i * 1.0 / (ca.n + cb.n - i.i), 6) >= 0.8
+      ORDER BY doc_a, doc_b
+    """)
+    })
+
+  // ------------------------------------------------------------------
+  // q32 simhash fingerprints
+  // ------------------------------------------------------------------
+
+  val q32Simhash: QueryDef = QueryDef(
+    "q32_simhash",
+    (s, dir) =>
+      Dedup.simhash(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id")), {
+      val sums = (0 until 32).map(j =>
+        s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+        .mkString(",\n             ")
+      val fp = (0 until 32).map(j =>
+        s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      Some(s"""
+      WITH tok AS (SELECT doc_id, unnest(list_distinct(${TextOps.tokensSql("text")})) AS t
+                   FROM documents),
+      h AS (SELECT doc_id, ${TextOps.hash32Sql("t")} AS h FROM tok),
+      bits AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
+      SELECT doc_id, CAST($fp AS BIGINT) AS simhash
+      FROM bits
+      ORDER BY doc_id
+    """)
+    })
+
+  // ------------------------------------------------------------------
+  // q33 blocked n-gram Jaccard pairs
+  // ------------------------------------------------------------------
+
+  val q33NgramJaccard: QueryDef = QueryDef(
+    "q33_ngram_jaccard",
+    (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+          blockCol = "source", shingleN = ShingleN, threshold = 0.8)
+        .orderBy(col("blk"), col("doc_a"), col("doc_b")),
+    Some(s"""
+      WITH $shingleCtes,
+      blk AS (SELECT doc_id, source FROM documents),
+      hd AS (SELECT DISTINCT doc_id, h FROM hs),
+      cnts AS (SELECT doc_id, COUNT(*) AS n FROM hd GROUP BY doc_id),
+      inter AS (SELECT bx.source AS blk, hx.doc_id AS doc_a, hy.doc_id AS doc_b, COUNT(*) AS i
+                FROM hd hx
+                JOIN blk bx ON bx.doc_id = hx.doc_id
+                JOIN blk by_ ON by_.source = bx.source
+                JOIN hd hy ON hy.doc_id = by_.doc_id AND hy.h = hx.h
+                WHERE hx.doc_id < hy.doc_id
+                GROUP BY 1, 2, 3)
+      SELECT i.blk, i.doc_a, i.doc_b,
+             round(i.i * 1.0 / (ca.n + cb.n - i.i), 6) AS jaccard
+      FROM inter i
+      JOIN cnts ca ON ca.doc_id = i.doc_a
+      JOIN cnts cb ON cb.doc_id = i.doc_b
+      WHERE round(i.i * 1.0 / (ca.n + cb.n - i.i), 6) >= 0.8
+      ORDER BY blk, doc_a, doc_b
+    """))
+
+  // ------------------------------------------------------------------
+  // q34 brute-force cosine top-k
+  // ------------------------------------------------------------------
+
+  private val cosQC = Similarity.cosineSql("q.qv", "c.cv")
+
+  val q34SimilarityTopK: QueryDef = QueryDef(
+    "q34_similarity_topk",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      sims AS (SELECT query_id, neighbor_id, $cosQC AS sim
+               FROM c JOIN q ON neighbor_id <> query_id),
+      r AS (SELECT query_id, neighbor_id, sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+            FROM sims)
+      SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, round(sim, 6) AS sim
+      FROM r WHERE rnk <= 5
+      ORDER BY query_id, rnk
+    """))
+
+  // ------------------------------------------------------------------
+  // q35 IVF-bucketed top-k
+  // ------------------------------------------------------------------
+
+  val q35IvfTopK: QueryDef = QueryDef(
+    "q35_ivf_topk",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      val assigned = Similarity.ivfAssign(emb, centroids)
+      Similarity.ivfTopK(assigned, emb.filter(col("vec_id") < 10).select("vec_id"), k = 3)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }, {
+      val cosEC = Similarity.cosineSql("e.embedding", "c.centv")
+      val cosQA = Similarity.cosineSql("q.qv", "a.embedding")
+      Some(s"""
+      WITH cent AS (SELECT vec_id AS cid, embedding AS centv FROM embeddings WHERE vec_id % 50 = 0),
+      assign AS (SELECT vec_id, embedding, cid AS bucket FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $cosEC DESC, c.cid) AS crn
+        FROM embeddings e CROSS JOIN cent c) t WHERE crn = 1),
+      q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM assign WHERE vec_id < 10),
+      sims AS (SELECT q.query_id, a.vec_id AS neighbor_id, $cosQA AS sim
+               FROM assign a JOIN q ON a.bucket = q.bucket AND a.vec_id <> q.query_id),
+      r AS (SELECT query_id, neighbor_id, sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+            FROM sims)
+      SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, round(sim, 6) AS sim
+      FROM r WHERE rnk <= 3
+      ORDER BY query_id, rnk
+    """)
+    })
+
+  // ------------------------------------------------------------------
+  // q36 embedding-cosine near-dup pairs (blocked by label)
+  // ------------------------------------------------------------------
+
+  val q36CosineNearDup: QueryDef = QueryDef(
+    "q36_cosine_near_dup",
+    (s, dir) =>
+      Similarity.cosineNearDupPairs(Tables.load(s, dir, "embeddings"),
+          blockCol = "label", threshold = 0.3)
+        .orderBy(col("blk"), col("id_a"), col("id_b")), {
+      val cosXY = Similarity.cosineSql("x.embedding", "y.embedding")
+      Some(s"""
+      SELECT x.label AS blk, x.vec_id AS id_a, y.vec_id AS id_b,
+             round($cosXY, 6) AS sim
+      FROM embeddings x JOIN embeddings y
+        ON x.label = y.label AND x.vec_id < y.vec_id
+      WHERE $cosXY >= 0.3
+      ORDER BY blk, id_a, id_b
+    """)
+    })
+
+  // ------------------------------------------------------------------
+  // q37 text stats (lang id, quality, token counts, fingerprint)
+  // ------------------------------------------------------------------
+
+  val q37TextStats: QueryDef = QueryDef(
+    "q37_text_stats",
+    (s, dir) => {
+      val qcols = TextAnalysis.qualityColumns(col("text"))
+        .map { case (n, c) => c.as(n) }
+      Tables.load(s, dir, "documents")
+        .select(
+          Seq(col("doc_id"),
+            TextAnalysis.languageId(col("text")).as("lang_pred"),
+            TextAnalysis.wsTokenCount(col("text")).as("ws_tokens"),
+            TextAnalysis.bpeishTokenCount(col("text")).as("bpeish_tokens"),
+            TextAnalysis.fingerprint(col("text")).as("fingerprint")) ++ qcols: _*)
+        .orderBy(col("doc_id"))
+    }, {
+      val qsqls = TextAnalysis.qualitySqls("text")
+        .map { case (n, e) => s"$e AS $n" }.mkString(",\n             ")
+      Some(s"""
+      SELECT doc_id,
+             ${TextAnalysis.languageIdSql("text")} AS lang_pred,
+             ${TextAnalysis.wsTokenCountSql("text")} AS ws_tokens,
+             ${TextAnalysis.bpeishTokenCountSql("text")} AS bpeish_tokens,
+             ${TextAnalysis.fingerprintSql("text")} AS fingerprint,
+             $qsqls
+      FROM documents
+      ORDER BY doc_id
+    """)
+    })
+
+  // ------------------------------------------------------------------
+  // q38 corpus curation rollup (downstream of the per-doc stats)
+  // ------------------------------------------------------------------
+
+  val q38CurationRollup: QueryDef = QueryDef(
+    "q38_curation_rollup",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val qcols = TextAnalysis.qualityColumns(col("text")).toMap
+      docs.select(col("lang"), col("source"),
+          qcols("quality_score").as("q"), qcols("n_tokens").as("nt"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("q")), 6).as("avg_quality"),
+          sum(col("nt")).as("total_tokens"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("lang"))
+    }, {
+      val qsql = TextAnalysis.qualitySqls("text").toMap
+      Some(s"""
+      SELECT lang, COUNT(*) AS n_docs,
+             round(AVG(${qsql("quality_score")}), 6) AS avg_quality,
+             CAST(SUM(${qsql("n_tokens")}) AS BIGINT) AS total_tokens,
+             COUNT(DISTINCT source) AS n_sources
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang
+    """)
+    })
+
+  val all: Seq[QueryDef] = Seq(
+    q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
+    q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
+    q38CurationRollup)
+}
