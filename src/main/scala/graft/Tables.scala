@@ -36,7 +36,9 @@ object Tables {
     df.schema("ts").dataType match {
       case TimestampType => df
       case LongType => // read under spark.sql.legacy.parquet.nanosAsLong
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+        // `div` = exact integer division; `/` is double division whose
+        // rounding truncates 1 µs low on ~1.6% of rows (ADVICE.md r01).
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => df
     }
   }

@@ -21,14 +21,24 @@ object FlinkFunctions {
 
   // ---- string family ------------------------------------------------
 
-  /** Flink SPLIT_INDEX(str, sep, index) — 0-based, null when out of
-    * bounds (SqlFunctionUtils#splitIndex). Composed: stays codegen'd.
+  /** Flink SPLIT_INDEX(str, sep, index) — 0-based, LITERAL separator,
+    * null when out of bounds or index < 0 (SqlFunctionUtils#splitIndex).
+    * The separator Column is regexp-escaped so metachar separators
+    * ('.', '|') split literally, and negative indices yield null instead
+    * of an INVALID_ARRAY_INDEX error (ADVICE.md r01). Composed: codegen'd.
     */
-  def splitIndex(s: Column, sep: Column, idx: Column): Column =
-    try_element_at(split(s, sep), idx + lit(1))
+  def splitIndex(s: Column, sep: Column, idx: Column): Column = {
+    // \Q…\E-quote the separator: escape any embedded \E first.
+    val quoted = concat(lit("\\Q"),
+      regexp_replace(sep, "\\\\E", "\\\\E\\\\\\\\E\\\\Q"), lit("\\E"))
+    when(idx >= 0, try_element_at(split(s, quoted), idx + lit(1)))
+      .otherwise(lit(null).cast("string"))
+  }
 
   def splitIndex(s: Column, sep: String, idx: Int): Column =
-    splitIndex(s, lit(java.util.regex.Pattern.quote(sep)), lit(idx))
+    if (idx < 0) lit(null).cast("string")
+    else try_element_at(
+      split(s, lit(java.util.regex.Pattern.quote(sep))), lit(idx + 1))
 
   /** Flink IS_DECIMAL(str): parseable as a number. */
   def isDecimal(s: Column): Column =

@@ -31,8 +31,10 @@ object TextAnalysis {
     s"len(list_filter($toks, t -> list_contains($set, t)))"
   }
 
-  /** Language-ID: argmax of per-language stopword occurrence counts; ties
-    * and all-zero fall back to 'und' (undetermined).
+  /** Language-ID: argmax of per-language stopword occurrence counts.
+    * Ties resolve to the FIRST registered language achieving the max
+    * (registration order above); only all-zero scores return 'und'.
+    * The SQL twin implements the identical rule.
     */
   def languageId(text: Column): Column = {
     val toks = tokens(text)

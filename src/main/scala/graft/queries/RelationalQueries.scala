@@ -44,18 +44,21 @@ object RelationalQueries {
         .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(money(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
-          sum(money(col("l_extendedprice"))).cast("decimal(18,2)").as("sum_base_price"),
+          // money math stays exact DECIMAL; the FINAL column is cast to
+          // DOUBLE because the driver's hash canonicalizes decimals
+          // asymmetrically (trailing-zero repr) — ADVICE.md r01 high.
+          sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(money(col("l_extendedprice"))).cast("double").as("sum_base_price"),
           sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
-            .cast("decimal(22,4)").as("sum_disc_price"),
+            .cast("double").as("sum_disc_price"),
           (sum(money(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus")),
     Some("""
       SELECT l_returnflag, l_linestatus,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(22,4)) AS sum_disc_price,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
              CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
              COUNT(*) AS count_order
       FROM lineitem
@@ -78,12 +81,12 @@ object RelationalQueries {
         .groupBy(col("r_name"), col("n_name"))
         .agg(
           sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
-            .cast("decimal(22,4)").as("revenue"),
+            .cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("r_name"), col("n_name")),
     Some("""
       SELECT r_name, n_name,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(22,4)) AS revenue,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
              COUNT(*) AS n_items
       FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
@@ -104,13 +107,13 @@ object RelationalQueries {
         .join(o, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey"), col("o_custkey"))
         .agg(sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
-          .cast("decimal(22,4)").as("revenue"))
+          .cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     },
     Some("""
       SELECT o_orderkey, o_custkey,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(22,4)) AS revenue
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       WHERE o_orderstatus <> 'F'
       GROUP BY o_orderkey, o_custkey
@@ -127,11 +130,11 @@ object RelationalQueries {
       val big = li(s, dir).filter(col("l_quantity") > 49).select(col("l_orderkey"))
       ord(s, dir)
         .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
-        .select(col("o_orderkey"), money(col("o_totalprice")).as("o_total"))
+        .select(col("o_orderkey"), money(col("o_totalprice")).cast("double").as("o_total"))
         .orderBy(col("o_orderkey"))
     },
     Some("""
-      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS o_total
+      SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_total
       FROM orders
       WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 49)
       ORDER BY o_orderkey
@@ -166,7 +169,7 @@ object RelationalQueries {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(
           count(lit(1)).as("n"),
-          sum(money(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
+          sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
           grouping(col("l_returnflag")).cast("int").as("g_rf"),
           grouping(col("l_linestatus")).cast("int").as("g_ls"))
         .orderBy(
@@ -174,7 +177,7 @@ object RelationalQueries {
           col("l_linestatus").asc_nulls_first),
     Some("""
       SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
              CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
              CAST(GROUPING(l_linestatus) AS INT) AS g_ls
       FROM lineitem
@@ -194,11 +197,12 @@ object RelationalQueries {
         .join(broadcast(nat(s, dir)), col("s_nationkey") === col("n_nationkey"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
-        .select(col("n_name"), col("s_name"), money(col("s_acctbal")).as("bal"), col("rn"))
+        .select(col("n_name"), col("s_name"),
+          money(col("s_acctbal")).cast("double").as("bal"), col("rn"))
         .orderBy(col("n_name"), col("rn"))
     },
     Some("""
-      SELECT n_name, s_name, CAST(s_acctbal AS DECIMAL(12,2)) AS bal, CAST(rn AS INT) AS rn
+      SELECT n_name, s_name, CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal, CAST(rn AS INT) AS rn
       FROM (
         SELECT n_name, s_name, s_acctbal,
                ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey) AS rn
@@ -220,24 +224,24 @@ object RelationalQueries {
         .select(
           col("o_orderkey"),
           col("o_custkey"),
-          money(col("o_totalprice")).as("price"),
+          money(col("o_totalprice")).cast("double").as("price"),
           sum(money(col("o_totalprice")))
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .cast("decimal(18,2)").as("running_total"),
-          lag(money(col("o_totalprice")), 1).over(w).as("prev_price"),
-          lead(money(col("o_totalprice")), 1).over(w).as("next_price"))
+            .cast("double").as("running_total"),
+          lag(money(col("o_totalprice")), 1).over(w).cast("double").as("prev_price"),
+          lead(money(col("o_totalprice")), 1).over(w).cast("double").as("next_price"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
     Some("""
       SELECT o_orderkey, o_custkey,
-             CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER
                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total,
-             LAG(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER
-               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
-             LEAD(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER
-               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+             CAST(LAG(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS prev_price,
+             CAST(LEAD(CAST(o_totalprice AS DECIMAL(12,2)), 1) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS next_price
       FROM orders
       ORDER BY o_custkey, o_orderkey
     """))
@@ -307,15 +311,15 @@ object RelationalQueries {
         .agg(
           countDistinct(col("o_custkey")).as("n_cust"),
           count(lit(1)).as("n_orders"),
-          max(money(col("o_totalprice"))).as("max_price"),
-          min(money(col("o_totalprice"))).as("min_price"))
+          max(money(col("o_totalprice"))).cast("double").as("max_price"),
+          min(money(col("o_totalprice"))).cast("double").as("min_price"))
         .orderBy(col("o_orderstatus")),
     Some("""
       SELECT o_orderstatus,
              COUNT(DISTINCT o_custkey) AS n_cust,
              COUNT(*) AS n_orders,
-             MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS max_price,
-             MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS min_price
+             CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price,
+             CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS min_price
       FROM orders
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus
@@ -333,14 +337,14 @@ object RelationalQueries {
       val thr = o.agg(
         (sum(money(col("o_totalprice"))).cast("double") / count(lit(1)) * 2).as("thr"))
       o.groupBy(col("o_custkey"))
-        .agg(sum(money(col("o_totalprice"))).cast("decimal(18,2)").as("total"))
+        .agg(sum(money(col("o_totalprice"))).cast("double").as("total"))
         .crossJoin(broadcast(thr))
-        .filter(col("total").cast("double") > col("thr"))
+        .filter(col("total") > col("thr"))
         .select(col("o_custkey"), col("total"))
         .orderBy(col("o_custkey"))
     },
     Some("""
-      SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total
+      SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
       FROM orders
       GROUP BY o_custkey
       HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) >
@@ -358,11 +362,11 @@ object RelationalQueries {
         .agg(
           count(col("c_custkey")).as("n_cust"),
           coalesce(sum(money(col("c_acctbal"))), lit(0).cast("decimal(12,2)"))
-            .cast("decimal(18,2)").as("sum_bal"))
+            .cast("double").as("sum_bal"))
         .orderBy(col("n_name")),
     Some("""
       SELECT n_name, COUNT(c_custkey) AS n_cust,
-             CAST(COALESCE(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 0) AS DECIMAL(18,2)) AS sum_bal
+             CAST(COALESCE(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 0) AS DOUBLE) AS sum_bal
       FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
       GROUP BY n_name
       ORDER BY n_name

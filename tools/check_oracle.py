@@ -47,6 +47,24 @@ def main(sf_dir: str, out_dir: str) -> int:
             if len(g) != len(w):
                 failed.append((name, f"rows: spark={len(g)} duck={len(w)}"))
                 continue
+            dt = [(c, str(g[c].dtype), str(w[c].dtype)) for c in g.columns
+                  if str(g[c].dtype) != str(w[c].dtype)]
+            if dt:
+                # align numeric dtype-only differences (e.g. int32 vs int64)
+                # so equals() below reflects VALUE differences only; report
+                # when alignment is impossible.
+                hard = []
+                for c, gd, wd in dt:
+                    try:
+                        common = pd.api.types.pandas_dtype(
+                            "float64" if ("float" in gd or "float" in wd) else "int64")
+                        g[c] = g[c].astype(common)
+                        w[c] = w[c].astype(common)
+                    except (TypeError, ValueError):
+                        hard.append((c, gd, wd))
+                if hard:
+                    failed.append((name, f"dtype mismatch: {hard}"))
+                    continue
             if not g.equals(w):
                 neq = (g != w) & ~(g.isna() & w.isna())
                 bad_cols = [c for c in g.columns if neq[c].any()]
