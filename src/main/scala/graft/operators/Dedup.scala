@@ -46,34 +46,83 @@ object Dedup {
   // MinHash + LSH
   // ------------------------------------------------------------------
 
+  /** Per-document sorted distinct shingle-hash sets, with an optional
+    * blocking column: (blk, doc_id, hs, n).
+    *
+    * Computed in a typed `mapPartitions` (single pass: normalize →
+    * tokenize → shingle → md5-hash → sorted distinct) rather than as a
+    * Column expression tree. The declarative form is an optimizer trap
+    * at scale: filters that Catalyst INFERS above it (isnotnull/size from
+    * a downstream Generate or join) are predicate-pushed through the
+    * projection, substituting the whole shingle expression — in its
+    * worst-case inlined form, re-evaluating normalize+split per array
+    * element — into per-row interpreted Filters (measured 170x slower at
+    * sf0.1). The object barrier is opaque to those rewrites, and the
+    * fused JVM loop is itself ~10x cheaper than the interpreted
+    * higher-order functions. Still a narrow map — no shuffle, and rows
+    * carry only the compact hash set (never raw text) downstream.
+    */
+  private def shingleSets(
+      df: DataFrame, idCol: String, textCol: String, shingleN: Int,
+      blockCol: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val src = df.select(
+      blockCol.map(c => col(c).cast("string")).getOrElse(lit("")).as("blk"),
+      col(idCol).cast("long").as("doc_id"),
+      col(textCol).cast("string").as("text"))
+    src.as[(String, Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (blk, id, text) =>
+          (blk, id, shingleHashSet(md, text, shingleN))
+        }
+      }
+      .toDF("blk", "doc_id", "hs")
+      .withColumn("n", size(col("hs")))
+  }
+
   /** Per-document MinHash signature columns mh0..mh{n-1} over distinct
-    * word-`shingleN`-gram shingles. One explode + one keyed aggregation;
-    * the signature is n parallel `min` aggregates (map-side partial agg
-    * applies, so the shuffle carries only n longs per doc per partition).
+    * word-`shingleN`-gram shingles. Entirely per-row inside one typed
+    * `mapPartitions` (min over the hashed shingle set under each hash
+    * function) — zero shuffles; docs with no shingles (fewer than
+    * shingleN tokens) are dropped, matching the grouped-aggregation
+    * formulation.
     */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingleN: Int): DataFrame = {
-    val params = hashParams(numHashes)
-    val sh = df
-      .select(col(idCol).as("doc_id"),
-        explode(array_distinct(shingles(col(textCol), shingleN))).as("s"))
-      .withColumn("h", hash32(col("s")))
-    sh.groupBy(col("doc_id"))
-      .agg(
-        min(universalHash(col("h"), params.head._1, params.head._2)).as("mh0"),
-        params.zipWithIndex.tail.map { case ((a, b), i) =>
-          min(universalHash(col("h"), a, b)).as(s"mh$i")
-        }: _*)
+    val params = hashParams(numHashes).toArray
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col(textCol).cast("string").as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val hs = shingleHashSet(md, text, shingleN)
+          if (hs.isEmpty) Iterator.empty
+          else {
+            val mh = Array.fill(params.length)(Long.MaxValue)
+            var j = 0
+            while (j < hs.length) {
+              val hm = hs(j) % HashP
+              var i = 0
+              while (i < params.length) {
+                val v = (params(i)._1 * hm + params(i)._2) % HashP
+                if (v < mh(i)) mh(i) = v
+                i += 1
+              }
+              j += 1
+            }
+            Iterator.single((id, mh))
+          }
+        }
+      }
+      .toDF("doc_id", "mh")
+      .select(col("doc_id") +:
+        (0 until numHashes).map(i => col("mh")(i).as(s"mh$i")): _*)
   }
-
-  /** Distinct per-document shingle-hash sets (for exact verification). */
-  private def shingleSets(
-      df: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
-    df.select(col(idCol).as("doc_id"),
-        array_sort(array_distinct(transform(shingles(col(textCol), shingleN),
-          s => hash32(s)))).as("hs"))
-      .withColumn("n", size(col("hs")))
 
   /** MinHash-LSH near-duplicate pairs, exact-verified.
     *
@@ -90,12 +139,14 @@ object Dedup {
     val rows = numHashes / bands
     val sig = minhashSignatures(df, idCol, textCol, numHashes, shingleN)
 
-    // band key per band: the concatenated band slice of the signature
-    val banded = (0 until bands).map { bnd =>
-      val key = concat_ws("_",
-        lit(bnd) +: (0 until rows).map(r => col(s"mh${bnd * rows + r}")): _*)
-      sig.select(col("doc_id"), key.as("bk"))
-    }.reduce(_ union _)
+    // one row per (doc, band): explode an array of band keys rather than
+    // unioning `bands` copies of the plan, which would recompute the
+    // signature projection once per band
+    val banded = sig.select(col("doc_id"),
+      explode(array((0 until bands).map { bnd =>
+        concat_ws("_",
+          lit(bnd) +: (0 until rows).map(r => col(s"mh${bnd * rows + r}")): _*)
+      }: _*)).as("bk"))
 
     // cap pathological buckets before pairing (bounds quadratic blowup)
     val capped = banded
@@ -150,22 +201,31 @@ object Dedup {
 
   /** All-pairs n-gram Jaccard within a blocking key (e.g. source or
     * language): exact near-dup detection when a cheap blocking column
-    * bounds the candidate space. The pairwise join is keyed on the block,
-    * so each block's pairs are computed data-local after one shuffle.
+    * bounds the candidate space. Requires `threshold > 0`.
+    *
+    * Implemented as an inverted-index join rather than a quadratic
+    * all-pairs array_intersect: shingle hashes are exploded and documents
+    * are paired per (block, shingle-hash), so the intersection size is a
+    * co-occurrence COUNT aggregation. Work and shuffle volume scale with
+    * the number of actually-shared shingles (≈ true near-dups), not with
+    * |block|^2, and join parallelism is keyed on the full (block, hash)
+    * space instead of the handful of block values.
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sets = df.select(col(blockCol).as("blk"), col(idCol).as("doc_id"),
-        array_sort(array_distinct(transform(shingles(col(textCol), shingleN),
-          s => hash32(s)))).as("hs"))
-      .withColumn("n", size(col("hs")))
-    sets.as("x").join(sets.as("y"),
-        col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.blk").as("blk"),
+    require(threshold > 0,
+      "inverted-index jaccard only surfaces pairs sharing >=1 shingle")
+    val sets = shingleSets(df, idCol, textCol, shingleN, Some(blockCol))
+    val hd = sets.select(col("blk"), col("doc_id"), col("n"),
+      explode(col("hs")).as("h"))
+    hd.as("x").join(hd.as("y"),
+        col("x.blk") === col("y.blk") && col("x.h") === col("y.h") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.blk").as("blk"),
         col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        size(array_intersect(col("x.hs"), col("y.hs"))).as("i"),
         col("x.n").as("na"), col("y.n").as("nb"))
+      .agg(count(lit(1)).as("i"))
       .withColumn("jaccard",
         round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))
       .filter(col("jaccard") >= threshold)

@@ -22,13 +22,29 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, computed in double. */
+  private def asD(c: Column): Column = c.cast("array<double>")
+
+  /** Left-to-right dot product of two double-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
+
+  /** L2 norm of a double-array column (left-to-right accumulation). */
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), _ + _))
+
+  /** Cosine similarity of two float-array columns, computed in double.
+    *
+    * Convenience form for ad-hoc use. The operators below do NOT call it
+    * pairwise: higher-order functions are interpreted (not codegen'd), so
+    * the per-pair cost is dominated by array traversals — each side's
+    * norm and double-cast is precomputed per ROW before the join, leaving
+    * a single zip_with+aggregate dot per pair (same math, same
+    * left-to-right order, bit-identical results).
+    */
   def cosine(a: Column, b: Column): Column = {
-    def d(c: Column): Column = c.cast("array<double>")
-    val dot = aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), _ + _)
-    val na = sqrt(aggregate(transform(d(a), x => x * x), lit(0.0), _ + _))
-    val nb = sqrt(aggregate(transform(d(b), x => x * x), lit(0.0), _ + _))
-    dot / (na * nb)
+    val da = asD(a)
+    val db = asD(b)
+    dot(da, db) / (l2norm(da) * l2norm(db))
   }
 
   /** DuckDB twin of [[cosine]] (same order of operations, double math). */
@@ -45,12 +61,16 @@ object Similarity {
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), asD(col(vecCol)).as("qv"))
+      .withColumn("qn", l2norm(col("qv"))))
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), asD(col(vecCol)).as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     c.join(q, col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
@@ -65,12 +85,16 @@ object Similarity {
       corpus: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
       centroidIdCol: String = "centroid_id"): DataFrame = {
-    val cent = broadcast(centroids.select(
-      col(centroidIdCol).as("cid"), col(vecCol).as("centv")))
+    val cent = broadcast(centroids
+      .select(col(centroidIdCol).as("cid"), asD(col(vecCol)).as("centv"))
+      .withColumn("centn", l2norm(col("centv"))))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("csim").desc, col("cid"))
-    corpus.crossJoin(cent)
-      .withColumn("csim", cosine(col(vecCol), col("centv")))
+    corpus
+      .withColumn("__vd", asD(col(vecCol)))
+      .withColumn("__vn", l2norm(col("__vd")))
+      .crossJoin(cent)
+      .withColumn("csim", dot(col("__vd"), col("centv")) / (col("__vn") * col("centn")))
       .withColumn("crn", row_number().over(w))
       .filter(col("crn") === 1)
       .select(col(idCol), col(vecCol), col("cid").as("bucket"))
@@ -83,13 +107,16 @@ object Similarity {
       assigned: DataFrame, queryIds: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = broadcast(assigned.join(queryIds, idCol)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("bucket")))
+      .select(col(idCol).as("query_id"), asD(col(vecCol)).as("qv"), col("bucket"))
+      .withColumn("qn", l2norm(col("qv"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    assigned.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("bucket"))
+    assigned
+      .select(col(idCol).as("neighbor_id"), asD(col(vecCol)).as("cv"), col("bucket"))
+      .withColumn("cn", l2norm(col("cv")))
       .join(q, "bucket")
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
@@ -102,10 +129,12 @@ object Similarity {
   def cosineNearDupPairs(
       df: DataFrame, blockCol: String, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val v = df.select(col(blockCol).as("blk"), col(idCol).as("id"), col(vecCol).as("v"))
+    val v = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+        asD(col(vecCol)).as("v"))
+      .withColumn("vn", l2norm(col("v")))
     v.as("x").join(v.as("y"),
         col("x.blk") === col("y.blk") && col("x.id") < col("y.id"))
-      .withColumn("sim", cosine(col("x.v"), col("y.v")))
+      .withColumn("sim", dot(col("x.v"), col("y.v")) / (col("x.vn") * col("y.vn")))
       .filter(col("sim") >= threshold)
       .select(col("x.blk").as("blk"), col("x.id").as("id_a"),
         col("y.id").as("id_b"), round(col("sim"), 6).as("sim"))

@@ -45,16 +45,26 @@ object TextOps {
   def tokensSql(text: String): String =
     s"string_split(${normalizeSql(text)}, ' ')"
 
-  /** Word n-gram shingles as space-joined strings; empty array when the
-    * document has fewer than n tokens.
+  /** Word n-gram shingles from an ALREADY-MATERIALIZED tokens column.
+    *
+    * `toks` must be a bound column (e.g. via `.withColumn("toks",
+    * tokens(text))`), not an inline `tokens(text)` expression: the lambda
+    * below references it ~3n times per row, and Catalyst re-evaluates an
+    * inlined subexpression at every reference inside a higher-order
+    * function (measured 13x slower when normalize+split is inlined).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def shinglesFromToks(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)), i =>
         concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
       .otherwise(array())
-  }
+
+  /** Word n-gram shingles as space-joined strings; empty array when the
+    * document has fewer than n tokens. Convenience form — in hot paths
+    * materialize the tokens column first and use [[shinglesFromToks]].
+    */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromToks(tokens(text), n)
 
   /** DuckDB twin of [[shingles]]: expects `toks` list column in scope. */
   def shinglesSql(toks: String, n: Int): String = {
@@ -77,4 +87,56 @@ object TextOps {
 
   def universalHashSql(h: String, a: Long, b: Long): String =
     s"(($a * ($h % $HashP) + $b) % $HashP)"
+
+  // ------------------------------------------------------------------
+  // JVM twins of the primitives above, for typed map/mapPartitions
+  // operators. Bit-identical to the Column forms: same regexes (Java
+  // regex, as Spark's regexp_replace uses), same md5-prefix hash.
+  // ------------------------------------------------------------------
+
+  private val NonAlnumRe = java.util.regex.Pattern.compile("[^a-z0-9 ]")
+  private val MultiSpaceRe = java.util.regex.Pattern.compile(" +")
+
+  /** JVM twin of [[normalize]]. */
+  def normalizeStr(s: String): String =
+    MultiSpaceRe.matcher(
+      NonAlnumRe.matcher(s.toLowerCase(java.util.Locale.ROOT)).replaceAll(" "))
+      .replaceAll(" ").trim
+
+  /** JVM twin of `hash32(md5(...))`: first 4 md5 bytes as an unsigned
+    * 32-bit value (== first 8 hex chars parsed base-16).
+    */
+  def hash32Str(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** Sorted distinct hashes of the word-n-gram shingles of `text` — the
+    * JVM twin of `array_sort(array_distinct(transform(shingles(text,n),
+    * hash32)))`. Empty when the document has fewer than n tokens.
+    */
+  def shingleHashSet(
+      md: java.security.MessageDigest, text: String, n: Int): Array[Long] = {
+    val toks = normalizeStr(text).split(" ", -1)
+    if (toks.length < n) Array.emptyLongArray
+    else {
+      val set = scala.collection.mutable.SortedSet.empty[Long]
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i + n <= toks.length) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(toks(i + k))
+          k += 1
+        }
+        set += hash32Str(md, sb.toString)
+        i += 1
+      }
+      set.toArray
+    }
+  }
 }
