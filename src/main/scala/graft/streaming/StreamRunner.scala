@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Drives Structured Streaming pipelines over the driver-provided
+  * bounded parquet fixtures, end-to-end: source → transforms → memory
+  * sink, `processAllAvailable()`, return the sink table.
+  *
+  * This is how the streaming operator surface (reference:
+  * flink-streaming-java DataStream + Blink StreamExec* nodes, SURVEY.md
+  * §2.10) is made oracle-checkable: the streaming query runs for real —
+  * micro-batches, watermarks, state store, no-data batches that advance
+  * the watermark and flush windows/timers — and the final sink contents
+  * are compared against a batch DuckDB twin that applies the same
+  * watermark cutoff analytically.
+  *
+  * At 100 TB the same pipelines point at `readStream` directories /
+  * Kafka and a durable sink; nothing here collects to the driver — the
+  * memory sink only holds query RESULTS (window aggregates, top-ns),
+  * never raw input.
+  */
+object StreamRunner {
+
+  private val nameCounter = new AtomicInteger
+
+  /** The `events` fixture as a real file-source stream with the same
+    * ns→µs event-time normalization as the batch loader
+    * ([[graft.Tables.load]]).
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // the file stream source only accepts directories: stream the fixture
+    // dir and select the single events file via pathGlobFilter
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    if (schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Runs `stream` into a fresh memory sink until all available input is
+    * processed (including trailing no-data micro-batches that advance
+    * the watermark), then returns the accumulated sink table.
+    */
+  def runToTable(stream: DataFrame, outputMode: String): DataFrame = {
+    val spark = stream.sparkSession
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val query = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .start()
+    try query.processAllAvailable()
+    finally query.stop()
+    spark.table(name)
+  }
+
+  /** Enables the RocksDB state store provider required by
+    * `transformWithState` (SURVEY.md §2.10 state row — the analog of the
+    * reference's RocksDB keyed-state backend).
+    */
+  def requireRocksDb(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+}

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkTestSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MemoryStream-driven end-to-end specs for the streaming operators:
+  * records are fed batch by batch so the watermark actually advances
+  * between micro-batches (the fixture-file path in StreamingQueries only
+  * exercises the single-batch + no-data-batch flow).
+  */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("tumbling window agg emits only watermark-closed windows, per batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val agg = in.toDF().toDF("ts", "k")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "10 minutes"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("w"), col("k"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("tumble_spec")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(1), "a"), (ts(5), "a"), (ts(7), "b"))
+      q.processAllAvailable()
+      // watermark = 00:07 → no window closed yet
+      assert(spark.table("tumble_spec").count() == 0)
+      in.addData((ts(12), "a"))
+      q.processAllAvailable()
+      // watermark = 00:12 → [00:00,00:10) closed: a=2, b=1
+      val closed = spark.table("tumble_spec").orderBy("k").collect()
+      assert(closed.map(r => (r.getString(1), r.getLong(2))).toSeq ==
+        Seq(("a", 2L), ("b", 1L)))
+      // late row behind the watermark is dropped, not re-fired
+      in.addData((ts(3), "a"))
+      q.processAllAvailable()
+      assert(spark.table("tumble_spec").count() == 2)
+    } finally q.stop()
+  }
+
+  test("WindowedTopN emits final per-window top-n when the timer fires") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    StreamRunner.requireRocksDb(spark)
+    val in = MemoryStream[(Timestamp, String, Long, Double)]
+    val winSec = 600L
+    val ev = in.toDF().toDF("ts", "grp", "id", "value")
+      .withWatermark("ts", "0 seconds")
+      .select(col("grp"),
+        (floor(unix_timestamp(col("ts")) / winSec) * winSec).as("winStartSec"),
+        ((floor(unix_timestamp(col("ts")) / winSec) + 1) * winSec * 1000)
+          .as("winEndMs"),
+        col("id"), col("value"), col("ts"))
+      .as[TopNEvent]
+    val q = WindowedTopN(ev, n = 2).toDF()
+      .writeStream.format("memory").queryName("topn_spec")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(1), "g", 1L, 5.0), (ts(2), "g", 2L, 9.0),
+        (ts(3), "g", 3L, 9.0), (ts(4), "g", 4L, 1.0))
+      q.processAllAvailable()
+      assert(spark.table("topn_spec").count() == 0) // window still open
+      in.addData((ts(11), "g", 5L, 7.0))
+      q.processAllAvailable()
+      // timer at 00:10 fired: top-2 by (value desc, id asc) → id 2 then 3
+      val rows = spark.table("topn_spec").orderBy("rnk").collect()
+      assert(rows.map(r => (r.getInt(2), r.getLong(3), r.getDouble(4))).toSeq ==
+        Seq((1, 2L, 9.0), (2, 3L, 9.0)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup keeps one row per key across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("user_id", "event_type")
+      .dropDuplicates("user_id", "event_type")
+      .writeStream.format("memory").queryName("dedup_spec")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "x"), (1L, "x"), (2L, "y"))
+      q.processAllAvailable()
+      in.addData((1L, "x"), (2L, "z"))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_spec").orderBy("user_id", "event_type")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(rows == Seq((1L, "x"), (2L, "y"), (2L, "z")))
+    } finally q.stop()
+  }
+}
