@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+/** Lookup (dimension) join: per-row point lookups against an external
+  * key-value store with a per-partition LRU cache — the Spark analog of
+  * the reference's `JOIN LATERAL ... FOR SYSTEM_TIME AS OF proctime` on a
+  * LookupTableSource (flink-table-planner-blink CommonLookupJoin +
+  * RT/join/lookup/LookupJoinRunner, SURVEY.md §2.4).
+  *
+  * The store is pluggable ([[LookupJoin.Store]]); production impls wrap
+  * JDBC/HBase-style point reads. [[LookupJoin.broadcastStore]] serves a
+  * driver-broadcast map — the deterministic stub used by tests and the
+  * oracle-checked query. Semantics are LEFT OUTER and at-least-once
+  * (each partition looks up independently; the cache bounds QPS to the
+  * store, the classic reason this operator exists at 1000-executor
+  * scale — a shuffle join would need the whole dim snapshotted, a
+  * broadcast join needs it to fit in memory; lookups + LRU handle the
+  * long tail).
+  */
+object LookupJoin {
+
+  /** Synchronous point-lookup: Some(values) or None on miss. */
+  trait Store extends Serializable {
+    def lookup(key: Any): Option[Seq[Any]]
+  }
+
+  /** Store stub over a broadcast map (key → payload values). */
+  def broadcastStore(bc: Broadcast[Map[Any, Seq[Any]]]): Store =
+    new Store { def lookup(key: Any): Option[Seq[Any]] = bc.value.get(key) }
+
+  /** Left-outer lookup enrichment of `df` by `keyCol`, appending
+    * `outCols` (typed by `outSchema`) from the store, with a
+    * per-partition LRU cache of `cacheSize` entries.
+    */
+  def enrich(
+      df: DataFrame, keyCol: String, store: Store,
+      outSchema: StructType, cacheSize: Int = 10000): DataFrame = {
+    val schema = StructType(df.schema.fields ++ outSchema.fields)
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val nOut = outSchema.size
+    df.mapPartitions { it =>
+      val cache = new java.util.LinkedHashMap[Any, Option[Seq[Any]]](
+          16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[Any, Option[Seq[Any]]]): Boolean =
+          size() > cacheSize
+      }
+      it.map { row =>
+        val k = row.get(keyIdx)
+        var hit = cache.get(k)
+        if (hit == null) { hit = store.lookup(k); cache.put(k, hit) }
+        val extra = hit.map(_.toArray).getOrElse(Array.fill[Any](nOut)(null))
+        Row.fromSeq(row.toSeq ++ extra)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Builds a broadcast-map store from a small DataFrame: first column
+    * is the key, the rest are the payload.
+    */
+  def storeFrom(dim: DataFrame): (Store, StructType) = {
+    val schema = StructType(dim.schema.fields.drop(1))
+    val m: Map[Any, Seq[Any]] = dim.collect()
+      .map(r => r.get(0) -> r.toSeq.drop(1)).toMap
+    val bc = dim.sparkSession.sparkContext.broadcast(m)
+    (broadcastStore(bc), schema)
+  }
+}

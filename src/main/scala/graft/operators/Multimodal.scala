@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling for training-data pipelines: media
+  * payloads as opaque `binary` columns with a typed metadata struct,
+  * plus the per-asset transform stages (decode → featurize,
+  * frame-sampling) as object-barrier `mapPartitions` operators — the
+  * Spark-side plumbing (schema, batch shape, partitioning) is real;
+  * only the codec call itself is stubbed with a deterministic
+  * byte-level featurizer, since media libraries are out of scope here
+  * (swap [[decodeStub]] for an actual codec in production).
+  *
+  * Scale posture: payloads never shuffle — featurize/frame-sample are
+  * narrow maps emitting compact features; anything aggregated
+  * downstream groups on the small feature columns only. On a real
+  * corpus the binary column lives in parquet with the metadata struct
+  * enabling predicate pushdown on (mime, size) without touching bytes.
+  */
+object Multimodal {
+
+  /** Metadata carried next to every payload (FLIP-95-style typed
+    * schema; reference keeps media opaque too — RawType, SURVEY §1.2).
+    */
+  val MetaSchema: StructType = new StructType()
+    .add("mime", StringType).add("n_bytes", LongType)
+
+  /** Wraps a text column as a binary asset + metadata struct — the
+    * fixture's stand-in for reading real media bytes.
+    */
+  def attachPayload(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("payload", encode(col(textCol), "UTF-8"))
+      .withColumn("meta", struct(
+        lit("text/plain").as("mime"),
+        octet_length(col(textCol)).cast("long").as("n_bytes")))
+
+  /** Deterministic stand-in for a codec: first byte, byte length, and a
+    * content hash (first 4 md5 bytes, unsigned) — byte-level features
+    * any real decoder would replace.
+    */
+  private[operators] def decodeStub(
+      md: java.security.MessageDigest, bytes: Array[Byte]): (Int, Long, Long) = {
+    md.reset()
+    val d = md.digest(bytes)
+    val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    (if (bytes.isEmpty) -1 else bytes(0) & 0xff, bytes.length.toLong, h)
+  }
+
+  /** Decode/featurize stage: (id, payload) → per-asset features. */
+  def featurize(df: DataFrame, idCol: String): DataFrame = {
+    val schema = new StructType()
+      .add("asset_id", LongType).add("head_byte", IntegerType)
+      .add("n_bytes", LongType).add("content_hash", LongType)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val (head, n, h) = decodeStub(md, r.getAs[Array[Byte]](payIdx))
+        Row(r.getLong(idIdx), head, n, h)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Frame-sampling stage: split each payload into fixed-size frames
+    * (the batch shape a video/audio pipeline hands to a model), one
+    * output row per sampled frame.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, frameBytes: Int): DataFrame = {
+    val schema = new StructType()
+      .add("asset_id", LongType).add("frame_no", IntegerType)
+      .add("frame_bytes", LongType)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](payIdx)
+        val n = math.max(1, (bytes.length + frameBytes - 1) / frameBytes)
+        (0 until n).iterator.map { i =>
+          val len = math.min(frameBytes, bytes.length - i * frameBytes)
+          Row(r.getLong(idIdx), i, math.max(len, 0).toLong)
+        }
+      }
+    }(Encoders.row(schema))
+  }
+}
