@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.PipelineQueries.all ++
       graft.queries.StreamingQueries.all ++
       graft.queries.OperatorQueries.all ++
-      graft.queries.CoverageQueries.all
+      graft.queries.CoverageQueries.all ++
+      graft.queries.CepQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

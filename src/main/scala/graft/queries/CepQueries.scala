@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.streaming.{Cep, StreamRunner}
+import graft.streaming.Cep.{CepEvent, Pattern, Step}
+import org.apache.spark.sql.functions._
+
+/** CEP pattern queries (flink-cep / MATCH_RECOGNIZE subset): run as
+  * real streaming jobs through [[graft.streaming.Cep]]. The NO_SKIP
+  * variant emits every match combination — expressible as an ordered
+  * self-join, so it gets a full DuckDB oracle (with the same watermark
+  * cutoff: only events the watermark passed are processed). The greedy
+  * SKIP_PAST_LAST variant is not SQL-expressible (that is the point of
+  * CEP) → rows-only check + ScalaTest spec.
+  */
+object CepQueries {
+
+  private val Wm = "1 hour"
+  private val WithinMs = 3L * 24 * 3600 * 1000 // 3 days
+
+  private def cepStream(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import s.implicits._
+    StreamRunner.eventsStream(s, dir)
+      .withWatermark("ts", Wm)
+      .select(col("user_id").as("key"),
+        expr("unix_micros(ts) div 1000").as("tsMs"),
+        col("event_type").as("tag"), col("event_id").as("id"), col("ts"))
+      .as[CepEvent]
+  }
+
+  private def pattern(skipPastLast: Boolean) = Pattern(
+    steps = Seq(
+      Step("signup", _.tag == "signup"),
+      Step("purchase", _.tag == "purchase"),
+      Step("error", _.tag == "error")),
+    withinMs = WithinMs, skipPastLast = skipPastLast)
+
+  // ------------------------------------------------------------------
+  // q61 NO_SKIP: every signup → purchase → error within 3 days
+  // ------------------------------------------------------------------
+
+  val q61CepAllMatches: QueryDef = QueryDef(
+    "q61_cep_all_matches",
+    (s, dir) => {
+      StreamRunner.requireRocksDb(s)
+      val m = Cep(cepStream(s, dir), pattern(skipPastLast = false)).toDF()
+      StreamRunner.runToTable(m
+          .select(col("key").as("user_id"),
+            col("ids")(0).as("signup_id"), col("ids")(1).as("purchase_id"),
+            col("ids")(2).as("error_id"),
+            col("startTsMs").as("start_ms"), col("endTsMs").as("end_ms")),
+          "append")
+        .orderBy(col("user_id"), col("signup_id"), col("purchase_id"),
+          col("error_id"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT user_id, event_type, event_id,
+               CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS ms
+        FROM events
+        WHERE ts <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+      )
+      SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id,
+             r.event_id AS error_id, s.ms AS start_ms, r.ms AS end_ms
+      FROM e s
+      JOIN e p ON p.user_id = s.user_id AND p.event_type = 'purchase'
+              AND (p.ms > s.ms OR (p.ms = s.ms AND p.event_id > s.event_id))
+      JOIN e r ON r.user_id = s.user_id AND r.event_type = 'error'
+              AND (r.ms > p.ms OR (r.ms = p.ms AND r.event_id > p.event_id))
+      WHERE s.event_type = 'signup' AND r.ms - s.ms <= $WithinMs
+      ORDER BY s.user_id, signup_id, purchase_id, error_id
+    """))
+
+  // ------------------------------------------------------------------
+  // q62 SKIP_PAST_LAST: greedy single-pass matching (rows-only check;
+  // semantics pinned by CepSpec)
+  // ------------------------------------------------------------------
+
+  val q62CepSkipPastLast: QueryDef = QueryDef(
+    "q62_cep_skip_past_last",
+    (s, dir) => {
+      StreamRunner.requireRocksDb(s)
+      val m = Cep(cepStream(s, dir), pattern(skipPastLast = true)).toDF()
+      StreamRunner.runToTable(m
+          .select(col("key").as("user_id"),
+            col("ids")(0).as("signup_id"), col("ids")(1).as("purchase_id"),
+            col("ids")(2).as("error_id")),
+          "append")
+        .orderBy(col("user_id"), col("signup_id"))
+    },
+    None)
+
+  val all: Seq[QueryDef] = Seq(q61CepAllMatches, q62CepSkipPastLast)
+}

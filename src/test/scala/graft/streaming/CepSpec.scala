@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkTestSession
+import graft.streaming.Cep.{CepEvent, Pattern, Step}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+class CepSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def ev(key: Long, sec: Int, tag: String, id: Long): CepEvent = {
+    val ts = Timestamp.valueOf(f"2024-01-01 00:${sec / 60}%02d:${sec % 60}%02d")
+    CepEvent(key, ts.getTime, tag, id, ts)
+  }
+
+  /** Runs the pattern over the events plus a late watermark-advancing
+    * flush event on an unused key.
+    */
+  private def run(pattern: Pattern, events: Seq[CepEvent]): Seq[Seq[Long]] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    StreamRunner.requireRocksDb(spark)
+    val in = MemoryStream[CepEvent]
+    val stream = in.toDS().withWatermark("ts", "0 seconds")
+    val name = s"cep_spec_${System.nanoTime()}"
+    val q = Cep(stream, pattern).toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      in.addData(events: _*)
+      q.processAllAvailable()
+      in.addData(ev(999L, 3599, "flush", 0L))
+      q.processAllAvailable()
+      spark.table(name).orderBy("startTsMs").collect()
+        .map(_.getAs[scala.collection.Seq[Long]]("ids").toSeq).toSeq
+    } finally q.stop()
+  }
+
+  private def steps(strictSecond: Boolean = false) = Seq(
+    Step("a", _.tag == "A"),
+    Step("b", _.tag == "B", strict = strictSecond))
+
+  test("NO_SKIP emits every combination") {
+    val out = run(Pattern(steps(), withinMs = 600000, skipPastLast = false),
+      Seq(ev(1, 0, "A", 1), ev(1, 10, "A", 2), ev(1, 20, "B", 3),
+        ev(1, 30, "B", 4)))
+    assert(out.toSet == Set(Seq(1L, 3L), Seq(2L, 3L), Seq(1L, 4L), Seq(2L, 4L)))
+  }
+
+  test("SKIP_PAST_LAST clears partials after a match") {
+    val out = run(Pattern(steps(), withinMs = 600000, skipPastLast = true),
+      Seq(ev(1, 0, "A", 1), ev(1, 10, "A", 2), ev(1, 20, "B", 3),
+        ev(1, 30, "B", 4)))
+    // first B completes with the oldest open A; everything else resets
+    assert(out == Seq(Seq(1L, 3L)))
+  }
+
+  test("strict next() dies on an intervening event") {
+    val p = Pattern(steps(strictSecond = true), 600000, skipPastLast = false)
+    assert(run(p, Seq(ev(1, 0, "A", 1), ev(1, 10, "C", 2), ev(1, 20, "B", 3)))
+      .isEmpty)
+    assert(run(p, Seq(ev(1, 0, "A", 1), ev(1, 10, "B", 2)))
+      == Seq(Seq(1L, 2L)))
+  }
+
+  test("within bound expires old partials") {
+    val p = Pattern(steps(), withinMs = 5000, skipPastLast = false)
+    assert(run(p, Seq(ev(1, 0, "A", 1), ev(1, 60, "B", 2))).isEmpty)
+  }
+
+  test("out-of-order events replay in event-time order") {
+    // B arrives first in arrival order but after A in event time
+    val p = Pattern(steps(), withinMs = 600000, skipPastLast = false)
+    assert(run(p, Seq(ev(1, 20, "B", 2), ev(1, 0, "A", 1)))
+      == Seq(Seq(1L, 2L)))
+  }
+
+  test("keys are independent") {
+    val p = Pattern(steps(), withinMs = 600000, skipPastLast = false)
+    assert(run(p, Seq(ev(1, 0, "A", 1), ev(2, 10, "B", 2))).isEmpty)
+  }
+}
