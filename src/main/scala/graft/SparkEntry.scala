@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.StreamingQueries.all ++
       graft.queries.OperatorQueries.all ++
       graft.queries.CoverageQueries.all ++
-      graft.queries.CepQueries.all
+      graft.queries.CepQueries.all ++
+      graft.queries.StreamingQueries2.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

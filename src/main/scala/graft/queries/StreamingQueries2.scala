@@ -1,0 +1,130 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.streaming.{StreamRunner, StreamingOver, UpsertSink}
+import graft.streaming.StreamingOver.OverEvent
+import org.apache.spark.sql.functions._
+
+/** Second streaming batch: sliding (HOP) windows, the custom
+  * event-time OVER operator, and changelog→table materialization via
+  * the foreachBatch upsert sink (SURVEY.md §2.5 over-agg row, §2.5
+  * group windows, §7 step 7).
+  */
+object StreamingQueries2 {
+
+  private val Wm = "1 hour"
+  private val WmCut = s"(SELECT max(ts) - INTERVAL 1 HOUR FROM events)"
+
+  // ------------------------------------------------------------------
+  // q63 sliding (HOP) window: 1-day windows every 12 hours
+  // ------------------------------------------------------------------
+
+  val q63StreamHop: QueryDef = QueryDef(
+    "q63_stream_hop",
+    (s, dir) => {
+      val ev = StreamRunner.eventsStream(s, dir).withWatermark("ts", Wm)
+      val agg = ev
+        .groupBy(window(col("ts"), "1 day", "12 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("window.start")).as("win_start"),
+          col("event_type"), col("n"))
+      StreamRunner.runToTable(agg, "append")
+        .orderBy(col("win_start"), col("event_type"))
+    },
+    Some(s"""
+      -- every event belongs to exactly size/slide = 2 sliding windows:
+      -- win_start = 12h-aligned floor of ts, minus 0 or 1 slide
+      WITH slides AS (
+        SELECT ts, event_type,
+               CAST(floor(epoch(ts) / 43200) AS BIGINT) * 43200
+                 - 43200 * off AS win_start
+        FROM events, (SELECT unnest([0, 1]) AS off)
+      )
+      SELECT win_start, event_type, COUNT(*) AS n
+      FROM slides
+      WHERE win_start + 86400 <=
+            (SELECT epoch(max(ts) - INTERVAL 1 HOUR) FROM events)
+      GROUP BY 1, 2
+      ORDER BY win_start, event_type
+    """))
+
+  // ------------------------------------------------------------------
+  // q64 streaming event-time OVER: per-user running sum/count of
+  // purchase values (unbounded preceding)
+  // ------------------------------------------------------------------
+
+  val q64StreamOver: QueryDef = QueryDef(
+    "q64_stream_over",
+    (s, dir) => {
+      StreamRunner.requireRocksDb(s)
+      import s.implicits._
+      // Catalyst pushes the filter below EventTimeWatermark, so the
+      // watermark tracks max *purchase* ts — the oracle cuts there too.
+      val ev = StreamRunner.eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .withWatermark("ts", Wm)
+        .select(col("user_id").as("key"),
+          expr("unix_micros(ts) div 1000").as("tsMs"),
+          col("event_id").as("id"), col("value"), col("ts"))
+        .as[OverEvent]
+      val out = StreamingOver(ev, precedingRows = Int.MaxValue).toDF()
+        .select(col("key").as("user_id"), col("id").as("event_id"),
+          col("frameSum").as("running_sum"), col("frameCnt").as("running_cnt"))
+      StreamRunner.runToTable(out, "append")
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some(s"""
+      SELECT user_id, event_id,
+             CAST(SUM(CAST(value AS DECIMAL(12,2)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS running_sum,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS running_cnt
+      FROM events
+      WHERE event_type = 'purchase'
+        AND ts <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events
+                   WHERE event_type = 'purchase')
+      ORDER BY user_id, event_id
+    """))
+
+  // ------------------------------------------------------------------
+  // q65 changelog → materialized table: signup inserts, purchase
+  // upserts, error deletes; snapshot = surviving users + last value
+  // ------------------------------------------------------------------
+
+  val q65UpsertMaterialize: QueryDef = QueryDef(
+    "q65_upsert_materialize",
+    (s, dir) => {
+      val log = java.nio.file.Files
+        .createTempDirectory("graft_upsert_log").toString
+      val changelog = StreamRunner.eventsStream(s, dir)
+        .filter(col("event_type").isin("signup", "purchase", "error"))
+        .select(
+          when(col("event_type") === "signup", "+I")
+            .when(col("event_type") === "purchase", "+U")
+            .otherwise("-D").as("row_kind"),
+          col("user_id"),
+          col("value"),
+          unix_micros(col("ts")).as("ts_us"))
+      UpsertSink.materialize(changelog, log)
+      UpsertSink.snapshot(s, log, keyCols = Seq("user_id"), orderCol = "ts_us")
+        .select(col("user_id"), col("row_kind"), col("value"), col("ts_us"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      SELECT user_id,
+             CASE event_type WHEN 'signup' THEN '+I' WHEN 'purchase' THEN '+U'
+                  ELSE '-D' END AS row_kind,
+             value, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY ts DESC) AS rn
+            FROM events
+            WHERE event_type IN ('signup', 'purchase', 'error'))
+      WHERE rn = 1 AND event_type <> 'error'
+      ORDER BY user_id
+    """))
+
+  val all: Seq[QueryDef] = Seq(q63StreamHop, q64StreamOver, q65UpsertMaterialize)
+}
