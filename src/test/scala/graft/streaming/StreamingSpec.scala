@@ -78,6 +78,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("LateSplit tags ontime/late/dropped against the per-key watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    StreamRunner.requireRocksDb(spark)
+    val in = MemoryStream[(Long, Long, Long)] // (key, tsMs, id)
+    val ev = in.toDF().toDF("key", "tsMs", "id")
+      .as[LateSplit.LsEvent]
+    // delay 60s, allowedLateness 120s
+    val q = LateSplit(ev, delayMs = 60000L, allowedMs = 120000L).toDF()
+      .writeStream.format("memory").queryName("latesplit_spec")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, 600000L, 1L)) // first row: watermark unset → ontime
+      q.processAllAvailable()
+      // wm = 600000 - 60000 = 540000
+      in.addData(
+        (1L, 550000L, 2L), // ≥ wm → ontime
+        (1L, 500000L, 3L), // in [wm-120s, wm) → late (would re-fire)
+        (1L, 300000L, 4L), // < wm-120s → dropped (side output)
+        (2L, 100000L, 5L)) // different key: own watermark → ontime
+      q.processAllAvailable()
+      val rows = spark.table("latesplit_spec").orderBy("id")
+        .collect().map(r => (r.getLong(1), r.getString(3))).toSeq
+      assert(rows == Seq(1L -> "ontime", 2L -> "ontime", 3L -> "late",
+        4L -> "dropped", 5L -> "ontime"))
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps one row per key across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
