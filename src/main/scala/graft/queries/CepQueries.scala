@@ -90,5 +90,44 @@ object CepQueries {
     },
     None)
 
-  val all: Seq[QueryDef] = Seq(q61CepAllMatches, q62CepSkipPastLast)
+  // ------------------------------------------------------------------
+  // q78 SQL MATCH_RECOGNIZE: the Flink SQL surface translated onto the
+  // same NFA processor (graft.MatchRecognizeSql), NO-SKIP 2-step
+  // pattern with the ordered-self-join oracle
+  // ------------------------------------------------------------------
+
+  val q78MatchRecognize: QueryDef = QueryDef(
+    "q78_match_recognize",
+    (s, dir) => {
+      StreamRunner.requireRocksDb(s)
+      graft.MatchRecognizeSql.run(s, dir, """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES A.event_id AS signup_id, B.event_id AS error_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (A B)
+          WITHIN INTERVAL '1' DAY
+          DEFINE A AS A.event_type = 'signup',
+                 B AS B.event_type = 'error'
+        )""")
+        .orderBy(col("user_id"), col("signup_id"), col("error_id"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT user_id, event_type, event_id,
+               CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS ms
+        FROM events
+        WHERE ts <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events))
+      SELECT a.user_id, a.event_id AS signup_id, b.event_id AS error_id
+      FROM e a
+      JOIN e b ON b.user_id = a.user_id AND b.event_type = 'error'
+              AND (b.ms > a.ms OR (b.ms = a.ms AND b.event_id > a.event_id))
+      WHERE a.event_type = 'signup' AND b.ms - a.ms <= 86400000
+      ORDER BY a.user_id, signup_id, error_id
+    """))
+
+  val all: Seq[QueryDef] =
+    Seq(q61CepAllMatches, q62CepSkipPastLast, q78MatchRecognize)
 }

@@ -1,0 +1,114 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Fourth coverage batch: non-equi (theta/band) join over an inline
+  * VALUES relation (§2.4 BatchExecNestedLoopJoin + §2.1 Values),
+  * typed cogroup (§2.4 windowed cogroup / DataSet coGroup), and a
+  * partitioned ORC round-trip (§2.1 filesystem formats + partition
+  * discovery).
+  */
+object CoverageQueries3 {
+
+  // ------------------------------------------------------------------
+  // q75 theta/band join: value-tier lookup via non-equi predicate.
+  // The tiers relation is an inline VALUES local relation; with no
+  // equi-key Catalyst plans BroadcastNestedLoopJoin — the reference's
+  // broadcast NL join for theta joins.
+  // ------------------------------------------------------------------
+
+  val q75ThetaJoin: QueryDef = QueryDef(
+    "q75_theta_join",
+    (s, dir) => {
+      val tiers = s.sql(
+        """SELECT * FROM VALUES ('small', 0.0, 100.0),
+          |  ('medium', 100.0, 300.0), ('large', 300.0, 1000000.0)
+          |  AS tiers(tier, lo, hi)""".stripMargin)
+      Tables.load(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .join(tiers, col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(QueryDef.Money)).cast("double").as("total"))
+        .orderBy(col("tier"))
+    },
+    Some("""
+      SELECT tier, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM events
+      JOIN (VALUES ('small', 0.0, 100.0), ('medium', 100.0, 300.0),
+                   ('large', 300.0, 1000000.0)) AS tiers(tier, lo, hi)
+        ON value >= lo AND value < hi
+      WHERE event_type = 'purchase'
+      GROUP BY tier
+      ORDER BY tier
+    """))
+
+  // ------------------------------------------------------------------
+  // q76 typed cogroup: customer ⋈ orders per key with BOTH groups in
+  // hand (DataSet coGroup / CoGroupedStreams semantics — includes
+  // customers with zero orders, which a plain join would drop)
+  // ------------------------------------------------------------------
+
+  val q76Cogroup: QueryDef = QueryDef(
+    "q76_cogroup",
+    (s, dir) => {
+      import s.implicits._
+      val customers = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as[Long], col("c_name").as[String])
+        .groupByKey(_._1)
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_custkey").as[Long],
+          (col("o_totalprice").cast(QueryDef.Money) * 100)
+            .cast("long").as[Long])
+        .groupByKey(_._1)
+      customers.cogroup(orders) { (k, cs, os) =>
+        cs.map { case (_, name) =>
+          var n = 0L; var cents = 0L
+          os.foreach { case (_, c) => n += 1; cents += c }
+          (k, name, n, cents.toDouble / 100.0)
+        }
+      }.toDF("c_custkey", "c_name", "n_orders", "total_spend")
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+             CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0)
+                  AS DOUBLE) AS total_spend
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_name
+      ORDER BY c_custkey
+    """))
+
+  // ------------------------------------------------------------------
+  // q77 partitioned ORC round-trip: hive-style partitioned write
+  // (partition column re-discovered on read — §2.1 partitioned
+  // filesystem source; partition pruning applies to the read-back)
+  // ------------------------------------------------------------------
+
+  val q77OrcPartitioned: QueryDef = QueryDef(
+    "q77_orc_partitioned",
+    (s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_orc").toString
+      Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"),
+          col("p_size").cast("int").as("p_size"))
+        .write.mode("overwrite").partitionBy("p_brand")
+        .orc(s"$tmp/part_orc")
+      s.read.orc(s"$tmp/part_orc")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(col("p_size")).as("sum_size"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""
+      SELECT p_brand, COUNT(*) AS n,
+             CAST(SUM(CAST(p_size AS INT)) AS BIGINT) AS sum_size
+      FROM part
+      GROUP BY p_brand
+      ORDER BY p_brand
+    """))
+
+  val all: Seq[QueryDef] = Seq(q75ThetaJoin, q76Cogroup, q77OrcPartitioned)
+}

@@ -106,6 +106,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming parquet file sink with checkpoint (exactly-once files)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fsink").toString
+    val in = MemoryStream[(Timestamp, Long)]
+    val q = in.toDF().toDF("ts", "v")
+      .writeStream.format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(1), 1L), (ts(2), 2L))
+      q.processAllAvailable()
+      in.addData((ts(3), 3L))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the _spark_metadata commit log makes the read see exactly the
+    // committed files — the StreamingFileSink exactly-once analog
+    val back = spark.read.parquet(s"$tmp/out")
+    assert(back.count() == 3)
+    assert(back.agg(sum(col("v"))).head().getLong(0) == 6L)
+  }
+
   test("streaming dedup keeps one row per key across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
