@@ -136,5 +136,48 @@ object UdfQueries {
       ORDER BY p_partkey, pos
     """))
 
-  val all: Seq[QueryDef] = Seq(q66UdfScalar, q67Udaf, q68Udtf)
+  // ------------------------------------------------------------------
+  // q79 TableAggregateFunction (emitValue emits N rows per group, e.g.
+  // the reference's Top2 example): flatMapGroups with an O(1) top-2
+  // buffer — constant memory per group, no full-group sort
+  // ------------------------------------------------------------------
+
+  val q79TableAgg: QueryDef = QueryDef(
+    "q79_table_agg",
+    (s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_returnflag").as[String],
+          col("l_orderkey").as[Long], col("l_linenumber").as[Long],
+          col("l_extendedprice").as[Double])
+        .groupByKey(_._1)
+        .flatMapGroups { (flag, rows) =>
+          // price desc, then (orderkey, linenumber) asc — total order
+          val ord = Ordering.by[(String, Long, Long, Double),
+            (Double, Long, Long)](r => (-r._4, r._2, r._3))
+          var best: List[(String, Long, Long, Double)] = Nil
+          rows.foreach { r =>
+            best = (r :: best).sorted(ord).take(2)
+          }
+          best.sorted(ord).zipWithIndex.map { case (r, i) =>
+            (flag, i + 1, r._2, r._3, r._4)
+          }.iterator
+        }
+        .toDF("l_returnflag", "rnk", "l_orderkey", "l_linenumber", "price")
+        .orderBy(col("l_returnflag"), col("rnk"))
+    },
+    Some("""
+      SELECT l_returnflag, CAST(rnk AS INT) AS rnk, l_orderkey,
+             l_linenumber, price
+      FROM (SELECT l_returnflag, l_orderkey, l_linenumber,
+                   l_extendedprice AS price,
+                   ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                     ORDER BY l_extendedprice DESC, l_orderkey,
+                              l_linenumber) AS rnk
+            FROM lineitem)
+      WHERE rnk <= 2
+      ORDER BY l_returnflag, rnk
+    """))
+
+  val all: Seq[QueryDef] = Seq(q66UdfScalar, q67Udaf, q68Udtf, q79TableAgg)
 }
