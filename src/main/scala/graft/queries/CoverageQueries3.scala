@@ -110,5 +110,40 @@ object CoverageQueries3 {
       ORDER BY p_brand
     """))
 
-  val all: Seq[QueryDef] = Seq(q75ThetaJoin, q76Cogroup, q77OrcPartitioned)
+  // ------------------------------------------------------------------
+  // q80 FOR SYSTEM_TIME AS OF in SQL: the Flink temporal-join text
+  // translated onto TemporalJoin.asOf (graft.FlinkSql.temporalSql)
+  // ------------------------------------------------------------------
+
+  val q80FlinkSqlTemporal: QueryDef = QueryDef(
+    "q80_flink_sql_temporal",
+    (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+        .createOrReplaceTempView("clicks")
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"),
+          col("value").as("purchase_value"))
+        .createOrReplaceTempView("purchases")
+      graft.FlinkSql.temporalSql(s,
+        """SELECT c.click_id, c.user_id, p.purchase_id, p.purchase_value
+          |FROM clicks AS c
+          |JOIN purchases FOR SYSTEM_TIME AS OF c.ts AS p
+          |  ON c.user_id = p.user_id""".stripMargin,
+        tieBreak = Some("purchase_id"))
+        .orderBy(col("click_id"))
+    },
+    Some("""
+      SELECT c.event_id AS click_id, c.user_id,
+             p.event_id AS purchase_id, p.value AS purchase_value
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+      ORDER BY click_id
+    """))
+
+  val all: Seq[QueryDef] =
+    Seq(q75ThetaJoin, q76Cogroup, q77OrcPartitioned, q80FlinkSqlTemporal)
 }
