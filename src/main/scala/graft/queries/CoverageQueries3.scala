@@ -144,6 +144,62 @@ object CoverageQueries3 {
       ORDER BY click_id
     """))
 
+  // ------------------------------------------------------------------
+  // q83 dynamic-gap session windows (§2.10 DynamicEventTimeSessionWindows):
+  // per-event gap expression — purchases hold sessions open 30 min,
+  // everything else 10 min. Oracle = exact µs sessionization via
+  // running-max-of-ends (session break when ts >= max prior end;
+  // [start, end) half-open like Spark/Flink).
+  // ------------------------------------------------------------------
+
+  val q83DynamicSession: QueryDef = QueryDef(
+    "q83_dynamic_session",
+    (s, dir) => {
+      // make_interval → CalendarIntervalType (ANSI INTERVAL literals are
+      // DayTimeIntervalType, which session_window rejects)
+      val gap = when(col("event_type") === "purchase",
+        expr("make_interval(0, 0, 0, 0, 0, 30, 0)"))
+        .otherwise(expr("make_interval(0, 0, 0, 0, 0, 10, 0)"))
+      val agg = graft.streaming.StreamRunner.eventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), gap), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("sess_start"),
+          unix_micros(col("session_window.end")).as("sess_end"), col("n"))
+      graft.streaming.StreamRunner.runToTable(agg, "append")
+        .orderBy(col("user_id"), col("sess_start"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               epoch_us(ts) + CASE WHEN event_type = 'purchase'
+                 THEN 1800000000 ELSE 600000000 END AS ends
+        FROM events),
+      m AS (
+        SELECT user_id, us, ends,
+               MAX(ends) OVER (PARTITION BY user_id ORDER BY us
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_max
+        FROM e),
+      s AS (
+        SELECT user_id, us, ends,
+               SUM(CASE WHEN prev_max IS NULL OR us >= prev_max
+                   THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY us
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS sid
+        FROM m)
+      SELECT user_id, MIN(us) AS sess_start, MAX(ends) AS sess_end,
+             COUNT(*) AS n
+      FROM s
+      GROUP BY user_id, sid
+      HAVING MAX(ends) <=
+        (SELECT (epoch_us(max(ts)) // 1000 - 3600000) * 1000 FROM events)
+      ORDER BY user_id, sess_start
+    """))
+
   val all: Seq[QueryDef] =
-    Seq(q75ThetaJoin, q76Cogroup, q77OrcPartitioned, q80FlinkSqlTemporal)
+    Seq(q75ThetaJoin, q76Cogroup, q77OrcPartitioned, q80FlinkSqlTemporal,
+      q83DynamicSession)
 }

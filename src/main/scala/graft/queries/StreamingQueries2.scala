@@ -126,5 +126,94 @@ object StreamingQueries2 {
       ORDER BY user_id
     """))
 
-  val all: Seq[QueryDef] = Seq(q63StreamHop, q64StreamOver, q65UpsertMaterialize)
+  // ------------------------------------------------------------------
+  // q81 streaming event-time OVER with a TIME-RANGE frame: per-user
+  // trailing-6-hour purchase sum/count (peers at equal ms share frames)
+  // ------------------------------------------------------------------
+
+  val q81StreamOverRange: QueryDef = QueryDef(
+    "q81_stream_over_range",
+    (s, dir) => {
+      StreamRunner.requireRocksDb(s)
+      import s.implicits._
+      val ev = StreamRunner.eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .withWatermark("ts", Wm)
+        .select(col("user_id").as("key"),
+          expr("unix_micros(ts) div 1000").as("tsMs"),
+          col("event_id").as("id"), col("value"), col("ts"))
+        .as[OverEvent]
+      val out = graft.streaming.StreamingOverRange(ev, rangeMs = 6L * 3600 * 1000)
+        .toDF()
+        .select(col("key").as("user_id"), col("id").as("event_id"),
+          col("frameSum").as("range_sum"), col("frameCnt").as("range_cnt"))
+      StreamRunner.runToTable(out, "append")
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT user_id, event_id, value,
+               CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS ms
+        FROM events
+        WHERE event_type = 'purchase'
+          AND ts <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events
+                     WHERE event_type = 'purchase'))
+      SELECT user_id, event_id,
+             CAST(SUM(CAST(value AS DECIMAL(12,2)))
+                  OVER (PARTITION BY user_id ORDER BY ms
+                        RANGE BETWEEN 21600000 PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS range_sum,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY ms
+                            RANGE BETWEEN 21600000 PRECEDING AND CURRENT ROW)
+               AS range_cnt
+      FROM p
+      ORDER BY user_id, event_id
+    """))
+
+  // ------------------------------------------------------------------
+  // q82 unbounded twin-state stream-stream join: every signup paired
+  // with every purchase of the same user, per-record emission, no
+  // watermark bound on state (Flink regular-join semantics)
+  // ------------------------------------------------------------------
+
+  val q82TwinStateJoin: QueryDef = QueryDef(
+    "q82_twin_state_join",
+    (s, dir) => {
+      StreamRunner.requireRocksDb(s)
+      import s.implicits._
+      import graft.streaming.TwinStateJoin.TsjEvent
+      val ev = StreamRunner.eventsStream(s, dir)
+        .filter(col("event_type").isin("signup", "purchase"))
+        .withWatermark("ts", Wm)
+        .select(col("user_id").as("key"),
+          when(col("event_type") === "signup", 0).otherwise(1).as("side"),
+          expr("unix_micros(ts) div 1000").as("tsMs"),
+          col("event_id").as("id"), col("value"))
+        .as[TsjEvent]
+      val out = graft.streaming.TwinStateJoin(ev).toDF()
+        .select(col("key").as("user_id"),
+          col("leftId").as("signup_id"), col("rightId").as("purchase_id"),
+          col("rightValue").cast(QueryDef.Money).cast("double")
+            .as("purchase_value"))
+      StreamRunner.runToTable(out, "append")
+        .orderBy(col("user_id"), col("signup_id"), col("purchase_id"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_type, event_id, value
+        FROM events
+        WHERE event_type IN ('signup', 'purchase')
+          AND ts <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events
+                     WHERE event_type IN ('signup', 'purchase')))
+      SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id,
+             CAST(CAST(p.value AS DECIMAL(12,2)) AS DOUBLE) AS purchase_value
+      FROM e s
+      JOIN e p ON p.user_id = s.user_id AND p.event_type = 'purchase'
+      WHERE s.event_type = 'signup'
+      ORDER BY s.user_id, signup_id, purchase_id
+    """))
+
+  val all: Seq[QueryDef] = Seq(
+    q63StreamHop, q64StreamOver, q65UpsertMaterialize, q81StreamOverRange,
+    q82TwinStateJoin)
 }
