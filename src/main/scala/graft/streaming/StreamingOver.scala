@@ -49,10 +49,17 @@ object StreamingOver {
 
     override def handleInputRows(key: Long, rows: Iterator[OverEvent],
         timerValues: TimerValues): Iterator[OverRow] = {
+      // ONE timer per batch at the min incoming event time (not one
+      // per row): each fire drains every watermark-passed row, so
+      // per-row timers would re-read the whole buffer once per distinct
+      // timestamp - quadratic. The fire handler re-arms at the min
+      // PENDING ts, so no buffered row is ever stranded.
+      var minTs = Long.MaxValue
       rows.foreach { e =>
         buffer.appendValue(e)
-        getHandle.registerTimer(e.tsMs)
+        if (e.tsMs < minTs) minTs = e.tsMs
       }
+      if (minTs != Long.MaxValue) getHandle.registerTimer(minTs)
       Iterator.empty
     }
 
@@ -63,7 +70,10 @@ object StreamingOver {
       val (ready, pending) = all.partition(_.tsMs <= wm)
       if (ready.isEmpty) return Iterator.empty
       buffer.clear()
-      if (pending.nonEmpty) buffer.appendList(pending)
+      if (pending.nonEmpty) {
+        buffer.appendList(pending)
+        getHandle.registerTimer(pending.map(_.tsMs).min)
+      }
 
       var st = Option(frame.get())
         .getOrElse(FrameState(Array.emptyLongArray, 0L, 0L))

@@ -48,10 +48,17 @@ object TwinStateJoin {
 
     override def handleInputRows(key: Long, rows: Iterator[TsjEvent],
         timerValues: TimerValues): Iterator[TsjPair] = {
+      // ONE timer per batch at the min incoming event time (not one
+      // per row): each fire drains every watermark-passed row, so
+      // per-row timers would re-read the whole buffer once per distinct
+      // timestamp - quadratic. The fire handler re-arms at the min
+      // PENDING ts, so no buffered row is ever stranded.
+      var minTs = Long.MaxValue
       rows.foreach { e =>
         buffer.appendValue(e)
-        getHandle.registerTimer(e.tsMs)
+        if (e.tsMs < minTs) minTs = e.tsMs
       }
+      if (minTs != Long.MaxValue) getHandle.registerTimer(minTs)
       Iterator.empty
     }
 
@@ -62,7 +69,10 @@ object TwinStateJoin {
       val (ready, pending) = all.partition(_.tsMs <= wm)
       if (ready.isEmpty) return Iterator.empty
       buffer.clear()
-      if (pending.nonEmpty) buffer.appendList(pending)
+      if (pending.nonEmpty) {
+        buffer.appendList(pending)
+        getHandle.registerTimer(pending.map(_.tsMs).min)
+      }
 
       val left = scala.collection.mutable.ArrayBuffer(leftRows.get().toSeq: _*)
       val right = scala.collection.mutable.ArrayBuffer(rightRows.get().toSeq: _*)
