@@ -231,4 +231,52 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("blk"), col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  // ------------------------------------------------------------------
+  // Connected components over duplicate pairs
+  // ------------------------------------------------------------------
+
+  /** Components of the duplicate-pair graph (SURVEY.md §7 step 9:
+    * "MinHashLSH + connected components via iterative joins"): each
+    * vertex gets the MIN vertex id of its component — the canonical
+    * "keep one doc per near-dup cluster" step after [[minhashDedup]].
+    *
+    * Pregel-style min-label propagation as a driver-side loop of
+    * join + min-aggregate rounds (the documented batch-iteration shape,
+    * SURVEY §2.10): every round each vertex takes the min of its own
+    * and its neighbors' labels; converges in O(component diameter)
+    * rounds. Near-dup components are small and dense, so diameters stay
+    * tiny at any scale; every round is one keyed shuffle, and
+    * `localCheckpoint` truncates the growing lineage. Fails loudly if
+    * `maxIter` rounds don't converge rather than returning wrong labels.
+    */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("component", col("v"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaNeighbor = edges
+        .join(labels, edges("dst") === labels("v"))
+        .select(edges("src").as("v"), col("component"))
+      val next = labels.select(col("v"), col("component")).union(viaNeighbor)
+        .groupBy("v").agg(min("component").as("component"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("o"), "v")
+        .filter(col("n.component") =!= col("o.component"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged, s"connectedComponents: no fixpoint in $maxIter rounds")
+    labels.select(col("v"), col("component"))
+  }
 }

@@ -52,23 +52,20 @@ object PipelineQueries {
   // q31 minhash + LSH near-dup pairs
   // ------------------------------------------------------------------
 
-  val q31MinhashDedup: QueryDef = QueryDef(
-    "q31_minhash_dedup",
-    (s, dir) =>
-      Dedup.minhashDedup(Tables.load(s, dir, "documents"), "doc_id", "text",
-          NumHashes, Bands, ShingleN, threshold = 0.8)
-        .orderBy(col("doc_a"), col("doc_b")), {
-      val params = TextOps.hashParams(NumHashes)
-      val minExprs = params.zipWithIndex.map { case ((a, b), i) =>
-        s"min(${TextOps.universalHashSql("h", a, b)}) AS mh$i"
-      }.mkString(",\n             ")
-      val rows = NumHashes / Bands
-      val bandSelects = (0 until Bands).map { bnd =>
-        val cols = (0 until rows).map(r => s"mh${bnd * rows + r}").mkString(", ")
-        s"SELECT doc_id, concat_ws('_', $bnd, $cols) AS bk FROM sig"
-      }.mkString("\n        UNION ALL ")
-      Some(s"""
-      WITH $shingleCtes,
+  /** CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — the full
+    * minhash→LSH→verify pipeline, shared by q31 and q84.
+    */
+  private val minhashPairCtes: String = {
+    val params = TextOps.hashParams(NumHashes)
+    val minExprs = params.zipWithIndex.map { case ((a, b), i) =>
+      s"min(${TextOps.universalHashSql("h", a, b)}) AS mh$i"
+    }.mkString(",\n             ")
+    val rows = NumHashes / Bands
+    val bandSelects = (0 until Bands).map { bnd =>
+      val cols = (0 until rows).map(r => s"mh${bnd * rows + r}").mkString(", ")
+      s"SELECT doc_id, concat_ws('_', $bnd, $cols) AS bk FROM sig"
+    }.mkString("\n        UNION ALL ")
+    s"""$shingleCtes,
       sig AS (SELECT doc_id, $minExprs FROM hs GROUP BY doc_id),
       bands AS ($bandSelects),
       capped AS (SELECT doc_id, bk FROM (
@@ -82,16 +79,26 @@ object PipelineQueries {
                 FROM cands c
                 JOIN hd hx ON hx.doc_id = c.doc_a
                 JOIN hd hy ON hy.doc_id = c.doc_b AND hy.h = hx.h
-                GROUP BY 1, 2)
-      SELECT i.doc_a, i.doc_b,
-             round(i.i * 1.0 / (ca.n + cb.n - i.i), 6) AS jaccard
-      FROM inter i
-      JOIN cnts ca ON ca.doc_id = i.doc_a
-      JOIN cnts cb ON cb.doc_id = i.doc_b
-      WHERE round(i.i * 1.0 / (ca.n + cb.n - i.i), 6) >= 0.8
+                GROUP BY 1, 2),
+      pairs AS (SELECT i.doc_a, i.doc_b,
+                       round(i.i * 1.0 / (ca.n + cb.n - i.i), 6) AS jaccard
+                FROM inter i
+                JOIN cnts ca ON ca.doc_id = i.doc_a
+                JOIN cnts cb ON cb.doc_id = i.doc_b
+                WHERE round(i.i * 1.0 / (ca.n + cb.n - i.i), 6) >= 0.8)"""
+  }
+
+  val q31MinhashDedup: QueryDef = QueryDef(
+    "q31_minhash_dedup",
+    (s, dir) =>
+      Dedup.minhashDedup(Tables.load(s, dir, "documents"), "doc_id", "text",
+          NumHashes, Bands, ShingleN, threshold = 0.8)
+        .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""
+      WITH $minhashPairCtes
+      SELECT doc_a, doc_b, jaccard FROM pairs
       ORDER BY doc_a, doc_b
-    """)
-    })
+    """))
 
   // ------------------------------------------------------------------
   // q32 simhash fingerprints
@@ -295,8 +302,38 @@ object PipelineQueries {
     """)
     })
 
+  // ------------------------------------------------------------------
+  // q84 near-dup clusters: minhash pairs → connected components
+  // (keep-one-per-cluster canonical labels)
+  // ------------------------------------------------------------------
+
+  val q84MinhashClusters: QueryDef = QueryDef(
+    "q84_minhash_clusters",
+    (s, dir) => {
+      val pairs = Dedup.minhashDedup(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        NumHashes, Bands, ShingleN, threshold = 0.8)
+      Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .select(col("v").as("doc_id"), col("component"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE $minhashPairCtes,
+      e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+      walk(v, lbl) AS (
+        SELECT DISTINCT src, src FROM e
+        UNION
+        SELECT e.dst, w.lbl FROM e JOIN walk w ON e.src = w.v
+      )
+      SELECT v AS doc_id, MIN(lbl) AS component
+      FROM walk
+      GROUP BY v
+      ORDER BY doc_id
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
-    q38CurationRollup)
+    q38CurationRollup, q84MinhashClusters)
 }
