@@ -15,8 +15,13 @@ object Tables {
   val extras: Seq[String] = Seq("events", "documents", "embeddings")
   val all: Seq[String] = relational ++ extras
 
-  /** Raw parquet read — single narrow scan, no driver-side work. */
+  /** Raw parquet read — single narrow scan, no driver-side work.
+    * Also the engine's per-session bootstrap chokepoint: native function
+    * registration (vec_dot) happens here, so any session that reads a
+    * table can resolve the engine's expressions.
+    */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    graft.functions.VectorExpressions.ensureRegistered(spark)
     if (name == "events") {
       // events.ts is TIMESTAMP(NANOS); Spark only reads it via the
       // legacy long passthrough — set it lazily so driver-created

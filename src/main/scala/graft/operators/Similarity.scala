@@ -6,10 +6,11 @@ import org.apache.spark.sql.functions._
 
 /** Embedding similarity-search operators over an `Array[Float]` column:
   * brute-force cosine top-k (the correctness baseline) and an IVF-style
-  * bucketed variant (the scale path). Everything is expressed with
-  * `zip_with`/`aggregate` higher-order functions — codegen-friendly, no
-  * UDFs — and all math is promoted to double with left-to-right
-  * accumulation so results are reproducible.
+  * bucketed variant (the scale path). Dot products run through the
+  * native codegen expression `vec_dot` ([[graft.functions.DotProduct]])
+  * — no UDFs, no per-element lambda plumbing — and all math is promoted
+  * to double with left-to-right accumulation so results are
+  * reproducible.
   *
   * 100 TB posture:
   *  - the query set / centroid set is small by construction → broadcast;
@@ -24,13 +25,17 @@ object Similarity {
 
   private def asD(c: Column): Column = c.cast("array<double>")
 
-  /** Left-to-right dot product of two double-array columns. */
+  /** Left-to-right dot product of two double-array columns — the native
+    * codegen expression [[graft.functions.DotProduct]] (registered per
+    * session by [[graft.Tables.load]]); bit-identical to the
+    * `aggregate(zip_with(…))` fold it replaced, ~array-traversal cost
+    * instead of per-element lambda evaluation.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
+    call_function("vec_dot", asD(a), asD(b))
 
   /** L2 norm of a double-array column (left-to-right accumulation). */
-  def l2norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), _ + _))
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity of two float-array columns, computed in double.
     *
