@@ -73,15 +73,22 @@ case class DotProduct(left: Expression, right: Expression)
 object VectorExpressions {
   private val DotName = FunctionIdentifier("vec_dot")
 
+  private[graft] val dotBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 2, "vec_dot takes 2 arguments")
+    DotProduct(exprs.head, exprs(1))
+  }
+
+  /** FunctionDescription for SparkSessionExtensions#injectFunction. */
+  private[graft] val dotDescription = (
+    DotName,
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[DotProduct].getName, "vec_dot"),
+    dotBuilder)
+
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(DotName)) {
-      reg.createOrReplaceTempFunction("vec_dot",
-        (exprs: Seq[Expression]) => {
-          require(exprs.length == 2, "vec_dot takes 2 arguments")
-          DotProduct(exprs.head, exprs(1))
-        },
-        "built-in")
+      reg.createOrReplaceTempFunction("vec_dot", dotBuilder, "built-in")
     }
   }
 }
