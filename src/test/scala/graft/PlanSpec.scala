@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the scale-critical properties of key query
+  * plans (pushdown reaching scans, dims broadcast, bounded shuffle
+  * counts, native expressions staying in codegen) guarded against
+  * regressions. String-level checks on the executed plan — coarse, but
+  * they pin exactly the properties README's scale section claims.
+  */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q1: filter and projection push into the parquet scan") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "shipdate filter must reach the scan")
+    assert(!p.contains("l_comment"), "unused columns must be pruned")
+  }
+
+  test("q2: star-join dims broadcast, fact side never shuffles for the join") {
+    val p = plan("q2_star_join")
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert(!p.contains("SortMergeJoin"), "no sort-merge on the star join")
+  }
+
+  test("q75: theta join plans broadcast nested-loop") {
+    assert(plan("q75_theta_join").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q45: as-of join is a single keyed shuffle + window pass") {
+    val p = plan("q45_asof_join")
+    assert(p.contains("Window"), "windowed-union implementation expected")
+    // exchanges: one to partition by key for the window, one for the
+    // final orderBy — NO join-shaped exchange pair, no cartesian
+    val exchanges = "(?m)^\\s*\\+?-?\\s*Exchange".r.findAllIn(p).size
+    assert(exchanges <= 3, s"as-of join grew extra shuffles:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      "as-of must not plan a quadratic join")
+  }
+
+  test("q34: vec_dot native expression appears in the plan (no lambda)") {
+    val p = plan("q34_similarity_topk")
+    assert(p.contains("vec_dot"), "native dot product expected")
+    assert(!p.toLowerCase.contains("lambdafunction"),
+      "higher-order-function lambdas should be gone from the hot path")
+  }
+}
