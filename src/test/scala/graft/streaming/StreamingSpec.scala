@@ -159,6 +159,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(back.agg(sum(col("v"))).head().getLong(0) == 6L)
   }
 
+  test("RefiringWindow: +I on close, +U re-fire on late rows, L beyond lateness") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    StreamRunner.requireRocksDb(spark)
+    val in = MemoryStream[(Long, Long, Long, Double)] // key, tsMs, id, value
+    val ev = in.toDF().toDF("key", "tsMs", "id", "value")
+      .withColumn("ts", timestamp_millis(col("tsMs")))
+      .withWatermark("ts", "0 seconds")
+      .select(col("key"), col("tsMs"), col("id"), col("value"))
+      .as[RefiringWindow.RwEvent]
+    // 10-minute windows, 10 minutes allowed lateness
+    val q = RefiringWindow(ev, winMs = 600000L, allowedMs = 600000L).toDF()
+      .writeStream.format("memory").queryName("refire_spec")
+      .outputMode("append").start()
+    def ms(minute: Int): Long = minute * 60000L
+    def rows() = spark.table("refire_spec")
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    try {
+      in.addData((1L, ms(1), 1L, 1.0), (1L, ms(5), 2L, 2.0))
+      q.processAllAvailable()
+      assert(rows().isEmpty) // window [0,10) still open
+      in.addData((1L, ms(12), 3L, 4.0))
+      q.processAllAvailable()
+      // wm=12min → [0,10) fires +I with 2 rows
+      assert(rows().contains((0L, "+I", 2L, 3.0)))
+      in.addData((1L, ms(3), 4L, 8.0)) // late, within 10min allowance
+      q.processAllAvailable()
+      assert(rows().contains((0L, "+U", 3L, 11.0))) // re-fired, updated
+      in.addData((1L, ms(31), 5L, 0.5)) // wm → 31min: [0,10) past GC
+      q.processAllAvailable()
+      in.addData((1L, ms(2), 6L, 16.0)) // beyond allowed lateness
+      q.processAllAvailable()
+      assert(rows().contains((0L, "L", 1L, 16.0))) // side output, not lost
+      assert(!rows().exists(r => r._2 == "+U" && r._3 == 4L),
+        "no re-fire after GC")
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps one row per key across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
