@@ -72,6 +72,10 @@ object FlinkSql {
     * table's version-time column is schema metadata in the reference
     * (its rowtime attribute, declared via `WATERMARK FOR` DDL) — pass
     * it in `rightRowtime` (defaults to the left ts column's name).
+    * If the versioned table can hold several versions at ONE (key,
+    * version-time), pass `tieBreak` (a right column totally ordering
+    * them, e.g. an id) — the default tie-break is the version time
+    * itself, which cannot distinguish such rows.
     * Plain `JOIN` keeps only matched rows; `LEFT JOIN` keeps unmatched
     * left rows with null version payload. Right payload columns surface
     * as `b.col` in the SELECT text (internally prefixed to dodge name

@@ -11,8 +11,11 @@ import org.apache.spark.sql.functions._
   * [[graft.streaming.Cep]] NFA processor, which runs it as a real
   * streaming job with event-time replay.
   *
-  * Supported grammar (the same subset the Cep DSL implements — single
-  * variables, no quantifiers):
+  * Pattern concatenation follows the SQL standard / Flink semantics:
+  * STRICT row-adjacency per key (`PATTERN (A B)` requires B to be the
+  * key's immediately-next row after A — flink-cep `next()`); the Cep
+  * DSL's relaxed `followedBy` contiguity is reachable through the DSL
+  * directly. Supported grammar (single variables, no quantifiers):
   *
   * {{{
   * SELECT * FROM <events-table> MATCH_RECOGNIZE (
@@ -111,10 +114,13 @@ object MatchRecognizeSql {
       s"DEFINE predicates must test one tag column, got $tagCols")
     val tagCol = tagCols.head
 
+    // MATCH_RECOGNIZE pattern concatenation is STRICT row-adjacency
+    // (Flink `next()`): an intervening non-matching row kills the
+    // partial. The relaxed followedBy semantics belong to the Cep DSL.
     val steps = spec.patternVars.map { v =>
       val (_, lit) = spec.defines.getOrElse(v,
         throw new IllegalArgumentException(s"pattern var $v not DEFINEd"))
-      Step(v, _.tag == lit)
+      Step(v, _.tag == lit, strict = true)
     }
     val ev = StreamRunner.eventsStream(spark, dir)
       .withWatermark(spec.orderBy, watermarkDelay)

@@ -260,6 +260,12 @@ object Dedup {
     var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("component", col("v"))
       .localCheckpoint()
+    // labels only ever DECREASE, so sum(component) strictly decreases
+    // until the fixpoint — one cheap aggregate per round detects
+    // convergence without a second join over both label sets
+    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum("component")).head().getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -269,10 +275,9 @@ object Dedup {
       val next = labels.select(col("v"), col("component")).union(viaNeighbor)
         .groupBy("v").agg(min("component").as("component"))
         .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("o"), "v")
-        .filter(col("n.component") =!= col("o.component"))
-        .isEmpty
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
       labels = next
       iter += 1
     }

@@ -92,8 +92,8 @@ object CepQueries {
 
   // ------------------------------------------------------------------
   // q78 SQL MATCH_RECOGNIZE: the Flink SQL surface translated onto the
-  // same NFA processor (graft.MatchRecognizeSql), NO-SKIP 2-step
-  // pattern with the ordered-self-join oracle
+  // same NFA with STRICT row-adjacency (SQL-standard pattern
+  // concatenation) — oracle = per-key LEAD adjacency
   // ------------------------------------------------------------------
 
   val q78MatchRecognize: QueryDef = QueryDef(
@@ -119,13 +119,19 @@ object CepQueries {
         SELECT user_id, event_type, event_id,
                CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS ms
         FROM events
-        WHERE ts <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events))
-      SELECT a.user_id, a.event_id AS signup_id, b.event_id AS error_id
-      FROM e a
-      JOIN e b ON b.user_id = a.user_id AND b.event_type = 'error'
-              AND (b.ms > a.ms OR (b.ms = a.ms AND b.event_id > a.event_id))
-      WHERE a.event_type = 'signup' AND b.ms - a.ms <= 86400000
-      ORDER BY a.user_id, signup_id, error_id
+        WHERE ts <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)),
+      nxt AS (
+        SELECT user_id, event_type, event_id, ms,
+               LEAD(event_type) OVER w AS n_type,
+               LEAD(event_id) OVER w AS n_id,
+               LEAD(ms) OVER w AS n_ms
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id))
+      SELECT user_id, event_id AS signup_id, n_id AS error_id
+      FROM nxt
+      WHERE event_type = 'signup' AND n_type = 'error'
+        AND n_ms - ms <= 86400000
+      ORDER BY user_id, signup_id, error_id
     """))
 
   val all: Seq[QueryDef] =

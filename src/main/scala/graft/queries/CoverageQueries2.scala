@@ -40,9 +40,11 @@ object CoverageQueries2 {
     },
     Some("""
       WITH p AS (
+        -- ms-precision ordering matches the processor's (tsMs, id) replay
         SELECT user_id, value,
                ROW_NUMBER() OVER (PARTITION BY user_id
-                                  ORDER BY ts, event_id) - 1 AS rn
+                                  ORDER BY epoch_us(ts) // 1000, event_id)
+                 - 1 AS rn
         FROM events
         WHERE event_type = 'purchase'
           AND ts <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events

@@ -74,12 +74,17 @@ object StreamingQueries2 {
         .orderBy(col("user_id"), col("event_id"))
     },
     Some(s"""
+      -- order at ms precision + event_id, matching the processor's
+      -- (tsMs, id) replay order (sub-ms ts collisions would otherwise
+      -- diverge at larger scale factors)
       SELECT user_id, event_id,
              CAST(SUM(CAST(value AS DECIMAL(12,2)))
-                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  OVER (PARTITION BY user_id
+                        ORDER BY epoch_us(ts) // 1000, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   AS DOUBLE) AS running_sum,
-             COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             COUNT(*) OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) // 1000, event_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS running_cnt
       FROM events

@@ -36,7 +36,9 @@ object LateSplit {
 
     override def handleInputRows(key: Long, rows: Iterator[LsEvent],
         timerValues: TimerValues): Iterator[LsOut] = {
-      var seen = Option(maxTs.get())
+      // exists() guard: get() on an absent primitive-Long state returns
+      // null, which unboxes to 0 — Option(get()) can never be None
+      var seen = if (maxTs.exists()) Some(maxTs.get()) else None
       val out = rows.map { e =>
         val cls = seen match {
           case Some(m) if e.tsMs < m - delayMs - allowedMs => "dropped"

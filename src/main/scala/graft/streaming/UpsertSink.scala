@@ -28,7 +28,11 @@ object UpsertSink {
   def materialize(changelog: DataFrame, path: String): Unit = {
     val q = changelog.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // __seq disambiguates same-key rows that tie on the order column
+        // WITHIN a batch (e.g. +U then -D at one timestamp): partition-
+        // local arrival order, so the keep-last winner is deterministic
         batch.withColumn("__batch", lit(batchId))
+          .withColumn("__seq", monotonically_increasing_id())
           .write.mode("append").parquet(path)
       }
       .outputMode("append")
@@ -44,11 +48,11 @@ object UpsertSink {
       spark: SparkSession, path: String,
       keyCols: Seq[String], orderCol: String): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(orderCol).desc, col("__batch").desc)
+      .orderBy(col(orderCol).desc, col("__batch").desc, col("__seq").desc)
     spark.read.parquet(path)
       .filter(col("row_kind") =!= "-U")
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col("row_kind") =!= "-D")
-      .drop("__rn", "__batch")
+      .drop("__rn", "__batch", "__seq")
   }
 }
