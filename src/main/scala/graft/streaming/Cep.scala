@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{OutputMode, TimeMode, ValueState}
 
 /** CEP subset (SURVEY.md §2.10 CEP row, §7 step 10): sequence patterns
   * over a keyed event-time stream, compiled to a `transformWithState`
@@ -48,47 +48,21 @@ object Cep {
   case class Partial(stepIdx: Int, firstTs: Long, ids: Array[Long])
 
   class CepProcessor(pattern: Pattern)
-      extends StatefulProcessor[Long, CepEvent, CepMatch] {
+      extends WatermarkReplayProcessor[CepEvent, CepMatch] {
 
-    @transient private var buffer: ListState[CepEvent] = _
     @transient private var partials: ValueState[Array[Partial]] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      buffer = getHandle.getListState[CepEvent]("buf",
-        Encoders.product[CepEvent],
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override protected def initState(): Unit =
       partials = getHandle.getValueState[Array[Partial]]("partials",
         Encoders.kryo[Array[Partial]],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
-    }
 
-    override def handleInputRows(key: Long, rows: Iterator[CepEvent],
-        timerValues: TimerValues): Iterator[CepMatch] = {
-      // ONE timer per batch at the min incoming event time (not one
-      // per row): each fire drains every watermark-passed row, so
-      // per-row timers would re-read the whole buffer once per distinct
-      // timestamp - quadratic. The fire handler re-arms at the min
-      // PENDING ts, so no buffered row is ever stranded.
-      var minTs = Long.MaxValue
-      rows.foreach { e =>
-        buffer.appendValue(e)
-        if (e.tsMs < minTs) minTs = e.tsMs
-      }
-      if (minTs != Long.MaxValue) getHandle.registerTimer(minTs)
-      Iterator.empty
-    }
+    override protected def tsOf(e: CepEvent): Long = e.tsMs
+    override protected def inputEncoder: org.apache.spark.sql.Encoder[CepEvent] =
+      Encoders.product[CepEvent]
 
-    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
-        expiredTimerInfo: ExpiredTimerInfo): Iterator[CepMatch] = {
-      val wm = timerValues.getCurrentWatermarkInMs
-      val all = buffer.get().toArray
-      val (ready, pending) = all.partition(_.tsMs <= wm)
-      if (ready.isEmpty) return Iterator.empty
-      buffer.clear()
-      if (pending.nonEmpty) {
-        buffer.appendList(pending)
-        getHandle.registerTimer(pending.map(_.tsMs).min)
-      }
+    override protected def replay(key: Long, ready: Seq[CepEvent],
+        wm: Long): Iterator[CepMatch] = {
 
       var open = Option(partials.get()).getOrElse(Array.empty[Partial]).toList
       val out = List.newBuilder[CepMatch]

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{OutputMode, TimeMode, ValueState}
 
 /** Per-key COUNT windows (reference: `DataStream#countWindow` →
   * `DS/api/windowing/assigners/GlobalWindows` + `CountTrigger` +
@@ -29,47 +29,21 @@ object CountWindow {
   case class CwAcc(seq: Long, cnt: Long, sumCents: Long)
 
   class CountWindowProcessor(n: Int)
-      extends StatefulProcessor[Long, CwEvent, CwOut] {
+      extends WatermarkReplayProcessor[CwEvent, CwOut] {
 
-    @transient private var buffer: ListState[CwEvent] = _
     @transient private var acc: ValueState[CwAcc] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      buffer = getHandle.getListState[CwEvent]("buf",
-        Encoders.product[CwEvent],
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override protected def initState(): Unit =
       acc = getHandle.getValueState[CwAcc]("acc",
         Encoders.product[CwAcc],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
-    }
 
-    override def handleInputRows(key: Long, rows: Iterator[CwEvent],
-        timerValues: TimerValues): Iterator[CwOut] = {
-      // ONE timer per batch at the min incoming event time (not one
-      // per row): each fire drains every watermark-passed row, so
-      // per-row timers would re-read the whole buffer once per distinct
-      // timestamp - quadratic. The fire handler re-arms at the min
-      // PENDING ts, so no buffered row is ever stranded.
-      var minTs = Long.MaxValue
-      rows.foreach { e =>
-        buffer.appendValue(e)
-        if (e.tsMs < minTs) minTs = e.tsMs
-      }
-      if (minTs != Long.MaxValue) getHandle.registerTimer(minTs)
-      Iterator.empty
-    }
+    override protected def tsOf(e: CwEvent): Long = e.tsMs
+    override protected def inputEncoder: org.apache.spark.sql.Encoder[CwEvent] =
+      Encoders.product[CwEvent]
 
-    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
-        expiredTimerInfo: ExpiredTimerInfo): Iterator[CwOut] = {
-      val wm = timerValues.getCurrentWatermarkInMs
-      val all = buffer.get().toArray
-      val (ready, pending) = all.partition(_.tsMs <= wm)
-      if (ready.isEmpty) return Iterator.empty
-      buffer.clear()
-      if (pending.nonEmpty) {
-        buffer.appendList(pending)
-        getHandle.registerTimer(pending.map(_.tsMs).min)
-      }
+    override protected def replay(key: Long, ready: Seq[CwEvent],
+        wm: Long): Iterator[CwOut] = {
 
       var st = Option(acc.get()).getOrElse(CwAcc(0L, 0L, 0L))
       val out = Seq.newBuilder[CwOut]

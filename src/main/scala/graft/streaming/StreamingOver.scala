@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{OutputMode, TimeMode, ValueState}
 
 /** Streaming event-time OVER aggregation (reference:
   * StreamExecOverAggregate + RT/over/RowTimeRowsBoundedPrecedingFunction,
@@ -9,8 +9,8 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, 
   * aggregates in event-time order, `ROWS BETWEEN n PRECEDING AND
   * CURRENT ROW` (n = Int.MaxValue ⇒ unbounded preceding).
   *
-  * Same watermark-ordered replay as [[Cep]]: rows buffer in ListState
-  * with an event-time timer per row; when the watermark passes, rows
+  * Watermark-ordered replay ([[WatermarkReplayProcessor]]): when the
+  * watermark passes buffered rows, they
   * replay in (ts, id) order through the frame state, and each input row
   * emits exactly one output row carrying its frame aggregates — Flink's
   * per-record OVER emission. Buffered state is bounded by the
@@ -33,48 +33,21 @@ object StreamingOver {
   case class FrameState(trailing: Array[Long], sumCents: Long, cnt: Long)
 
   class OverProcessor(precedingRows: Int)
-      extends StatefulProcessor[Long, OverEvent, OverRow] {
+      extends WatermarkReplayProcessor[OverEvent, OverRow] {
 
-    @transient private var buffer: ListState[OverEvent] = _
     @transient private var frame: ValueState[FrameState] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      buffer = getHandle.getListState[OverEvent]("buf",
-        Encoders.product[OverEvent],
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override protected def tsOf(e: OverEvent): Long = e.tsMs
+    override protected def inputEncoder: Encoder[OverEvent] =
+      Encoders.product[OverEvent]
+
+    override protected def initState(): Unit =
       frame = getHandle.getValueState[FrameState]("frame",
         Encoders.kryo[FrameState],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
-    }
 
-    override def handleInputRows(key: Long, rows: Iterator[OverEvent],
-        timerValues: TimerValues): Iterator[OverRow] = {
-      // ONE timer per batch at the min incoming event time (not one
-      // per row): each fire drains every watermark-passed row, so
-      // per-row timers would re-read the whole buffer once per distinct
-      // timestamp - quadratic. The fire handler re-arms at the min
-      // PENDING ts, so no buffered row is ever stranded.
-      var minTs = Long.MaxValue
-      rows.foreach { e =>
-        buffer.appendValue(e)
-        if (e.tsMs < minTs) minTs = e.tsMs
-      }
-      if (minTs != Long.MaxValue) getHandle.registerTimer(minTs)
-      Iterator.empty
-    }
-
-    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
-        expiredTimerInfo: ExpiredTimerInfo): Iterator[OverRow] = {
-      val wm = timerValues.getCurrentWatermarkInMs
-      val all = buffer.get().toArray
-      val (ready, pending) = all.partition(_.tsMs <= wm)
-      if (ready.isEmpty) return Iterator.empty
-      buffer.clear()
-      if (pending.nonEmpty) {
-        buffer.appendList(pending)
-        getHandle.registerTimer(pending.map(_.tsMs).min)
-      }
-
+    override protected def replay(key: Long, ready: Seq[OverEvent],
+        wm: Long): Iterator[OverRow] = {
       var st = Option(frame.get())
         .getOrElse(FrameState(Array.emptyLongArray, 0L, 0L))
       val out = ready.sortBy(e => (e.tsMs, e.id)).map { e =>

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{OutputMode, TimeMode, ValueState}
 
 /** Streaming event-time OVER with a TIME-RANGE frame (reference:
   * `RT/over/RowTimeRangeBoundedPrecedingFunction`, SURVEY.md §2.5):
@@ -24,47 +24,21 @@ object StreamingOverRange {
   case class RangeState(tsMs: Array[Long], cents: Array[Long])
 
   class OverRangeProcessor(rangeMs: Long)
-      extends StatefulProcessor[Long, OverEvent, OverRow] {
+      extends WatermarkReplayProcessor[OverEvent, OverRow] {
 
-    @transient private var buffer: ListState[OverEvent] = _
     @transient private var frame: ValueState[RangeState] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      buffer = getHandle.getListState[OverEvent]("buf",
-        Encoders.product[OverEvent],
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override protected def initState(): Unit =
       frame = getHandle.getValueState[RangeState]("frame",
         Encoders.kryo[RangeState],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
-    }
 
-    override def handleInputRows(key: Long, rows: Iterator[OverEvent],
-        timerValues: TimerValues): Iterator[OverRow] = {
-      // ONE timer per batch at the min incoming event time (not one
-      // per row): each fire drains every watermark-passed row, so
-      // per-row timers would re-read the whole buffer once per distinct
-      // timestamp - quadratic. The fire handler re-arms at the min
-      // PENDING ts, so no buffered row is ever stranded.
-      var minTs = Long.MaxValue
-      rows.foreach { e =>
-        buffer.appendValue(e)
-        if (e.tsMs < minTs) minTs = e.tsMs
-      }
-      if (minTs != Long.MaxValue) getHandle.registerTimer(minTs)
-      Iterator.empty
-    }
+    override protected def tsOf(e: OverEvent): Long = e.tsMs
+    override protected def inputEncoder: org.apache.spark.sql.Encoder[OverEvent] =
+      Encoders.product[OverEvent]
 
-    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
-        expiredTimerInfo: ExpiredTimerInfo): Iterator[OverRow] = {
-      val wm = timerValues.getCurrentWatermarkInMs
-      val all = buffer.get().toArray
-      val (ready, pending) = all.partition(_.tsMs <= wm)
-      if (ready.isEmpty) return Iterator.empty
-      buffer.clear()
-      if (pending.nonEmpty) {
-        buffer.appendList(pending)
-        getHandle.registerTimer(pending.map(_.tsMs).min)
-      }
+    override protected def replay(key: Long, ready: Seq[OverEvent],
+        wm: Long): Iterator[OverRow] = {
 
       var st = Option(frame.get())
         .getOrElse(RangeState(Array.emptyLongArray, Array.emptyLongArray))

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues}
+import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode}
 
 /** Unbounded keyed stream-stream INNER join with twin state (reference:
   * `RT/join/stream/StreamingJoinOperator` + `JoinRecordStateViews`,
@@ -30,49 +30,25 @@ object TwinStateJoin {
       leftValue: Double, rightValue: Double)
 
   class TwinStateJoinProcessor
-      extends StatefulProcessor[Long, TsjEvent, TsjPair] {
+      extends WatermarkReplayProcessor[TsjEvent, TsjPair] {
 
-    @transient private var buffer: ListState[TsjEvent] = _
     @transient private var leftRows: ListState[TsjEvent] = _
     @transient private var rightRows: ListState[TsjEvent] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    override protected def initState(): Unit = {
       val none = org.apache.spark.sql.streaming.TTLConfig.NONE
-      buffer = getHandle.getListState[TsjEvent]("buf",
-        Encoders.product[TsjEvent], none)
       leftRows = getHandle.getListState[TsjEvent]("left",
         Encoders.product[TsjEvent], none)
       rightRows = getHandle.getListState[TsjEvent]("right",
         Encoders.product[TsjEvent], none)
     }
 
-    override def handleInputRows(key: Long, rows: Iterator[TsjEvent],
-        timerValues: TimerValues): Iterator[TsjPair] = {
-      // ONE timer per batch at the min incoming event time (not one
-      // per row): each fire drains every watermark-passed row, so
-      // per-row timers would re-read the whole buffer once per distinct
-      // timestamp - quadratic. The fire handler re-arms at the min
-      // PENDING ts, so no buffered row is ever stranded.
-      var minTs = Long.MaxValue
-      rows.foreach { e =>
-        buffer.appendValue(e)
-        if (e.tsMs < minTs) minTs = e.tsMs
-      }
-      if (minTs != Long.MaxValue) getHandle.registerTimer(minTs)
-      Iterator.empty
-    }
+    override protected def tsOf(e: TsjEvent): Long = e.tsMs
+    override protected def inputEncoder: org.apache.spark.sql.Encoder[TsjEvent] =
+      Encoders.product[TsjEvent]
 
-    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
-        expiredTimerInfo: ExpiredTimerInfo): Iterator[TsjPair] = {
-      val wm = timerValues.getCurrentWatermarkInMs
-      val all = buffer.get().toArray
-      val (ready, pending) = all.partition(_.tsMs <= wm)
-      if (ready.isEmpty) return Iterator.empty
-      buffer.clear()
-      if (pending.nonEmpty) {
-        buffer.appendList(pending)
-        getHandle.registerTimer(pending.map(_.tsMs).min)
-      }
+    override protected def replay(key: Long, ready: Seq[TsjEvent],
+        wm: Long): Iterator[TsjPair] = {
 
       val left = scala.collection.mutable.ArrayBuffer(leftRows.get().toSeq: _*)
       val right = scala.collection.mutable.ArrayBuffer(rightRows.get().toSeq: _*)

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues}
+
+/** Shared machinery of the event-time replay processors (Cep,
+  * StreamingOver, StreamingOverRange, CountWindow, TwinStateJoin):
+  * rows buffer in ListState until the watermark passes them, then
+  * [[replay]] processes them in one sweep per fire.
+  *
+  * Timer discipline — ONE timer per batch at the min incoming event
+  * time, re-armed at the min PENDING time after each fire. Per-row
+  * timers would make each fire re-read the whole buffer once per
+  * distinct timestamp (quadratic in buffered rows); the re-arm keeps
+  * the invariant that whenever pending rows exist, an armed timer
+  * ≤ min(pending) exists, so no row ever strands. A stale fire (ready
+  * empty) can only follow a same-batch fire that already re-armed.
+  *
+  * Buffered state is O(out-of-orderness window) per key; everything
+  * else (frames, partials, window maps) belongs to the subclass.
+  */
+trait WatermarkReplayProcessor[I, O] extends StatefulProcessor[Long, I, O] {
+
+  /** Event time (ms) of an input row — the replay/timer clock. */
+  protected def tsOf(e: I): Long
+
+  /** Encoder for buffered input rows. */
+  protected def inputEncoder: Encoder[I]
+
+  /** Subclass state initialization (getHandle is live). */
+  protected def initState(): Unit
+
+  /** Processes the watermark-passed rows, UNSORTED — each subclass owns
+    * its replay order (ts,id) / (ts,side,id) / peer grouping.
+    */
+  protected def replay(key: Long, ready: Seq[I], wm: Long): Iterator[O]
+
+  @transient private var buffer: ListState[I] = _
+
+  final override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    buffer = getHandle.getListState[I]("buf", inputEncoder,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+    initState()
+  }
+
+  final override def handleInputRows(key: Long, rows: Iterator[I],
+      timerValues: TimerValues): Iterator[O] = {
+    var minTs = Long.MaxValue
+    rows.foreach { e =>
+      buffer.appendValue(e)
+      val t = tsOf(e)
+      if (t < minTs) minTs = t
+    }
+    if (minTs != Long.MaxValue) getHandle.registerTimer(minTs)
+    Iterator.empty
+  }
+
+  final override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[O] = {
+    val wm = timerValues.getCurrentWatermarkInMs
+    val all = buffer.get().toList
+    val (ready, pending) = all.partition(tsOf(_) <= wm)
+    if (ready.isEmpty) return Iterator.empty
+    buffer.clear()
+    if (pending.nonEmpty) {
+      pending.foreach(buffer.appendValue)
+      getHandle.registerTimer(pending.map(tsOf).min)
+    }
+    replay(key, ready, wm)
+  }
+}
