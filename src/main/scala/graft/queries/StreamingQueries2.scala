@@ -218,7 +218,48 @@ object StreamingQueries2 {
       ORDER BY s.user_id, signup_id, purchase_id
     """))
 
+  // ------------------------------------------------------------------
+  // q85 re-firing tumbling window through the driver gate: on the
+  // in-order fixture every emission is a +I final fire (the +U/L paths
+  // are spec-covered with injected late batches), so the changelog
+  // equals the batch windowed aggregate with the watermark cutoff
+  // ------------------------------------------------------------------
+
+  val q85RefiringWindow: QueryDef = QueryDef(
+    "q85_refiring_window",
+    (s, dir) => {
+      StreamRunner.requireRocksDb(s)
+      import s.implicits._
+      import graft.streaming.RefiringWindow.RwEvent
+      val ev = StreamRunner.eventsStream(s, dir)
+        .withWatermark("ts", Wm)
+        .select(col("user_id").as("key"),
+          expr("unix_micros(ts) div 1000").as("tsMs"),
+          col("event_id").as("id"), col("value"))
+        .as[RwEvent]
+      val out = graft.streaming.RefiringWindow(ev,
+        winMs = 86400000L, allowedMs = 3600000L).toDF()
+        .select(col("key").as("user_id"), col("winStart").as("win_start"),
+          col("rowKind").as("row_kind"), col("cnt"), col("sum"))
+      StreamRunner.runToTable(out, "append")
+        .orderBy(col("user_id"), col("win_start"), col("row_kind"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, epoch_us(ts) // 1000 AS ms, value FROM events),
+      w AS (
+        SELECT user_id, (ms // 86400000) * 86400000 AS win_start,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum
+        FROM e GROUP BY 1, 2)
+      SELECT user_id, win_start, '+I' AS row_kind, cnt, sum
+      FROM w
+      WHERE win_start + 86400000 <=
+            (SELECT max(ms) - 3600000 FROM e)
+      ORDER BY user_id, win_start, row_kind
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q63StreamHop, q64StreamOver, q65UpsertMaterialize, q81StreamOverRange,
-    q82TwinStateJoin)
+    q82TwinStateJoin, q85RefiringWindow)
 }
