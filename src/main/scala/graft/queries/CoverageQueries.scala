@@ -255,9 +255,12 @@ object CoverageQueries {
     """))
 
   // ------------------------------------------------------------------
-  // q60 approx_count_distinct — superset capability (HLL++); no exact
-  // oracle by construction → rows-only check (driver contract allows
-  // omitting oracle SQL)
+  // q60 approx_count_distinct — superset capability (HLL++). The HLL
+  // estimate itself is engine-specific, so the hash-stable contract is
+  // the exact count plus a tolerance assertion: |approx-exact|/exact
+  // must stay within HLL++'s default rsd (0.05) ×3. The DuckDB twin
+  // emits the exact count and TRUE, so a drifting estimate flips the
+  // boolean and fails the hash gate.
   // ------------------------------------------------------------------
 
   val q60ApproxDistinct: QueryDef = QueryDef(
@@ -265,10 +268,20 @@ object CoverageQueries {
     (s, dir) =>
       Tables.load(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx"),
           countDistinct(col("l_orderkey")).as("exact_orders"))
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("approx") - col("exact_orders"))
+            <= col("exact_orders") * lit(0.15)).as("within_tolerance"))
         .orderBy(col("l_returnflag")),
-    None)
+    Some("""
+      SELECT l_returnflag,
+             COUNT(DISTINCT l_orderkey) AS exact_orders,
+             TRUE AS within_tolerance
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """))
 
   val all: Seq[QueryDef] = Seq(
     q52SetopsAll, q53Cube, q54GroupingSets, q55Posexplode, q56RangeFrame,

@@ -135,7 +135,10 @@ object OperatorQueries {
         UNION ALL SELECT '-U', o_orderkey FROM k WHERE op = 'u'
         UNION ALL SELECT '+U', o_orderkey FROM k WHERE op = 'u'
         UNION ALL SELECT '-D', o_orderkey FROM k WHERE op = 'd')
-      SELECT row_kind, COUNT(*) AS n, SUM(o_orderkey) AS sum_key
+      -- CAST: DuckDB SUM(BIGINT) yields HUGEINT, which pandas widens to
+      -- float64 and the driver's hash then mismatches Spark's int64.
+      SELECT row_kind, COUNT(*) AS n,
+             CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
       FROM cl GROUP BY row_kind ORDER BY row_kind
     """))
 
@@ -175,8 +178,9 @@ object OperatorQueries {
         UNION ALL
         SELECT '-D', o_orderkey, o_custkey
         FROM orders WHERE o_orderstatus = 'P')
-      SELECT row_kind, COUNT(*) AS n, SUM(o_orderkey) AS sum_key,
-             SUM(o_custkey) AS sum_cust
+      SELECT row_kind, COUNT(*) AS n,
+             CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+             CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
       FROM cl GROUP BY row_kind ORDER BY row_kind
     """))
 
