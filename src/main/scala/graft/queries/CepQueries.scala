@@ -72,8 +72,14 @@ object CepQueries {
     """))
 
   // ------------------------------------------------------------------
-  // q62 SKIP_PAST_LAST: greedy single-pass matching (rows-only check;
-  // semantics pinned by CepSpec)
+  // q62 SKIP_PAST_LAST: greedy single-pass matching. SQL-checkable
+  // after all: each partial advances deterministically (first matching
+  // event per step, non-strict steps survive gaps), so a signup s has a
+  // fixed completion chain — first purchase after s, first error after
+  // that purchase — valid iff error.ms - s.ms <= within. Greedy
+  // arbitration = repeatedly pick the candidate with the earliest
+  // completion position (ties → oldest signup) among signups after the
+  // previous match's completion event; a recursive CTE walks that.
   // ------------------------------------------------------------------
 
   val q62CepSkipPastLast: QueryDef = QueryDef(
@@ -88,7 +94,50 @@ object CepQueries {
           "append")
         .orderBy(col("user_id"), col("signup_id"))
     },
-    None)
+    Some(s"""
+      WITH RECURSIVE e AS (
+        SELECT user_id, event_type, event_id,
+               CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS ms,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+                 CAST(floor(epoch_us(ts) / 1000) AS BIGINT), event_id) AS rn
+        FROM events
+        WHERE ts <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+      ),
+      nx AS (
+        SELECT *,
+               MIN(CASE WHEN event_type = 'purchase' THEN rn END) OVER w
+                 AS next_pur_rn,
+               MIN(CASE WHEN event_type = 'error' THEN rn END) OVER w
+                 AS next_err_rn
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+      ),
+      cand AS (
+        SELECT s.user_id, s.rn AS s_rn, s.event_id AS signup_id,
+               s.ms AS s_ms, p.event_id AS purchase_id,
+               r.event_id AS error_id, r.rn AS end_rn
+        FROM nx s
+        JOIN nx p ON p.user_id = s.user_id AND p.rn = s.next_pur_rn
+        JOIN nx r ON r.user_id = s.user_id AND r.rn = p.next_err_rn
+        WHERE s.event_type = 'signup' AND r.ms - s.ms <= $WithinMs
+      ),
+      greedy AS (
+        (SELECT user_id, s_rn, signup_id, purchase_id, error_id, end_rn
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                          ORDER BY end_rn, s_rn) AS pick FROM cand)
+         WHERE pick = 1)
+        UNION ALL
+        SELECT c.user_id, c.s_rn, c.signup_id, c.purchase_id, c.error_id,
+               c.end_rn
+        FROM greedy g, LATERAL (
+          SELECT * FROM cand c
+          WHERE c.user_id = g.user_id AND c.s_rn > g.end_rn
+          ORDER BY c.end_rn, c.s_rn LIMIT 1) c
+      )
+      SELECT user_id, signup_id, purchase_id, error_id
+      FROM greedy ORDER BY user_id, signup_id
+    """))
 
   // ------------------------------------------------------------------
   // q78 SQL MATCH_RECOGNIZE: the Flink SQL surface translated onto the

@@ -35,8 +35,13 @@ def main(sf_dir: str, out_dir: str) -> int:
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     failed = []
+    skipped = 0
     for name, sql in sorted(oracles.items()):
         try:
+            import glob
+            if not glob.glob(f"{out_dir}/{name}/*.parquet"):
+                skipped += 1  # not dumped in this (filtered) Verify run
+                continue
             got = con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
             want = con.execute(sql).df()
@@ -79,7 +84,9 @@ def main(sf_dir: str, out_dir: str) -> int:
             failed.append((name, f"error: {e}"))
     for name, why in failed:
         print(f"  FAIL {name}: {why}")
-    print(f"{len(oracles) - len(failed)}/{len(oracles)} queries match")
+    checked = len(oracles) - skipped
+    print(f"{checked - len(failed)}/{checked} queries match"
+          + (f" ({skipped} not dumped, skipped)" if skipped else ""))
     return 1 if failed else 0
 
 
