@@ -1,8 +1,8 @@
 package graft
 
 import graft.streaming.{Cep, StreamRunner}
-import graft.streaming.Cep.{CepEvent, Pattern, Step}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.streaming.Cep.{CepEvent, MatchCtx, Pattern, Step}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SQL `MATCH_RECOGNIZE` subset (reference: flink-sql-parser
@@ -15,33 +15,60 @@ import org.apache.spark.sql.functions._
   * STRICT row-adjacency per key (`PATTERN (A B)` requires B to be the
   * key's immediately-next row after A — flink-cep `next()`); the Cep
   * DSL's relaxed `followedBy` contiguity is reachable through the DSL
-  * directly. Supported grammar (single variables, no quantifiers):
+  * directly. Supported grammar:
   *
   * {{{
   * SELECT * FROM <events-table> MATCH_RECOGNIZE (
   *   PARTITION BY <keyCol>
   *   ORDER BY <rowtimeCol>
-  *   MEASURES A.event_id AS a_id, …
+  *   MEASURES A.<field> AS a, FIRST(B.<field>) AS b, LAST(C.<field>) AS c, …
   *   [ONE ROW PER MATCH]
   *   AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW
-  *   PATTERN (A B C …)
+  *   PATTERN (A B+ C{2} D{1,3} …)
   *   WITHIN INTERVAL '<n>' DAY|HOUR|MINUTE|SECOND
-  *   DEFINE A AS A.<tagCol> = '<literal>', …
+  *   DEFINE A AS A.<tagCol> = '<literal>',
+  *          B AS B.value < PREV(B.value),
+  *          C AS C.value > A.value, …
   * )
   * }}}
   *
-  * DEFINE predicates are tag-equality (the classic event-type
-  * sequencing CEP); richer predicates use the Cep DSL directly.
+  * Quantifiers `+` / `{n}` / `{n,m}` compile to the NFA's GREEDY
+  * quantified steps (flink-cep `Pattern#oneOrMore/#times` with
+  * `greedy()` + `consecutive()` under SQL strict contiguity). DEFINE
+  * predicates: tag-equality, and `value` comparisons against `PREV`
+  * (the previous matched row — under strict contiguity the previous
+  * partition row), a bare cross-variable reference (`A.value`, the
+  * variable's LAST matched occurrence, Flink's running semantics), or
+  * explicit `FIRST(X.value)` / `LAST(X.value)`. A pattern variable with
+  * no DEFINE entry matches any row (SQL standard). MEASURES fields:
+  * `event_id` or `value`; a bare `V.<field>` is the variable's LAST
+  * occurrence.
   */
 object MatchRecognizeSql {
 
+  sealed trait Rhs
+  final case class LitStr(v: String) extends Rhs
+  final case class PrevRef(col: String) extends Rhs
+  /** Cross-variable reference; `first` = FIRST(X.col), else LAST. */
+  final case class VarRef(variable: String, col: String, first: Boolean)
+      extends Rhs
+
+  /** One DEFINE predicate: `<selfCol> <op> <rhs>`. */
+  final case class Define(selfCol: String, op: String, rhs: Rhs)
+
+  /** One MEASURES item. `fn`: "first" | "last" (bare access ≡ last). */
+  final case class Measure(fn: String, variable: String, field: String,
+      alias: String)
+
+  final case class Quantified(name: String, min: Int, max: Int)
+
   final case class MrSpec(
       table: String, partitionBy: String, orderBy: String,
-      measures: Seq[(String, String, String)], // (variable, field, alias)
+      measures: Seq[Measure],
       skipPastLast: Boolean,
-      patternVars: Seq[String],
+      patternVars: Seq[Quantified],
       withinMs: Long,
-      defines: Map[String, (String, String)]) // var -> (tagCol, literal)
+      defines: Map[String, Define])
 
   private def re(p: String) = ("(?is)" + p).r
 
@@ -63,16 +90,38 @@ object MatchRecognizeSql {
       """MEASURES\s+(.*?)\s+(?:ONE\s+ROW|AFTER\s+MATCH|PATTERN)""",
       "MEASURES")
     val measures = measuresBlock.split(",").toSeq.map(_.trim).map { m =>
-      re("""(\w+)\.(\w+)\s+AS\s+(\w+)""").findFirstMatchIn(m) match {
-        case Some(g) => (g.group(1), g.group(2), g.group(3))
-        case None => throw new IllegalArgumentException(s"bad measure: $m")
+      re("""(FIRST|LAST)\s*\(\s*(\w+)\.(\w+)\s*\)\s+AS\s+(\w+)""")
+        .findFirstMatchIn(m) match {
+        case Some(g) =>
+          Measure(g.group(1).toLowerCase, g.group(2), g.group(3), g.group(4))
+        case None =>
+          re("""(\w+)\.(\w+)\s+AS\s+(\w+)""").findFirstMatchIn(m) match {
+            case Some(g) => Measure("last", g.group(1), g.group(2), g.group(3))
+            case None => throw new IllegalArgumentException(s"bad measure: $m")
+          }
       }
     }
     val skipPastLast =
       re("""AFTER\s+MATCH\s+SKIP\s+PAST\s+LAST\s+ROW""")
         .findFirstIn(inner).isDefined
-    val patternVars = one("""PATTERN\s*\(([\w\s]+)\)""", "PATTERN")
-      .trim.split("\\s+").toSeq
+    val patternVars = one("""PATTERN\s*\(([^)]+)\)""", "PATTERN")
+      .trim.split("\\s+").toSeq.map { tok =>
+        re("""(\w+)(\+|\{(\d+)(?:\s*,\s*(\d+))?\})?""").findFirstMatchIn(tok)
+          .filter(_.matched == tok) match {
+          case Some(g) =>
+            val name = g.group(1)
+            Option(g.group(2)) match {
+              case None => Quantified(name, 1, 1)
+              case Some("+") => Quantified(name, 1, Int.MaxValue)
+              case Some(_) =>
+                val n = g.group(3).toInt
+                val m = Option(g.group(4)).map(_.toInt).getOrElse(n)
+                Quantified(name, n, m)
+            }
+          case None =>
+            throw new IllegalArgumentException(s"bad pattern token: $tok")
+        }
+      }
     val (amt, unit) = {
       val m = re("""WITHIN\s+INTERVAL\s+'(\d+)'\s+(\w+)""")
         .findFirstMatchIn(inner)
@@ -87,15 +136,70 @@ object MatchRecognizeSql {
       case u => throw new IllegalArgumentException(s"bad WITHIN unit $u")
     }
     val definesBlock = one("""DEFINE\s+(.*)$""", "DEFINE")
-    val defines = definesBlock.split(",").toSeq.map(_.trim).map { d =>
-      re("""(\w+)\s+AS\s+\w+\.(\w+)\s*=\s*'([^']*)'""")
-        .findFirstMatchIn(d) match {
-        case Some(g) => g.group(1) -> ((g.group(2), g.group(3)))
-        case None => throw new IllegalArgumentException(s"bad DEFINE: $d")
-      }
-    }.toMap
+    // split on commas that are NOT inside parentheses (PREV(...),
+    // FIRST(...) arguments contain none today, but be safe)
+    val defines = definesBlock.split(""",(?![^(]*\))""").toSeq
+      .map(_.trim).filter(_.nonEmpty).map { d =>
+        val (v, expr) = re("""(\w+)\s+AS\s+(.*)""").findFirstMatchIn(d) match {
+          case Some(g) => (g.group(1), g.group(2).trim)
+          case None => throw new IllegalArgumentException(s"bad DEFINE: $d")
+        }
+        val tagEq = re("""\w+\.(\w+)\s*=\s*'([^']*)'""")
+          .findFirstMatchIn(expr).filter(_.matched == expr)
+        val cmp = re(
+          """\w+\.(\w+)\s*(<=|>=|<|>|=)\s*(?:PREV\s*\(\s*\w+\.(\w+)\s*\)|(FIRST|LAST)\s*\(\s*(\w+)\.(\w+)\s*\)|(\w+)\.(\w+))""")
+          .findFirstMatchIn(expr).filter(_.matched == expr)
+        val define = tagEq match {
+          case Some(g) => Define(g.group(1), "=", LitStr(g.group(2)))
+          case None => cmp match {
+            case Some(g) =>
+              val rhs =
+                if (g.group(3) != null) PrevRef(g.group(3))
+                else if (g.group(4) != null)
+                  VarRef(g.group(5), g.group(6),
+                    g.group(4).equalsIgnoreCase("first"))
+                else VarRef(g.group(7), g.group(8), first = false)
+              Define(g.group(1), g.group(2), rhs)
+            case None =>
+              throw new IllegalArgumentException(s"bad DEFINE predicate: $expr")
+          }
+        }
+        v -> define
+      }.toMap
     MrSpec(table, partitionBy, orderBy, measures, skipPastLast,
       patternVars, withinMs, defines)
+  }
+
+  private def cmpOp(op: String): (Double, Double) => Boolean = op match {
+    case "<" => _ < _
+    case ">" => _ > _
+    case "<=" => _ <= _
+    case ">=" => _ >= _
+    case "=" => _ == _
+  }
+
+  /** Compiles one pattern variable to an NFA step. */
+  private def toStep(q: Quantified, defines: Map[String, Define]): Step = {
+    val base = Step(q.name, _ => true, strict = true,
+      minTimes = q.min, maxTimes = q.max)
+    defines.get(q.name) match {
+      case None => base // undefined variable matches any row
+      case Some(Define(_, "=", LitStr(lit))) =>
+        base.copy(where = _.tag == lit)
+      case Some(Define(selfCol, op, rhs)) =>
+        require(selfCol == "value",
+          s"comparison DEFINE supports the value column, got $selfCol")
+        val cmp = cmpOp(op)
+        val ctx: (CepEvent, MatchCtx) => Boolean = rhs match {
+          case PrevRef(_) =>
+            (e, m) => m.prev.exists(p => cmp(e.num, p.num))
+          case VarRef(v, _, first) =>
+            (e, m) => (if (first) m.first(v) else m.last(v))
+              .exists(r => cmp(e.num, r.num))
+          case LitStr(_) => throw new IllegalStateException("unreachable")
+        }
+        base.copy(ctxWhere = ctx)
+    }
   }
 
   /** Translates and RUNS the pattern as a streaming job over the
@@ -109,34 +213,38 @@ object MatchRecognizeSql {
       s"MATCH_RECOGNIZE subset runs over the events stream, got ${spec.table}")
     import spark.implicits._
 
-    val tagCols = spec.defines.values.map(_._1).toSet
-    require(tagCols.size == 1,
-      s"DEFINE predicates must test one tag column, got $tagCols")
-    val tagCol = tagCols.head
+    val tagCols = spec.defines.values.collect {
+      case Define(c, "=", LitStr(_)) => c
+    }.toSet
+    require(tagCols.size <= 1,
+      s"DEFINE tag predicates must test one tag column, got $tagCols")
+    val tagCol = tagCols.headOption.getOrElse("event_type")
 
-    // MATCH_RECOGNIZE pattern concatenation is STRICT row-adjacency
-    // (Flink `next()`): an intervening non-matching row kills the
-    // partial. The relaxed followedBy semantics belong to the Cep DSL.
-    val steps = spec.patternVars.map { v =>
-      val (_, lit) = spec.defines.getOrElse(v,
-        throw new IllegalArgumentException(s"pattern var $v not DEFINEd"))
-      Step(v, _.tag == lit, strict = true)
-    }
+    val steps = spec.patternVars.map(toStep(_, spec.defines))
     val ev = StreamRunner.eventsStream(spark, dir)
       .withWatermark(spec.orderBy, watermarkDelay)
       .select(col(spec.partitionBy).as("key"),
         expr(s"unix_micros(${spec.orderBy}) div 1000").as("tsMs"),
         col(tagCol).as("tag"), col("event_id").as("id"),
-        col(spec.orderBy).as("ts"))
+        col(spec.orderBy).as("ts"), col("value").as("num"))
       .as[CepEvent]
     val matches = Cep(ev,
       Pattern(steps, spec.withinMs, spec.skipPastLast)).toDF()
 
-    val stepIdx = spec.patternVars.zipWithIndex.toMap
-    val measureCols = spec.measures.map { case (v, field, alias) =>
-      require(field == "event_id",
-        s"measure field must be event_id in this subset, got $field")
-      col("ids").getItem(stepIdx(v)).as(alias)
+    val stepIdx = spec.patternVars.map(_.name).zipWithIndex.toMap
+    val measureCols: Seq[Column] = spec.measures.map { m =>
+      val arr = m.field match {
+        case "event_id" => "ids"
+        case "value" => "values"
+        case f => throw new IllegalArgumentException(
+          s"measure field must be event_id or value, got $f")
+      }
+      val i = stepIdx.getOrElse(m.variable,
+        throw new IllegalArgumentException(
+          s"measure variable ${m.variable} not in PATTERN"))
+      val pos = if (m.fn == "first") "1" else "-1"
+      expr(s"element_at(filter(arrays_zip(stepIdxs, $arr), " +
+        s"x -> x.stepIdxs = $i), $pos).$arr").as(m.alias)
     }
     StreamRunner.runToTable(
       matches.select(col("key").as(spec.partitionBy) +: measureCols: _*),

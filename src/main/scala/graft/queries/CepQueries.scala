@@ -24,7 +24,8 @@ object CepQueries {
       .withWatermark("ts", Wm)
       .select(col("user_id").as("key"),
         expr("unix_micros(ts) div 1000").as("tsMs"),
-        col("event_type").as("tag"), col("event_id").as("id"), col("ts"))
+        col("event_type").as("tag"), col("event_id").as("id"), col("ts"),
+        col("value").as("num"))
       .as[CepEvent]
   }
 

@@ -5,15 +5,35 @@ import org.apache.spark.sql.streaming.{OutputMode, TimeMode, ValueState}
 
 /** CEP subset (SURVEY.md §2.10 CEP row, §7 step 10): sequence patterns
   * over a keyed event-time stream, compiled to a `transformWithState`
-  * NFA — the Spark analog of flink-cep's Pattern DSL + CepOperator.
+  * NFA — the Spark analog of flink-cep's Pattern DSL + CepOperator
+  * (reference: flink-cep `pattern/Pattern.java#oneOrMore/#times`,
+  * `nfa/NFA.java`).
   *
-  * Supported surface (the reference's core; greedy quantifiers and the
-  * richer AFTER MATCH modes are out of scope):
+  * Supported surface:
   *  - `Step(name, where)` with relaxed contiguity (followedBy,
   *    skip-till-next-match) or strict (`next`) contiguity,
+  *  - quantifiers `oneOrMore` / `times(n)` / `times(n, m)` with GREEDY
+  *    arbitration (Flink's `greedy()` modifier): an event that could
+  *    either extend the current looping step or advance to the next
+  *    step is consumed into the loop. The non-deterministic relaxed
+  *    expansion enumeration (one match per subset) is out of scope;
+  *    each partial advances deterministically, so every start yields at
+  *    most one (maximal) match. `minTimes >= 1` (no `optional`).
+  *  - context predicates `ctxWhere(event, matchedSoFar)` for
+  *    DEFINE-style conditions that reference previously matched rows
+  *    (`PREV(...)`, cross-variable comparisons, FIRST/LAST),
   *  - `within(duration)` from first to last matched event,
-  *  - after-match: NO_SKIP (emit every combination) or
-  *    SKIP_PAST_LAST (greedy: a full match clears open partials).
+  *  - after-match: NO_SKIP (all combinations for unquantified relaxed
+  *    steps; SKIP TO NEXT ROW semantics) or SKIP_PAST_LAST (greedy: a
+  *    full match clears open partials).
+  *
+  * Emission of a quantified FINAL step: immediately when its bounded
+  * `maxTimes` is reached; on contiguity break for a strict loop (the
+  * breaking row is NOT part of the match and may start a new one); or
+  * when the within-window closes (watermark sweep) with `minTimes`
+  * met — the timeout flush of a maximal greedy match. In
+  * SKIP_PAST_LAST mode a flush also clears partials that started at or
+  * before the flushed match's end.
   *
   * Mechanics mirror CepOperator: events buffer in ListState until the
   * watermark passes them (an event-time timer at each event's ts), are
@@ -25,32 +45,74 @@ import org.apache.spark.sql.streaming.{OutputMode, TimeMode, ValueState}
   */
 object Cep {
 
-  /** One pattern position. `strict`: the event must be the key's
-    * immediately-next event (Flink `next()` vs `followedBy()`).
+  /** One pattern position. `strict`: occurrences must be the key's
+    * immediately-next rows (Flink `next()` vs `followedBy()`); for a
+    * quantified step, `strict` also governs the loop's internal
+    * contiguity (Flink `consecutive()`). `ctxWhere` additionally sees
+    * the matched prefix (for PREV / cross-variable predicates).
     */
   case class Step(name: String, where: CepEvent => Boolean,
-      strict: Boolean = false)
+      strict: Boolean = false, minTimes: Int = 1, maxTimes: Int = 1,
+      ctxWhere: (CepEvent, MatchCtx) => Boolean = null) {
+    require(minTimes >= 1 && maxTimes >= minTimes,
+      s"bad quantifier {$minTimes,$maxTimes}")
+    def oneOrMore: Step = copy(minTimes = 1, maxTimes = Int.MaxValue)
+    def times(n: Int): Step = copy(minTimes = n, maxTimes = n)
+    def times(n: Int, m: Int): Step = copy(minTimes = n, maxTimes = m)
+  }
 
   case class Pattern(steps: Seq[Step], withinMs: Long,
       skipPastLast: Boolean)
 
   /** `ts` duplicates tsMs as the watermarked timestamp column so the
-    * upstream watermark survives the typed projection.
+    * upstream watermark survives the typed projection; `num` carries
+    * the numeric payload predicates/measures compare on.
     */
   case class CepEvent(key: Long, tsMs: Long, tag: String, id: Long,
-      ts: java.sql.Timestamp)
+      ts: java.sql.Timestamp, num: Double = 0.0)
 
-  /** Full match: per-step matched event ids (in step order) + bounds. */
-  case class CepMatch(key: Long, ids: Array[Long],
-      startTsMs: Long, endTsMs: Long)
+  /** Full match: matched event ids in replay order, the pattern-step
+    * index each id matched (quantified steps repeat), their numeric
+    * payloads, and the match bounds.
+    */
+  case class CepMatch(key: Long, ids: Array[Long], stepIdxs: Array[Int],
+      values: Array[Double], startTsMs: Long, endTsMs: Long)
 
-  /** Open partial match (public: the state encoder requires it). */
-  case class Partial(stepIdx: Int, firstTs: Long, ids: Array[Long])
+  /** Read-only view of a partial's matched prefix for `ctxWhere`
+    * predicates (the DEFINE clause's world).
+    */
+  final class MatchCtx(names: IndexedSeq[String], stepOf: Array[Int],
+      evs: Array[CepEvent]) {
+    /** Previous matched row (MATCH_RECOGNIZE `PREV` under strict
+      * contiguity, where matched rows are consecutive).
+      */
+    def prev: Option[CepEvent] = evs.lastOption
+    def first(step: String): Option[CepEvent] = {
+      val i = names.indexOf(step)
+      val at = stepOf.indexOf(i)
+      if (at < 0) None else Some(evs(at))
+    }
+    def last(step: String): Option[CepEvent] = {
+      val i = names.indexOf(step)
+      val at = stepOf.lastIndexOf(i)
+      if (at < 0) None else Some(evs(at))
+    }
+  }
+
+  /** Open partial match (public: the state encoder requires it).
+    * `stepIdx` is the step currently being consumed, `count` its
+    * occurrences so far (>= 1), `stepOf(i)` the step `evs(i)` matched.
+    */
+  case class Partial(stepIdx: Int, count: Int, firstTs: Long,
+      stepOf: Array[Int], evs: Array[CepEvent])
 
   class CepProcessor(pattern: Pattern)
       extends WatermarkReplayProcessor[CepEvent, CepMatch] {
 
     @transient private var partials: ValueState[Array[Partial]] = _
+
+    private val names = pattern.steps.map(_.name).toIndexedSeq
+    private val nSteps = pattern.steps.length
 
     override protected def initState(): Unit =
       partials = getHandle.getValueState[Array[Partial]]("partials",
@@ -61,44 +123,122 @@ object Cep {
     override protected def inputEncoder: org.apache.spark.sql.Encoder[CepEvent] =
       Encoders.product[CepEvent]
 
+    private def pred(st: Step, e: CepEvent, stepOf: Array[Int],
+        evs: Array[CepEvent]): Boolean =
+      st.where(e) && (st.ctxWhere == null ||
+        st.ctxWhere(e, new MatchCtx(names, stepOf, evs)))
+
+    private def toMatch(key: Long, p: Partial, endTs: Long): CepMatch =
+      CepMatch(key, p.evs.map(_.id), p.stepOf, p.evs.map(_.num),
+        p.firstTs, endTs)
+
     override protected def replay(key: Long, ready: Seq[CepEvent],
         wm: Long): Iterator[CepMatch] = {
 
       var open = Option(partials.get()).getOrElse(Array.empty[Partial]).toList
       val out = List.newBuilder[CepMatch]
-      ready.sortBy(e => (e.tsMs, e.id)).foreach { e =>
-        // expire partials whose within-window closed before this event
-        open = open.filter(p => e.tsMs - p.firstTs <= pattern.withinMs)
-        var next: List[Partial] = Nil
-        var matched = false
-        open.foreach { p =>
-          val step = pattern.steps(p.stepIdx)
-          if (matched && pattern.skipPastLast) {
-            // greedy mode: the first full match on this event wins;
-            // remaining partials are discarded with the reset below
-          } else if (step.where(e)) {
-            val adv = Partial(p.stepIdx + 1, p.firstTs, p.ids :+ e.id)
-            if (adv.stepIdx == pattern.steps.length) {
-              out += CepMatch(key, adv.ids, adv.firstTs, e.tsMs)
-              matched = true
-            } else next ::= adv
-            // relaxed contiguity branches: the original partial may
-            // still match a later event (NO_SKIP all-combinations)
-            if (!step.strict && !pattern.skipPastLast) next ::= p
-          } else if (!step.strict) next ::= p
-          // strict step not matched by the immediate next event → dies
+
+      /** Drops partials whose within-window closed; a dropped partial
+        * sitting at the final step with minTimes met flush-emits its
+        * maximal match first (greedy timeout emission). In
+        * SKIP_PAST_LAST mode the flush clears partials that started at
+        * or before the flushed match's end row.
+        */
+      def expire(isExpired: Partial => Boolean): Unit = {
+        var kept = List.empty[Partial]
+        var rest = open
+        while (rest.nonEmpty) {
+          val p = rest.head; rest = rest.tail
+          if (!isExpired(p)) kept ::= p
+          else if (p.stepIdx == nSteps - 1 &&
+              p.count >= pattern.steps(p.stepIdx).minTimes) {
+            val endTs = p.evs.last.tsMs
+            out += toMatch(key, p, endTs)
+            if (pattern.skipPastLast) {
+              kept = kept.filter(_.firstTs > endTs)
+              rest = rest.filter(_.firstTs > endTs)
+            }
+          } // else: expired before completing → silently dropped
         }
-        if (pattern.steps.head.where(e) && pattern.steps.length > 1)
-          next ::= Partial(1, e.tsMs, Array(e.id))
-        else if (pattern.steps.head.where(e) && pattern.steps.length == 1) {
-          out += CepMatch(key, Array(e.id), e.tsMs, e.tsMs)
-          matched = true
-        }
-        open = if (matched && pattern.skipPastLast) Nil else next.reverse
+        open = kept.reverse
       }
+
+      ready.sortBy(e => (e.tsMs, e.id)).foreach { e =>
+        expire(p => e.tsMs - p.firstTs > pattern.withinMs)
+        var next: List[Partial] = Nil
+        var matched = false    // a full match consumed e
+        var broke = false      // a strict trailing loop emitted; e NOT consumed
+        open.foreach { p =>
+          if ((matched || broke) && pattern.skipPastLast) {
+            // greedy mode: the first full match wins; the rest discard
+          } else {
+            val st = pattern.steps(p.stepIdx)
+            val last = p.stepIdx == nSteps - 1
+            val canLoop = p.count < st.maxTimes && pred(st, e, p.stepOf, p.evs)
+            lazy val canAdvance = p.count >= st.minTimes && !last &&
+              pred(pattern.steps(p.stepIdx + 1), e, p.stepOf, p.evs)
+            if (canLoop) {
+              // greedy: extending the loop beats advancing
+              val adv = Partial(p.stepIdx, p.count + 1, p.firstTs,
+                p.stepOf :+ p.stepIdx, p.evs :+ e)
+              if (last && adv.count == st.maxTimes) {
+                out += toMatch(key, adv, e.tsMs); matched = true
+              } else next ::= adv
+            } else if (canAdvance) {
+              val ni = p.stepIdx + 1
+              val nst = pattern.steps(ni)
+              val adv = Partial(ni, 1, p.firstTs, p.stepOf :+ ni, p.evs :+ e)
+              if (ni == nSteps - 1 && nst.maxTimes == 1) {
+                out += toMatch(key, adv, e.tsMs); matched = true
+              } else next ::= adv
+              // relaxed-contiguity combinations (NO_SKIP, unquantified
+              // step only): the original partial may still match a
+              // later event — governed by the ENTERED step's
+              // contiguity (a strict entry binds to this exact row)
+              if (!nst.strict && !pattern.skipPastLast && st.maxTimes == 1)
+                next ::= p
+            } else {
+              // e matched nothing this partial awaits: it survives iff
+              // some awaited transition is relaxed
+              val loopRelaxed = p.count < st.maxTimes && !st.strict
+              val advRelaxed = p.count >= st.minTimes && !last &&
+                !pattern.steps(p.stepIdx + 1).strict
+              if (loopRelaxed || advRelaxed) next ::= p
+              else if (last && p.count >= st.minTimes) {
+                // strict trailing loop broken → its maximal match is
+                // complete as of the PREVIOUS row; e stays available
+                // to start a new partial
+                out += toMatch(key, p, p.evs.last.tsMs)
+                broke = true
+              } // else: strict step unmatched → partial dies
+            }
+          }
+        }
+        val head = pattern.steps.head
+        val created: List[Partial] =
+          if (pred(head, e, Array.empty, Array.empty)) {
+            val p0 = Partial(0, 1, e.tsMs, Array(0), Array(e))
+            if (nSteps == 1 && head.maxTimes == 1) {
+              out += toMatch(key, p0, e.tsMs); matched = true; Nil
+            } else List(p0)
+          } else Nil
+        open =
+          if (matched && pattern.skipPastLast) Nil
+          else if (broke && pattern.skipPastLast) created
+          else next.reverse ::: created
+      }
+      // watermark sweep: windows the watermark closed can never extend
+      expire(p => wm - p.firstTs > pattern.withinMs)
       partials.update(open.toArray)
+      // arm a flush timer at the earliest open window's close so the
+      // sweep runs even after the event buffer drains (trailing
+      // quantified steps emit their maximal match on window close)
+      if (open.nonEmpty)
+        getHandle.registerTimer(open.map(_.firstTs).min + pattern.withinMs + 1)
       out.result().iterator
     }
+
+    override protected def replayOnEmptyTimer: Boolean = true
   }
 
   /** Applies the pattern over a keyed event-time stream; `events` must

@@ -35,6 +35,14 @@ trait WatermarkReplayProcessor[I, O] extends StatefulProcessor[Long, I, O] {
     */
   protected def replay(key: Long, ready: Seq[I], wm: Long): Iterator[O]
 
+  /** When true, a timer fire with no ready rows still calls [[replay]]
+    * (with an empty batch) so the subclass can run watermark-driven
+    * sweeps — e.g. CEP's window-close flush, which arms its own timer
+    * at the partial's within-window end, after the event buffer may
+    * already have drained.
+    */
+  protected def replayOnEmptyTimer: Boolean = false
+
   @transient private var buffer: ListState[I] = _
 
   final override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
@@ -60,7 +68,7 @@ trait WatermarkReplayProcessor[I, O] extends StatefulProcessor[Long, I, O] {
     val wm = timerValues.getCurrentWatermarkInMs
     val all = buffer.get().toList
     val (ready, pending) = all.partition(tsOf(_) <= wm)
-    if (ready.isEmpty) return Iterator.empty
+    if (ready.isEmpty && !replayOnEmptyTimer) return Iterator.empty
     buffer.clear()
     if (pending.nonEmpty) {
       pending.foreach(buffer.appendValue)

@@ -81,4 +81,74 @@ class CepSpec extends AnyFunSuite {
     val p = Pattern(steps(), withinMs = 600000, skipPastLast = false)
     assert(run(p, Seq(ev(1, 0, "A", 1), ev(2, 10, "B", 2))).isEmpty)
   }
+
+  test("oneOrMore greedily consumes every loop occurrence") {
+    // A B+ C (relaxed): all Bs between A and the first C are absorbed
+    val p = Pattern(Seq(
+      Step("a", _.tag == "A"),
+      Step("b", _.tag == "B").oneOrMore,
+      Step("c", _.tag == "C")), withinMs = 600000, skipPastLast = true)
+    val out = run(p, Seq(ev(1, 0, "A", 1), ev(1, 10, "B", 2),
+      ev(1, 15, "X", 9), ev(1, 20, "B", 3), ev(1, 30, "C", 4)))
+    assert(out == Seq(Seq(1L, 2L, 3L, 4L)))
+  }
+
+  test("oneOrMore requires at least one occurrence") {
+    val p = Pattern(Seq(
+      Step("a", _.tag == "A"),
+      Step("b", _.tag == "B").oneOrMore,
+      Step("c", _.tag == "C")), withinMs = 600000, skipPastLast = true)
+    assert(run(p, Seq(ev(1, 0, "A", 1), ev(1, 10, "C", 2))).isEmpty)
+  }
+
+  test("times(n) completes exactly at the nth occurrence") {
+    val p = Pattern(Seq(
+      Step("a", _.tag == "A"),
+      Step("b", _.tag == "B").times(2)), withinMs = 600000,
+      skipPastLast = true)
+    val out = run(p, Seq(ev(1, 0, "A", 1), ev(1, 10, "B", 2),
+      ev(1, 20, "B", 3), ev(1, 30, "B", 4)))
+    // completes at the 2nd B; the 3rd B starts nothing (no open A)
+    assert(out == Seq(Seq(1L, 2L, 3L)))
+  }
+
+  test("strict trailing loop emits its maximal match on break") {
+    // A B+ with strict (consecutive) B-loop: the breaking row ends the
+    // match and is free to start a new one
+    val p = Pattern(Seq(
+      Step("a", _.tag == "A"),
+      Step("b", _.tag == "B", strict = true).oneOrMore),
+      withinMs = 600000, skipPastLast = true)
+    val out = run(p, Seq(ev(1, 0, "A", 1), ev(1, 10, "B", 2),
+      ev(1, 20, "B", 3), ev(1, 30, "A", 4), ev(1, 40, "B", 5)))
+    // first match breaks at the second A; that A starts the next one,
+    // which flushes at the watermark sweep (window closed)
+    assert(out == Seq(Seq(1L, 2L, 3L), Seq(4L, 5L)))
+  }
+
+  test("relaxed trailing loop flushes maximal match when window closes") {
+    val p = Pattern(Seq(
+      Step("a", _.tag == "A"),
+      Step("b", _.tag == "B").oneOrMore),
+      withinMs = 60000, skipPastLast = true)
+    val out = run(p, Seq(ev(1, 0, "A", 1), ev(1, 10, "B", 2),
+      ev(1, 20, "B", 3)))
+    // the flush event advances the watermark an hour past the window
+    assert(out == Seq(Seq(1L, 2L, 3L)))
+  }
+
+  test("ctxWhere sees previously matched rows") {
+    // B must carry a larger num than the A it follows
+    def evn(key: Long, sec: Int, tag: String, id: Long, num: Double) = {
+      val base = ev(key, sec, tag, id); base.copy(num = num)
+    }
+    val p = Pattern(Seq(
+      Step("a", _.tag == "A"),
+      Step("b", _.tag == "B",
+        ctxWhere = (e, m) => m.last("a").exists(a => e.num > a.num))),
+      withinMs = 600000, skipPastLast = false)
+    val out = run(p, Seq(evn(1, 0, "A", 1, 10.0), evn(1, 10, "B", 2, 5.0),
+      evn(1, 20, "B", 3, 15.0)))
+    assert(out == Seq(Seq(1L, 3L)))
+  }
 }
