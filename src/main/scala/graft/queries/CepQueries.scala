@@ -184,6 +184,169 @@ object CepQueries {
       ORDER BY user_id, signup_id, error_id
     """))
 
+  // ------------------------------------------------------------------
+  // q88 MATCH_RECOGNIZE V-shape (quantifiers + PREV + FIRST/LAST
+  // MEASURES — the classic falling-then-rising price pattern,
+  // StreamExecMatch's canonical example). Strict SQL contiguity means
+  // DOWN/UP legs are consecutive rows per key; WITHIN 90 days exceeds
+  // the 30-day data span, so matches emit exactly on contiguity break
+  // (a processed row after the up-run). Oracle: gaps-and-islands run
+  // analysis — every start row p whose next row begins/continues a
+  // down-run, with the full following up-run and an existing break row.
+  // ------------------------------------------------------------------
+
+  val q88MatchRecognizeVShape: QueryDef = QueryDef(
+    "q88_mr_vshape",
+    (s, dir) => {
+      StreamRunner.requireRocksDb(s)
+      graft.MatchRecognizeSql.run(s, dir, """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES A.event_id AS start_id, FIRST(DOWN.value) AS first_down,
+                   LAST(DOWN.event_id) AS bottom_id,
+                   LAST(UP.event_id) AS top_id, LAST(UP.value) AS last_up
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (A DOWN+ UP+)
+          WITHIN INTERVAL '90' DAY
+          DEFINE DOWN AS DOWN.value < PREV(DOWN.value),
+                 UP AS UP.value > PREV(UP.value)
+        )""")
+        .orderBy(col("user_id"), col("start_id"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, value,
+               CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS ms
+        FROM events
+        WHERE ts <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)),
+      o AS (
+        SELECT *, ROW_NUMBER() OVER w AS rn, LAG(value) OVER w AS pv
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+      d AS (
+        SELECT *, CASE WHEN pv IS NULL THEN NULL
+                       WHEN value < pv THEN 'D'
+                       WHEN value > pv THEN 'U' ELSE 'F' END AS dir
+        FROM o),
+      ch AS (
+        SELECT *, CASE WHEN dir IS DISTINCT FROM
+                            LAG(dir) OVER (PARTITION BY user_id ORDER BY rn)
+                       THEN 1 ELSE 0 END AS chg
+        FROM d),
+      isl AS (
+        SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY rn) AS island
+        FROM ch),
+      runs AS (
+        SELECT user_id, island, dir, MIN(rn) AS s, MAX(rn) AS en
+        FROM isl GROUP BY user_id, island, dir),
+      cand AS (
+        SELECT dr.user_id, dr.s AS ds, dr.en AS de, ur.en AS ue
+        FROM runs dr
+        JOIN runs ur ON ur.user_id = dr.user_id AND ur.s = dr.en + 1
+        WHERE dr.dir = 'D' AND ur.dir = 'U'
+          AND ur.en < (SELECT MAX(rn) FROM isl i
+                       WHERE i.user_id = dr.user_id)),
+      starts AS (
+        SELECT c.*, p.rn AS p_rn, p.event_id AS start_id
+        FROM cand c
+        JOIN isl p ON p.user_id = c.user_id
+                  AND p.rn BETWEEN c.ds - 1 AND c.de - 1)
+      SELECT st.user_id AS user_id, st.start_id, fd.value AS first_down,
+             bot.event_id AS bottom_id, top.event_id AS top_id,
+             top.value AS last_up
+      FROM starts st
+      JOIN isl fd ON fd.user_id = st.user_id AND fd.rn = st.p_rn + 1
+      JOIN isl bot ON bot.user_id = st.user_id AND bot.rn = st.de
+      JOIN isl top ON top.user_id = st.user_id AND top.rn = st.ue
+      ORDER BY user_id, start_id
+    """))
+
+  // ------------------------------------------------------------------
+  // q89 CEP DSL quantifier: signup (click)+ purchase, relaxed
+  // contiguity, greedy, SKIP PAST LAST. Deterministic chains again:
+  // a signup's first click, then every further click until the first
+  // purchase after that click, completing at that purchase; greedy
+  // arbitration identical to q62's recursive-CTE scan.
+  // ------------------------------------------------------------------
+
+  val q89CepOneOrMore: QueryDef = QueryDef(
+    "q89_cep_one_or_more",
+    (s, dir) => {
+      StreamRunner.requireRocksDb(s)
+      val pat = Pattern(
+        steps = Seq(
+          Step("signup", _.tag == "signup"),
+          Step("click", _.tag == "click").oneOrMore,
+          Step("purchase", _.tag == "purchase")),
+        withinMs = WithinMs, skipPastLast = true)
+      val m = Cep(cepStream(s, dir), pat).toDF()
+      StreamRunner.runToTable(m
+          .select(col("key").as("user_id"),
+            col("ids")(0).as("signup_id"),
+            expr("size(filter(stepIdxs, x -> x = 1))").as("n_clicks"),
+            expr("element_at(filter(arrays_zip(stepIdxs, ids)," +
+              " x -> x.stepIdxs = 1), 1).ids").as("first_click_id"),
+            expr("element_at(filter(arrays_zip(stepIdxs, ids)," +
+              " x -> x.stepIdxs = 1), -1).ids").as("last_click_id"),
+            expr("element_at(ids, -1)").as("purchase_id")),
+          "append")
+        .orderBy(col("user_id"), col("signup_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE e AS (
+        SELECT user_id, event_type, event_id,
+               CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS ms,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+                 CAST(floor(epoch_us(ts) / 1000) AS BIGINT), event_id) AS rn
+        FROM events
+        WHERE ts <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+      ),
+      nx AS (
+        SELECT *,
+               MIN(CASE WHEN event_type = 'click' THEN rn END) OVER w
+                 AS next_click_rn,
+               MIN(CASE WHEN event_type = 'purchase' THEN rn END) OVER w
+                 AS next_pur_rn
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+      ),
+      cand AS (
+        SELECT s.user_id, s.rn AS s_rn, s.event_id AS signup_id,
+               c1.event_id AS first_click_id, pu.rn AS end_rn,
+               pu.event_id AS purchase_id,
+               (SELECT COUNT(*) FROM e k
+                WHERE k.user_id = s.user_id AND k.event_type = 'click'
+                  AND k.rn > s.rn AND k.rn < pu.rn) AS n_clicks,
+               (SELECT MAX_BY(k.event_id, k.rn) FROM e k
+                WHERE k.user_id = s.user_id AND k.event_type = 'click'
+                  AND k.rn > s.rn AND k.rn < pu.rn) AS last_click_id
+        FROM nx s
+        JOIN nx c1 ON c1.user_id = s.user_id AND c1.rn = s.next_click_rn
+        JOIN nx pu ON pu.user_id = c1.user_id AND pu.rn = c1.next_pur_rn
+        WHERE s.event_type = 'signup' AND pu.ms - s.ms <= $WithinMs
+      ),
+      greedy AS (
+        (SELECT user_id, s_rn, signup_id, n_clicks, first_click_id,
+                last_click_id, purchase_id, end_rn
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                          ORDER BY end_rn, s_rn) AS pick FROM cand)
+         WHERE pick = 1)
+        UNION ALL
+        SELECT c.user_id, c.s_rn, c.signup_id, c.n_clicks,
+               c.first_click_id, c.last_click_id, c.purchase_id, c.end_rn
+        FROM greedy g, LATERAL (
+          SELECT * FROM cand c
+          WHERE c.user_id = g.user_id AND c.s_rn > g.end_rn
+          ORDER BY c.end_rn, c.s_rn LIMIT 1) c
+      )
+      SELECT user_id, signup_id, CAST(n_clicks AS INTEGER) AS n_clicks,
+             first_click_id, last_click_id, purchase_id
+      FROM greedy ORDER BY user_id, signup_id
+    """))
+
   val all: Seq[QueryDef] =
-    Seq(q61CepAllMatches, q62CepSkipPastLast, q78MatchRecognize)
+    Seq(q61CepAllMatches, q62CepSkipPastLast, q78MatchRecognize,
+      q88MatchRecognizeVShape, q89CepOneOrMore)
 }
