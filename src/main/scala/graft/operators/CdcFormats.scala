@@ -54,20 +54,25 @@ object CdcFormats {
       .add("data", org.apache.spark.sql.types.ArrayType(payload))
       .add("old", org.apache.spark.sql.types.ArrayType(payload))
       .add("type", "string")
+    // Decode like the debezium path: parse the envelope once, build the
+    // whole changelog array with transform() over data (the old[] row
+    // is zipped positionally via the lambda index), ONE explode. The
+    // previous shape — explode(sequence) + per-index array access + a
+    // second explode — paid two Generate nodes and re-evaluated the
+    // parsed envelope per index reference (4x slower than debezium on
+    // identical data).
     val overlaid = payload.fieldNames.map(f =>
-      s"coalesce(__o.$f, __d.$f) AS $f").mkString(", ")
+      s"coalesce(__env.old[i].$f, d.$f) AS $f").mkString(", ")
     df.withColumn("__env", from_json(json, envelope))
-      .withColumn("__i", explode(sequence(lit(0), size(col("__env.data")) - 1)))
-      .withColumn("__d", col("__env.data")(col("__i")))
-      .withColumn("__o", when(col("__env.`type`") === "UPDATE",
-        col("__env.old")(col("__i"))))
       .withColumn("__parts", expr(
         s"""CASE __env.type
-             WHEN 'UPDATE' THEN array(
+             WHEN 'UPDATE' THEN flatten(transform(__env.data, (d, i) -> array(
                struct('-U' AS row_kind, struct($overlaid) AS data),
-               struct('+U' AS row_kind, __d AS data))
-             WHEN 'DELETE' THEN array(struct('-D' AS row_kind, __d AS data))
-             ELSE array(struct('+I' AS row_kind, __d AS data))
+               struct('+U' AS row_kind, d AS data))))
+             WHEN 'DELETE' THEN transform(__env.data,
+               d -> struct('-D' AS row_kind, d AS data))
+             ELSE transform(__env.data,
+               d -> struct('+I' AS row_kind, d AS data))
            END"""))
       .withColumn("__p", explode(col("__parts")))
       .select(col("__p.row_kind").as("row_kind"), col("__p.data.*"))

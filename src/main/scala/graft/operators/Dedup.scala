@@ -178,21 +178,49 @@ object Dedup {
   /** 32-bit SimHash fingerprint per document over distinct tokens
     * (Charikar '02): bit j of the fingerprint is the sign of
     * sum(±1 over tokens, + when bit j of the token hash is set).
-    * One explode + one keyed aggregation of 32 sums.
+    *
+    * Computed per document inside one `mapPartitions` pass (like the
+    * minhash signatures): the explode + 32-conditional-sums formulation
+    * shuffled every (doc, distinct-token) row — ~8x slower at sf0.1 —
+    * while the fingerprint is a purely per-document reduction, so zero
+    * shuffle is the right plan at any scale. Bit-identical to the SQL
+    * twin: same normalize/tokenize regexes, same md5-prefix hash.
+    * Documents with NULL text drop out (the SQL twin's unnest(NULL)
+    * does the same).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("doc_id"),
-        explode(array_distinct(tokens(col(textCol)))).as("t"))
-      .withColumn("h", hash32(col("t")))
-    val bitSums = (0 until 32).map { j =>
-      sum(when(shiftright(col("h"), j) % 2 === 1, 1).otherwise(-1)).as(s"s$j")
-    }
-    val fp = (0 until 32).map { j =>
-      when(col(s"s$j") > 0, lit(1L) * (1L << j)).otherwise(0L)
-    }.reduce(_ + _)
-    tok.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), fp.as("simhash"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else {
+            val toks = TextOps.normalizeStr(text).split(" ", -1)
+            val seen = new java.util.HashSet[String]()
+            val sums = new Array[Int](32)
+            var i = 0
+            while (i < toks.length) {
+              if (seen.add(toks(i))) {
+                val h = TextOps.hash32Str(md, toks(i))
+                var j = 0
+                while (j < 32) {
+                  if (((h >> j) & 1L) == 1L) sums(j) += 1 else sums(j) -= 1
+                  j += 1
+                }
+              }
+              i += 1
+            }
+            var fp = 0L
+            var j = 0
+            while (j < 32) { if (sums(j) > 0) fp |= 1L << j; j += 1 }
+            Iterator.single((id, fp))
+          }
+        }
+      }
+      .toDF("doc_id", "simhash")
   }
 
   // ------------------------------------------------------------------

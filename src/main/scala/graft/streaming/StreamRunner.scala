@@ -46,7 +46,14 @@ object StreamRunner {
 
   /** Runs `stream` into a fresh memory sink until all available input is
     * processed (including trailing no-data micro-batches that advance
-    * the watermark), then returns the accumulated sink table.
+    * the watermark), then returns the accumulated sink contents.
+    *
+    * The result is eagerly materialized (localCheckpoint) and the
+    * memory-sink temp view dropped before returning: a long-lived
+    * session running many streaming queries (Verify, Bench) would
+    * otherwise accumulate every sink table in driver memory for its
+    * whole lifetime. Results are small (aggregates / top-ns), never raw
+    * input, so the checkpoint is cheap.
     */
   def runToTable(stream: DataFrame, outputMode: String): DataFrame = {
     val spark = stream.sparkSession
@@ -58,7 +65,9 @@ object StreamRunner {
       .start()
     try query.processAllAvailable()
     finally query.stop()
-    spark.table(name)
+    val out = stream.sparkSession.table(name).localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
   }
 
   /** Enables the RocksDB state store provider required by
