@@ -259,7 +259,48 @@ object StreamingQueries2 {
       ORDER BY user_id, win_start, row_kind
     """))
 
+  // ------------------------------------------------------------------
+  // q86 streaming temporal sort-limit (StreamExecTemporalSort +
+  // StreamExecSortLimit): per-key rowtime-ordered emission with a
+  // stateful sequence stamp, stopped after the first 40 rows per key.
+  // The seq column makes emission ORDER hash-checkable: it must equal
+  // the rowtime rank DuckDB computes analytically.
+  // ------------------------------------------------------------------
+
+  val q86TemporalSortLimit: QueryDef = QueryDef(
+    "q86_temporal_sort_limit",
+    (s, dir) => {
+      import s.implicits._
+      StreamRunner.requireRocksDb(s)
+      val ev = StreamRunner.eventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id").as("key"),
+          expr("unix_micros(ts) div 1000").as("tsMs"),
+          col("event_id").as("id"), col("ts"))
+        .as[graft.streaming.TemporalSort.SortEvent]
+      val out = graft.streaming.TemporalSort.sortLimit(ev, 40L).toDF()
+        .select(col("key").as("user_id"), col("id").as("event_id"),
+          col("tsMs").as("ms"), col("seq"))
+      StreamRunner.runToTable(out, "append")
+        .orderBy(col("user_id"), col("seq"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id,
+               CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS ms
+        FROM events
+        WHERE ts <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)),
+      r AS (
+        SELECT user_id, event_id, ms,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ms, event_id) AS seq
+        FROM e)
+      SELECT user_id, event_id, ms, seq
+      FROM r WHERE seq <= 40
+      ORDER BY user_id, seq
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q63StreamHop, q64StreamOver, q65UpsertMaterialize, q81StreamOverRange,
-    q82TwinStateJoin, q85RefiringWindow)
+    q82TwinStateJoin, q85RefiringWindow, q86TemporalSortLimit)
 }
