@@ -300,7 +300,125 @@ object StreamingQueries2 {
       ORDER BY user_id, seq
     """))
 
+  // ------------------------------------------------------------------
+  // q87 retracting stream-stream join: changelog inputs (insert /
+  // update / delete per record) emit per-record -U/+U/-D retraction
+  // pairs against the other side's current state. The changelog is
+  // synthesized from the events fixture — purchases insert, mod-4-1
+  // ones update (+100) 30 min later, mod-4-2 ones delete 45 min later;
+  // clicks are the append-only right side — and the emitted pair
+  // stream is checked per row_kind via counts and id/cents sums the
+  // DuckDB twin computes with inequality joins in the same
+  // (ts, side, id) processing order.
+  // ------------------------------------------------------------------
+
+  val q87RetractingJoin: QueryDef = QueryDef(
+    "q87_retracting_join",
+    (s, dir) => {
+      StreamRunner.requireRocksDb(s)
+      import s.implicits._
+      val raw = StreamRunner.eventsStream(s, dir)
+        .filter(col("event_type").isin("purchase", "click"))
+      val p = raw.filter(col("event_type") === "purchase")
+      def part(side: Int, kind: String, src: org.apache.spark.sql.DataFrame,
+          ts: org.apache.spark.sql.Column, value: org.apache.spark.sql.Column) =
+        src.select(col("user_id").as("key"), lit(side).as("side"),
+          lit(kind).as("kind"), ts.as("ts"), col("event_id").as("id"),
+          value.as("value"))
+      val synth = part(0, "I", p, col("ts"), col("value"))
+        .union(part(0, "U", p.filter(col("event_id") % 4 === 1),
+          col("ts") + expr("INTERVAL 30 MINUTES"), col("value") + 100))
+        .union(part(0, "D", p.filter(col("event_id") % 4 === 2),
+          col("ts") + expr("INTERVAL 45 MINUTES"), lit(0.0)))
+        .union(part(1, "I", raw.filter(col("event_type") === "click"),
+          col("ts"), col("value")))
+        .withWatermark("ts", Wm)
+        .select(col("key"), col("side"), col("kind"),
+          expr("unix_micros(ts) div 1000").as("tsMs"), col("id"),
+          col("value"))
+        .as[graft.streaming.RetractingJoin.RjEvent]
+      val table = StreamRunner.runToTable(
+        graft.streaming.RetractingJoin(synth).toDF(), "append")
+      table.groupBy(col("rowKind").as("row_kind"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("leftId")).as("sum_left_id"),
+          sum(col("rightId")).as("sum_right_id"),
+          sum(expr("cast(round(leftValue * 100) as bigint)"))
+            .as("sum_left_cents"),
+          sum(expr("cast(round(rightValue * 100) as bigint)"))
+            .as("sum_right_cents"))
+        .orderBy(col("row_kind"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT user_id AS key, event_type, event_id AS id,
+               CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS ms, value
+        FROM events WHERE event_type IN ('purchase', 'click')),
+      synth AS (
+        SELECT key, 0 AS side, 'I' AS kind, ms, id, value
+        FROM base WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT key, 0, 'U', ms + 1800000, id, value + 100
+        FROM base WHERE event_type = 'purchase' AND id % 4 = 1
+        UNION ALL
+        SELECT key, 0, 'D', ms + 2700000, id, 0
+        FROM base WHERE event_type = 'purchase' AND id % 4 = 2
+        UNION ALL
+        SELECT key, 1, 'I', ms, id, value
+        FROM base WHERE event_type = 'click'),
+      cut AS (
+        SELECT * FROM synth
+        WHERE ms <= (SELECT max(ms) - 3600000 FROM synth)),
+      lrec AS (SELECT key, id, ms AS ins_ms, value AS v0
+               FROM cut WHERE side = 0 AND kind = 'I'),
+      lupd AS (SELECT key, id, ms AS upd_ms, value AS v1
+               FROM cut WHERE side = 0 AND kind = 'U'),
+      ldel AS (SELECT key, id, ms AS del_ms
+               FROM cut WHERE side = 0 AND kind = 'D'),
+      rins AS (SELECT key, id, ms AS r_ms, value AS rv
+               FROM cut WHERE side = 1),
+      pairs AS (
+        -- +I at a left insert: right rows processed earlier (strict:
+        -- a same-ms right row sorts after side 0)
+        SELECT '+I' AS row_kind, l.id AS lid, r.id AS rid,
+               l.v0 AS lv, r.rv AS rv
+        FROM lrec l JOIN rins r ON r.key = l.key AND r.r_ms < l.ins_ms
+        UNION ALL
+        -- +I at a right insert: live left records at their current value
+        SELECT '+I', l.id, r.id,
+               CASE WHEN u.upd_ms IS NOT NULL AND u.upd_ms <= r.r_ms
+                    THEN u.v1 ELSE l.v0 END,
+               r.rv
+        FROM rins r
+        JOIN lrec l ON l.key = r.key AND l.ins_ms <= r.r_ms
+        LEFT JOIN lupd u ON u.key = l.key AND u.id = l.id
+        LEFT JOIN ldel d ON d.key = l.key AND d.id = l.id
+        WHERE d.del_ms IS NULL OR d.del_ms > r.r_ms
+        UNION ALL
+        SELECT '-U', u.id, r.id, l.v0, r.rv
+        FROM lupd u
+        JOIN lrec l ON l.key = u.key AND l.id = u.id
+        JOIN rins r ON r.key = u.key AND r.r_ms < u.upd_ms
+        UNION ALL
+        SELECT '+U', u.id, r.id, u.v1, r.rv
+        FROM lupd u JOIN rins r ON r.key = u.key AND r.r_ms < u.upd_ms
+        UNION ALL
+        SELECT '-D', d.id, r.id, l.v0, r.rv
+        FROM ldel d
+        JOIN lrec l ON l.key = d.key AND l.id = d.id
+        JOIN rins r ON r.key = d.key AND r.r_ms < d.del_ms)
+      SELECT row_kind, COUNT(*) AS n,
+             CAST(SUM(lid) AS BIGINT) AS sum_left_id,
+             CAST(SUM(rid) AS BIGINT) AS sum_right_id,
+             CAST(SUM(CAST(ROUND(lv * 100) AS BIGINT)) AS BIGINT)
+               AS sum_left_cents,
+             CAST(SUM(CAST(ROUND(rv * 100) AS BIGINT)) AS BIGINT)
+               AS sum_right_cents
+      FROM pairs GROUP BY row_kind ORDER BY row_kind
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q63StreamHop, q64StreamOver, q65UpsertMaterialize, q81StreamOverRange,
-    q82TwinStateJoin, q85RefiringWindow, q86TemporalSortLimit)
+    q82TwinStateJoin, q85RefiringWindow, q86TemporalSortLimit,
+    q87RetractingJoin)
 }
