@@ -48,4 +48,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("lambdafunction"),
       "higher-order-function lambdas should be gone from the hot path")
   }
+
+  test("q31: minhash signatures are one object barrier, buckets capped before pairing") {
+    val p = plan("q31_minhash_dedup")
+    // signature computation: a single MapPartitions pass directly over
+    // the scan — no shuffle until the band explode
+    val sigIdx = p.indexOf("MapPartitions graft.operators.Dedup")
+    assert(sigIdx >= 0, "signatures must come from the mapPartitions pass")
+    val scanIdx = p.indexOf("FileScan parquet [doc_id", sigIdx)
+    assert(scanIdx > sigIdx, "mapPartitions must sit on the scan")
+    assert(!p.substring(sigIdx, scanIdx).contains("Exchange"),
+      "zero shuffle between scan and signature pass")
+    // the bucket cap must gate the pair join (bounds quadratic blowup)
+    assert("Filter \\(bucket_n#\\d+L? <= \\d+".r.findFirstIn(p).isDefined,
+      s"bucket-size cap filter missing:\n$p")
+    val capIdx = p.indexOf("bucket_n")
+    val joinIdx = p.indexOf("Join [bk")
+    assert(joinIdx > 0 && capIdx < p.lastIndexOf("bucket_n"),
+      "band-bucket equi-join expected")
+    assert(!p.contains("CartesianProduct"), "no all-pairs fallback")
+  }
+
+  test("q35: IVF assigns via broadcast centroids and joins per bucket") {
+    val p = plan("q35_ivf_topk")
+    // centroid assignment: centroids broadcast to the corpus (the only
+    // cross shape allowed — the centroid table is tiny by construction)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "centroid argmin must broadcast the centroid side")
+    assert(!p.contains("CartesianProduct"), "no unbroadcast cross product")
+    // scoring join is keyed on the bucket id, not all-pairs
+    assert("HashJoin \\[bucket".r.findFirstIn(p).isDefined,
+      s"bucket-keyed equi-join expected:\n$p")
+    // top-k per query is rank-pushed (partial WindowGroupLimit before
+    // the shuffle), and the dot product is the native expression
+    assert(p.contains("WindowGroupLimit"), "top-k must push group limits")
+    assert(p.contains("vec_dot"), "native dot product expected")
+  }
 }
