@@ -59,12 +59,20 @@ object LookupJoin {
     }(Encoders.row(schema))
   }
 
-  /** Builds a broadcast-map store from a small DataFrame: first column
-    * is the key, the rest are the payload.
+  /** Builds a broadcast-map store from a SMALL DataFrame: first column
+    * is the key, the rest are the payload. This is the test/oracle stub
+    * behind the pluggable [[Store]] — the one deliberate driver collect
+    * in the library — so it hard-fails beyond `maxRows` rather than
+    * silently materializing a real dimension table on the driver
+    * (production stores wrap JDBC/HBase point reads instead).
     */
-  def storeFrom(dim: DataFrame): (Store, StructType) = {
+  def storeFrom(dim: DataFrame, maxRows: Int = 1000000): (Store, StructType) = {
     val schema = StructType(dim.schema.fields.drop(1))
-    val m: Map[Any, Seq[Any]] = dim.collect()
+    val rows = dim.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"storeFrom is a broadcast-map STUB for dims <= $maxRows rows; " +
+        "wire a real Store (JDBC/HBase point lookups) for larger tables")
+    val m: Map[Any, Seq[Any]] = rows
       .map(r => r.get(0) -> r.toSeq.drop(1)).toMap
     val bc = dim.sparkSession.sparkContext.broadcast(m)
     (broadcastStore(bc), schema)
