@@ -417,8 +417,83 @@ object StreamingQueries2 {
       FROM pairs GROUP BY row_kind ORDER BY row_kind
     """))
 
+  // ------------------------------------------------------------------
+  // q90 retractable group aggregate: a -U/+U/-D changelog (same
+  // synthesis recipe as q87's left side, with -U carrying the old
+  // value) drives per-key COUNT/SUM/MIN/MAX where min/max survive
+  // retraction of the current extreme via the sorted multiset. The
+  // query snapshots the last emission per key (max_by(seq) — the
+  // UpsertSink pattern); the oracle aggregates the analytically-final
+  // live set. A naive non-retractable max would keep deleted/updated
+  // extremes and hash-mismatch.
+  // ------------------------------------------------------------------
+
+  val q90RetractableAgg: QueryDef = QueryDef(
+    "q90_retractable_agg",
+    (s, dir) => {
+      StreamRunner.requireRocksDb(s)
+      import s.implicits._
+      val p = StreamRunner.eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+      def part(kind: String, src: org.apache.spark.sql.DataFrame,
+          ts: org.apache.spark.sql.Column, value: org.apache.spark.sql.Column) =
+        src.select(col("user_id").as("key"), lit(kind).as("rowKind"),
+          ts.as("ts"), col("event_id").as("id"), value.as("value"))
+      val upd = p.filter(col("event_id") % 4 === 1)
+      val synth = part("+I", p, col("ts"), col("value"))
+        .union(part("-U", upd, col("ts") + expr("INTERVAL 30 MINUTES"),
+          col("value")))
+        .union(part("+U", upd, col("ts") + expr("INTERVAL 30 MINUTES"),
+          col("value") + 100))
+        .union(part("-D", p.filter(col("event_id") % 4 === 2),
+          col("ts") + expr("INTERVAL 45 MINUTES"), col("value")))
+        .withWatermark("ts", Wm)
+        .select(col("key"), col("rowKind"),
+          expr("unix_micros(ts) div 1000").as("tsMs"), col("id"),
+          col("value"))
+        .as[graft.streaming.RetractableAgg.RaEvent]
+      val table = StreamRunner.runToTable(
+        graft.streaming.RetractableAgg(synth).toDF(), "append")
+      table.groupBy(col("key").as("user_id"))
+        .agg(max_by(
+          struct(col("cnt"), col("sumCents"), col("minCents"),
+            col("maxCents")), col("seq")).as("f"))
+        .select(col("user_id"), col("f.cnt").as("cnt"),
+          col("f.sumCents").as("sum_cents"),
+          col("f.minCents").as("min_cents"),
+          col("f.maxCents").as("max_cents"))
+        .filter(col("cnt") > 0)
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT user_id, event_id AS id,
+               CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS ms, value
+        FROM events WHERE event_type = 'purchase'),
+      synth_ms AS (
+        SELECT ms FROM base
+        UNION ALL SELECT ms + 1800000 FROM base WHERE id % 4 = 1
+        UNION ALL SELECT ms + 2700000 FROM base WHERE id % 4 = 2),
+      cutoff AS (SELECT MAX(ms) - 3600000 AS wm FROM synth_ms),
+      live AS (
+        SELECT b.user_id,
+               CASE WHEN b.id % 4 = 1
+                         AND b.ms + 1800000 <= (SELECT wm FROM cutoff)
+                    THEN b.value + 100 ELSE b.value END AS v
+        FROM base b
+        WHERE b.ms <= (SELECT wm FROM cutoff)
+          AND NOT (b.id % 4 = 2
+                   AND b.ms + 2700000 <= (SELECT wm FROM cutoff)))
+      SELECT user_id, COUNT(*) AS cnt,
+             CAST(SUM(CAST(ROUND(v * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+             MIN(CAST(ROUND(v * 100) AS BIGINT)) AS min_cents,
+             MAX(CAST(ROUND(v * 100) AS BIGINT)) AS max_cents
+      FROM live GROUP BY user_id ORDER BY user_id
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q63StreamHop, q64StreamOver, q65UpsertMaterialize, q81StreamOverRange,
     q82TwinStateJoin, q85RefiringWindow, q86TemporalSortLimit,
-    q87RetractingJoin)
+    q87RetractingJoin, q90RetractableAgg)
 }
