@@ -492,8 +492,55 @@ object StreamingQueries2 {
       FROM live GROUP BY user_id ORDER BY user_id
     """))
 
+  // ------------------------------------------------------------------
+  // q91 evicting window: per-user 1-day tumbling windows over purchases
+  // where a CountEvictor keeps only the LAST 5 elements before the
+  // aggregate runs — the evictor semantics Spark's native windows
+  // cannot express. Oracle: rank-from-the-end per (user, day) in
+  // DuckDB, aggregate ranks <= 5, fired windows only.
+  // ------------------------------------------------------------------
+
+  val q91EvictingWindow: QueryDef = QueryDef(
+    "q91_evicting_window",
+    (s, dir) => {
+      StreamRunner.requireRocksDb(s)
+      import s.implicits._
+      val ev = StreamRunner.eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .withWatermark("ts", Wm)
+        .select(col("user_id").as("key"),
+          expr("unix_micros(ts) div 1000").as("tsMs"),
+          col("event_id").as("id"), col("value"))
+        .as[graft.streaming.EvictingWindow.EwEvent]
+      val out = graft.streaming.EvictingWindow(ev, winMs = 86400000L,
+        graft.streaming.EvictingWindow.Evictor.CountEvictor(5)).toDF()
+        .select(col("key").as("user_id"), col("winStart").as("win_start"),
+          col("cnt"), col("sum"))
+      StreamRunner.runToTable(out, "append")
+        .orderBy(col("user_id"), col("win_start"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id,
+               CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS ms, value
+        FROM events WHERE event_type = 'purchase'),
+      ranked AS (
+        SELECT user_id, (ms // 86400000) * 86400000 AS win_start, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ms // 86400000
+                                  ORDER BY ms DESC, event_id DESC) AS rnk
+        FROM e)
+      SELECT user_id, win_start, COUNT(*) AS cnt,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100
+               AS sum
+      FROM ranked
+      WHERE rnk <= 5
+        AND win_start + 86400000 <= (SELECT MAX(ms) - 3600000 FROM e)
+      GROUP BY user_id, win_start
+      ORDER BY user_id, win_start
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q63StreamHop, q64StreamOver, q65UpsertMaterialize, q81StreamOverRange,
     q82TwinStateJoin, q85RefiringWindow, q86TemporalSortLimit,
-    q87RetractingJoin, q90RetractableAgg)
+    q87RetractingJoin, q90RetractableAgg, q91EvictingWindow)
 }
