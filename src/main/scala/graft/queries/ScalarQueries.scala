@@ -253,7 +253,60 @@ object ScalarQueries {
       ORDER BY n_name
     """))
 
+  /** q92_string_fns3 — third string/binary batch (reference inventory:
+    * SqlFunctionUtils OVERLAY/TRANSLATE/LEFT/RIGHT, binary
+    * TO_BASE64/FROM_BASE64/HEX, BIT_LENGTH/OCTET_LENGTH, SURVEY §2.9).
+    * DuckDB lacks OVERLAY, so its twin is the substring-splice
+    * identity; base64 round-trips through encode().
+    */
+  val q92StringFns3: QueryDef = QueryDef(
+    "q92_string_fns3",
+    (s, dir) =>
+      Tables.load(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          expr("overlay(p_name placing 'XX' from 3 for 2)").as("ovl"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("trans"),
+          expr("left(p_name, 6)").as("l6"),
+          expr("right(p_name, 6)").as("r6"),
+          base64(col("p_brand").cast("binary")).as("b64"),
+          expr("decode(unbase64(base64(cast(p_brand as binary))), 'UTF-8')")
+            .as("b64_rt"),
+          hex(col("p_brand").cast("binary")).as("hx"),
+          expr("char(66)").as("chr_b"),
+          bit_length(col("p_brand")).cast("long").as("bits"),
+          octet_length(col("p_name")).cast("long").as("octets"),
+          regexp_extract(col("p_type"), "([a-z]+)", 1).as("first_lower"),
+          format_string("%s/%d", col("p_brand"), col("p_partkey"))
+            .as("fmt"),
+          expr("replace(p_type, ' ', '-')").as("dashed"),
+          col("p_name").startsWith("a").as("starts_a"),
+          col("p_type").endsWith("STEEL").as("ends_steel"))
+        .orderBy(col("p_partkey")),
+    Some("""
+      SELECT p_partkey,
+             substring(p_name, 1, 2) || 'XX' || substring(p_name, 5)
+               AS ovl,
+             translate(p_name, 'aeiou', 'AEIOU') AS trans,
+             left(p_name, 6) AS l6,
+             right(p_name, 6) AS r6,
+             to_base64(encode(p_brand)) AS b64,
+             p_brand AS b64_rt,
+             upper(hex(encode(p_brand))) AS hx,
+             chr(66) AS chr_b,
+             CAST(bit_length(p_brand) AS BIGINT) AS bits,
+             CAST(octet_length(encode(p_name)) AS BIGINT) AS octets,
+             coalesce(regexp_extract(p_type, '([a-z]+)', 1), '')
+               AS first_lower,
+             printf('%s/%d', p_brand, p_partkey) AS fmt,
+             replace(p_type, ' ', '-') AS dashed,
+             starts_with(p_name, 'a') AS starts_a,
+             suffix(p_type, 'STEEL') AS ends_steel
+      FROM part
+      ORDER BY p_partkey
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q16StringFns, q17MathFns, q18TemporalFns, q19Conditional, q20Json,
-    q21EventsHourly, q22Collection, q23Listagg)
+    q21EventsHourly, q22Collection, q23Listagg, q92StringFns3)
 }
