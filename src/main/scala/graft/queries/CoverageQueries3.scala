@@ -199,7 +199,80 @@ object CoverageQueries3 {
       ORDER BY user_id, sess_start
     """))
 
+  // ------------------------------------------------------------------
+  // q93 salted skew join (§2.12 partitioning): lineitem salted 8 ways
+  // on a deterministic row hash, the order side replicated per salt —
+  // result identical to the plain inner join, which IS the oracle.
+  // PlanSpec pins the shuffle keys including the salt column.
+  // ------------------------------------------------------------------
+
+  val q93SaltedSkewJoin: QueryDef = QueryDef(
+    "q93_salted_skew_join",
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val ord = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.SkewJoin
+        .saltedInner(li, ord, "l_orderkey", "l_linenumber", 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """))
+
+  // ------------------------------------------------------------------
+  // q94 bucketed co-located join (§2.12): both sides written bucketed
+  // by the join key, read back, joined WITHOUT a join-side exchange —
+  // the pre-shuffled layout big batch jobs use so repeated joins never
+  // pay the shuffle again. PlanSpec asserts the exchange-free join.
+  // ------------------------------------------------------------------
+
+  val q94BucketedJoin: QueryDef = QueryDef(
+    "q94_bucketed_join",
+    (s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_buckets").toString
+      s.sql("DROP TABLE IF EXISTS graft_li_b")
+      s.sql("DROP TABLE IF EXISTS graft_ord_b")
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 6000)
+        .select(col("l_orderkey"), col("l_quantity"))
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$tmp/li").saveAsTable("graft_li_b")
+      Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") <= 6000)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$tmp/ord").saveAsTable("graft_ord_b")
+      // merge hint: at fixture scale AQE would broadcast the order side,
+      // which hides the point — at warehouse scale neither side
+      // broadcasts and the bucketed layout is what kills the shuffle
+      s.table("graft_li_b").hint("merge")
+        .join(s.table("graft_ord_b"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_orderkey <= 6000 AND o_orderkey <= 6000
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """))
+
   val all: Seq[QueryDef] =
     Seq(q75ThetaJoin, q76Cogroup, q77OrcPartitioned, q80FlinkSqlTemporal,
-      q83DynamicSession)
+      q83DynamicSession, q93SaltedSkewJoin, q94BucketedJoin)
 }

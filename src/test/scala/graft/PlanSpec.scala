@@ -69,6 +69,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "no all-pairs fallback")
   }
 
+  test("q93: salted join shuffles on (key, salt) — skew splits across reducers") {
+    val p = plan("q93_salted_skew_join")
+    assert("Exchange hashpartitioning\\(l_orderkey#\\d+L?, __salt".r
+      .findAllIn(p).size == 2,
+      s"both join sides must partition on the salted key:\n$p")
+    assert("SortMergeJoin \\[l_orderkey#\\d+L?, __salt".r.findFirstIn(p)
+      .isDefined, "join keys must include the salt")
+  }
+
+  test("q94: bucketed co-located join reads both sides pre-shuffled, no join exchange") {
+    val p = plan("q94_bucketed_join")
+    assert("Bucketed: true".r.findAllIn(p).size == 2,
+      s"both scans must be bucketed:\n$p")
+    assert(p.contains("SortMergeJoin"), "co-located SMJ expected")
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+      !p.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed layout must eliminate the join shuffle:\n$p")
+  }
+
   test("q35: IVF assigns via broadcast centroids and joins per bucket") {
     val p = plan("q35_ivf_topk")
     // centroid assignment: centroids broadcast to the corpus (the only
