@@ -223,6 +223,7 @@ object CoverageQueries2 {
   val q74StreamUnion: QueryDef = QueryDef(
     "q74_stream_union",
     (s, dir) => {
+      StreamRunner.useHeapState(s)
       val src = StreamRunner.eventsStream(s, dir)
       val purchases = src.filter(col("event_type") === "purchase")
         .select(col("ts"), lit("rev").as("tag"))

@@ -191,6 +191,7 @@ object OperatorQueries {
   val q50FlinkSqlTumble: QueryDef = QueryDef(
     "q50_flink_sql_tumble",
     (s, dir) => {
+      graft.streaming.StreamRunner.useHeapState(s)
       Tables.registerAll(s, dir)
       FlinkSql.sql(s, """
         SELECT unix_timestamp(TUMBLE_START(ts, INTERVAL '1' DAY)) AS day_start,

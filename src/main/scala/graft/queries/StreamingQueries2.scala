@@ -22,6 +22,7 @@ object StreamingQueries2 {
   val q63StreamHop: QueryDef = QueryDef(
     "q63_stream_hop",
     (s, dir) => {
+      StreamRunner.useHeapState(s)
       val ev = StreamRunner.eventsStream(s, dir).withWatermark("ts", Wm)
       val agg = ev
         .groupBy(window(col("ts"), "1 day", "12 hours"), col("event_type"))
@@ -102,6 +103,7 @@ object StreamingQueries2 {
   val q65UpsertMaterialize: QueryDef = QueryDef(
     "q65_upsert_materialize",
     (s, dir) => {
+      StreamRunner.useHeapState(s)
       val log = java.nio.file.Files
         .createTempDirectory("graft_upsert_log").toString
       val changelog = StreamRunner.eventsStream(s, dir)

@@ -77,4 +77,17 @@ object StreamRunner {
   def requireRocksDb(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+  /** Heap-backed state store for native streaming operators with
+    * modest per-key state (windowed aggs, bounded joins, dedup) — the
+    * same backend split the reference ships: heap/Fs backend by
+    * default, RocksDB where state outgrows memory. Native instances
+    * cost real startup time per (operator × partition); paying it for
+    * a few counters per window is waste at any scale. Each streaming
+    * query sets its provider explicitly because the session conf
+    * persists across queries in a long-lived session.
+    */
+  def useHeapState(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
 }
