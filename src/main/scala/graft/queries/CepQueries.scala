@@ -346,7 +346,57 @@ object CepQueries {
       FROM greedy ORDER BY user_id, signup_id
     """))
 
+  // ------------------------------------------------------------------
+  // q95 notFollowedBy (flink-cep Pattern#notFollowedBy): signup, then
+  // purchases with NO error in between — an error on the awaited edge
+  // kills the partial. NO_SKIP all-combinations: every (signup,
+  // purchase) pair up to the signup's first subsequent error, within
+  // the window. Oracle: inequality join bounded by next-error position.
+  // ------------------------------------------------------------------
+
+  val q95CepNotFollowedBy: QueryDef = QueryDef(
+    "q95_cep_not_followed_by",
+    (s, dir) => {
+      StreamRunner.requireRocksDb(s)
+      val pat = Pattern(
+        steps = Seq(
+          Step("signup", _.tag == "signup"),
+          Step("purchase", _.tag == "purchase",
+            notBefore = _.tag == "error")),
+        withinMs = WithinMs, skipPastLast = false)
+      val m = Cep(cepStream(s, dir), pat).toDF()
+      StreamRunner.runToTable(m
+          .select(col("key").as("user_id"),
+            col("ids")(0).as("signup_id"), col("ids")(1).as("purchase_id")),
+          "append")
+        .orderBy(col("user_id"), col("signup_id"), col("purchase_id"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT user_id, event_type, event_id,
+               CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS ms,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+                 CAST(floor(epoch_us(ts) / 1000) AS BIGINT), event_id) AS rn
+        FROM events
+        WHERE ts <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)),
+      nx AS (
+        SELECT *,
+               MIN(CASE WHEN event_type = 'error' THEN rn END) OVER w
+                 AS next_err_rn
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+      SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id
+      FROM nx s
+      JOIN e p ON p.user_id = s.user_id AND p.event_type = 'purchase'
+              AND p.rn > s.rn
+              AND (s.next_err_rn IS NULL OR p.rn < s.next_err_rn)
+              AND p.ms - s.ms <= $WithinMs
+      WHERE s.event_type = 'signup'
+      ORDER BY s.user_id, signup_id, purchase_id
+    """))
+
   val all: Seq[QueryDef] =
     Seq(q61CepAllMatches, q62CepSkipPastLast, q78MatchRecognize,
-      q88MatchRecognizeVShape, q89CepOneOrMore)
+      q88MatchRecognizeVShape, q89CepOneOrMore, q95CepNotFollowedBy)
 }

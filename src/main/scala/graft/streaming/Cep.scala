@@ -50,10 +50,15 @@ object Cep {
     * quantified step, `strict` also governs the loop's internal
     * contiguity (Flink `consecutive()`). `ctxWhere` additionally sees
     * the matched prefix (for PREV / cross-variable predicates).
+    * `notBefore` (Flink `notFollowedBy` on the preceding edge): while a
+    * partial awaits entry into THIS step, an event matching `notBefore`
+    * kills it — unless the same event advances the partial (the
+    * positive edge wins, as in the reference's NFA edge priority).
     */
   case class Step(name: String, where: CepEvent => Boolean,
       strict: Boolean = false, minTimes: Int = 1, maxTimes: Int = 1,
-      ctxWhere: (CepEvent, MatchCtx) => Boolean = null) {
+      ctxWhere: (CepEvent, MatchCtx) => Boolean = null,
+      notBefore: CepEvent => Boolean = null) {
     require(minTimes >= 1 && maxTimes >= minTimes,
       s"bad quantifier {$minTimes,$maxTimes}")
     def oneOrMore: Step = copy(minTimes = 1, maxTimes = Int.MaxValue)
@@ -197,6 +202,13 @@ object Cep {
               // contiguity (a strict entry binds to this exact row)
               if (!nst.strict && !pattern.skipPastLast && st.maxTimes == 1)
                 next ::= p
+            } else if (p.count >= st.minTimes && !last && {
+              val nst = pattern.steps(p.stepIdx + 1)
+              nst.notBefore != null && nst.notBefore(e)
+            }) {
+              // notFollowedBy: a banned event on the awaited edge kills
+              // the partial (the positive advance edge was checked
+              // first, so an event matching both still advances)
             } else {
               // e matched nothing this partial awaits: it survives iff
               // some awaited transition is relaxed

@@ -137,6 +137,27 @@ class CepSpec extends AnyFunSuite {
     assert(out == Seq(Seq(1L, 2L, 3L)))
   }
 
+  test("notFollowedBy kills the partial; the positive edge wins a tie") {
+    val p = Pattern(Seq(
+      Step("a", _.tag == "A"),
+      Step("b", _.tag == "B", notBefore = _.tag == "X")),
+      withinMs = 600000, skipPastLast = false)
+    // X between A and B kills the partial
+    assert(run(p, Seq(ev(1, 0, "A", 1), ev(1, 10, "X", 2), ev(1, 20, "B", 3)))
+      .isEmpty)
+    // without the ban event, matches flow
+    assert(run(p, Seq(ev(1, 0, "A", 1), ev(1, 10, "B", 2)))
+      == Seq(Seq(1L, 2L)))
+    // an event matching BOTH the ban and the step advances (edge priority)
+    val both = Pattern(Seq(
+      Step("a", _.tag == "A"),
+      Step("b", e => e.tag == "B" || e.tag == "X",
+        notBefore = _.tag == "X")),
+      withinMs = 600000, skipPastLast = false)
+    assert(run(both, Seq(ev(1, 0, "A", 1), ev(1, 10, "X", 2)))
+      == Seq(Seq(1L, 2L)))
+  }
+
   test("ctxWhere sees previously matched rows") {
     // B must carry a larger num than the A it follows
     def evn(key: Long, sec: Int, tag: String, id: Long, num: Double) = {
