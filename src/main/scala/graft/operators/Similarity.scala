@@ -144,4 +144,27 @@ object Similarity {
       .select(col("x.blk").as("blk"), col("x.id").as("id_a"),
         col("y.id").as("id_b"), round(col("sim"), 6).as("sim"))
   }
+
+  /** Symmetric int8 quantization of an embedding column: per-vector
+    * `scale = max|v_i| / 127`, `q_i = round(v_i / scale)` stored as
+    * tinyint — a 4x (fp32) / 8x (fp64) memory cut for the ANN corpus,
+    * the standard trade at 100 TB scale where the vector store, not the
+    * query side, dominates. Dequantize with [[dequantize]]; scoring
+    * error is bounded by the per-dimension step `scale/2`.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val dv = asD(col(vecCol))
+    df.select(col(idCol),
+        (aggregate(dv, lit(0.0), (acc, x) => greatest(acc, abs(x))) / 127.0)
+          .as("scale"),
+        dv.as("__dv"))
+      .select(col(idCol),
+        transform(col("__dv"), x => round(x / col("scale")).cast("tinyint"))
+          .as("qvec"),
+        col("scale"))
+  }
+
+  /** Reconstructs the double vector from (qvec, scale). */
+  def dequantize(qvec: Column, scale: Column): Column =
+    transform(qvec, x => x.cast("double") * scale)
 }

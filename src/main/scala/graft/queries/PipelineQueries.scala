@@ -332,8 +332,68 @@ object PipelineQueries {
       ORDER BY doc_id
     """))
 
+  // ------------------------------------------------------------------
+  // q96 int8-quantized ANN: corpus quantized to tinyint (4-8x memory
+  // cut — at 100 TB the vector store dominates), scored dequantized,
+  // and the hash-stable contract is recall quality: the quantized
+  // top-1's EXACT similarity must sit within 0.05 of the exact top-1.
+  // The DuckDB twin computes the exact top-1 and TRUE, so a
+  // quantization bug that changes picks beyond tolerance flips the
+  // boolean and fails the gate.
+  // ------------------------------------------------------------------
+
+  val q96QuantizedAnn: QueryDef = QueryDef(
+    "q96_quantized_ann",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(emb, queries, k = 1)
+        .select(col("query_id"), col("sim").as("exact_sim"))
+      val q = broadcast(queries
+        .select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("qv"))
+        .withColumn("qn", Similarity.l2norm(col("qv"))))
+      val deq = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+        .select(col("vec_id").as("neighbor_id"),
+          Similarity.dequantize(col("qvec"), col("scale")).as("dv"))
+        .withColumn("dn", Similarity.l2norm(col("dv")))
+      val top1q = deq.join(q, col("neighbor_id") =!= col("query_id"))
+        .withColumn("simq",
+          Similarity.dot(col("qv"), col("dv")) / (col("qn") * col("dn")))
+        .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("simq").desc, col("neighbor_id"))))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), col("neighbor_id"))
+      val cv = emb.select(col("vec_id").as("neighbor_id"),
+          col("embedding").cast("array<double>").as("cv"))
+        .withColumn("cn", Similarity.l2norm(col("cv")))
+      val qpick = top1q.join(cv, "neighbor_id").join(q, "query_id")
+        .withColumn("qpick_sim",
+          Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        .select(col("query_id"), col("qpick_sim"))
+      exact.join(qpick, "query_id")
+        .select(col("query_id"), col("exact_sim"),
+          (col("qpick_sim") >= col("exact_sim") - 0.05).as("recall_ok"))
+        .orderBy(col("query_id"))
+    },
+    Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                 FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      sims AS (SELECT query_id, neighbor_id, $cosQC AS sim
+               FROM c JOIN q ON neighbor_id <> query_id),
+      r AS (SELECT query_id, sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id) AS rnk
+            FROM sims)
+      SELECT query_id, round(sim, 6) AS exact_sim, TRUE AS recall_ok
+      FROM r WHERE rnk = 1
+      ORDER BY query_id
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
-    q38CurationRollup, q84MinhashClusters)
+    q38CurationRollup, q84MinhashClusters, q96QuantizedAnn)
 }
