@@ -243,7 +243,92 @@ object OperatorQueries {
       ORDER BY asset_id
     """))
 
+  // ------------------------------------------------------------------
+  // q97 full CDC pipeline as a STREAM: debezium envelopes synthesized
+  // from orders (every order inserts; 'O' orders update price+100 12h
+  // later; 'P' orders delete 24h later) → CdcFormats.fromDebezium →
+  // RetractableAgg consuming the decoded row_kind changelog → final
+  // per-customer snapshot. Composes the FLIP-105 decode, the row_kind
+  // convention, and retractable aggregation end-to-end; the oracle
+  // aggregates the analytically-final live set under the same
+  // watermark cutoff.
+  // ------------------------------------------------------------------
+
+  private val cdcPricedPayload = new StructType()
+    .add("o_orderkey", "long").add("o_custkey", "long")
+    .add("price", "double")
+
+  val q97CdcRetractPipeline: QueryDef = QueryDef(
+    "q97_cdc_retract_pipeline",
+    (s, dir) => {
+      graft.streaming.StreamRunner.requireRocksDb(s)
+      import s.implicits._
+      val ord = graft.streaming.StreamRunner.tableStream(s, dir, "orders")
+      val pay = struct(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").as("price"))
+      val payUpd = struct(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") + 100).as("price"))
+      val none = when(lit(false), pay)
+      def env(cond: org.apache.spark.sql.Column, op: String, offMs: Long,
+          before: org.apache.spark.sql.Column,
+          after: org.apache.spark.sql.Column) =
+        ord.filter(cond).select(to_json(struct(
+          before.as("before"), after.as("after"), lit(op).as("op"),
+          (unix_millis(col("o_orderdate").cast("timestamp")) + offMs)
+            .as("ts_ms"))).as("j"))
+      val envelopes = env(lit(true), "c", 0L, none, pay)
+        .union(env(col("o_orderstatus") === "O", "u", 43200000L, pay, payUpd))
+        .union(env(col("o_orderstatus") === "P", "d", 86400000L, pay, none))
+      val changelog = CdcFormats
+        .fromDebezium(envelopes, col("j"), cdcPricedPayload)
+        .withColumn("ts", timestamp_millis(col("ts_ms")))
+        .withWatermark("ts", "1 hour")
+        .select(col("o_custkey").as("key"), col("row_kind").as("rowKind"),
+          col("ts_ms").as("tsMs"), col("o_orderkey").as("id"),
+          col("price").as("value"))
+        .as[graft.streaming.RetractableAgg.RaEvent]
+      val table = graft.streaming.StreamRunner.runToTable(
+        graft.streaming.RetractableAgg(changelog).toDF(), "append")
+      table.groupBy(col("key").as("o_custkey"))
+        .agg(max_by(
+          struct(col("cnt"), col("sumCents"), col("minCents"),
+            col("maxCents")), col("seq")).as("f"))
+        .select(col("o_custkey"), col("f.cnt").as("cnt"),
+          col("f.sumCents").as("sum_cents"),
+          col("f.minCents").as("min_cents"),
+          col("f.maxCents").as("max_cents"))
+        .filter(col("cnt") > 0)
+        .orderBy(col("o_custkey"))
+    },
+    Some("""
+      WITH synth_ms AS (
+        SELECT epoch_ms(o_orderdate) AS ms FROM orders
+        UNION ALL SELECT epoch_ms(o_orderdate) + 43200000
+        FROM orders WHERE o_orderstatus = 'O'
+        UNION ALL SELECT epoch_ms(o_orderdate) + 86400000
+        FROM orders WHERE o_orderstatus = 'P'),
+      cutoff AS (SELECT MAX(ms) - 3600000 AS wm FROM synth_ms),
+      live AS (
+        SELECT o_custkey,
+               CASE WHEN o_orderstatus = 'O'
+                         AND epoch_ms(o_orderdate) + 43200000
+                             <= (SELECT wm FROM cutoff)
+                    THEN o_totalprice + 100 ELSE o_totalprice END AS v
+        FROM orders
+        WHERE epoch_ms(o_orderdate) <= (SELECT wm FROM cutoff)
+          AND NOT (o_orderstatus = 'P'
+                   AND epoch_ms(o_orderdate) + 86400000
+                       <= (SELECT wm FROM cutoff)))
+      SELECT o_custkey, COUNT(*) AS cnt,
+             CAST(SUM(CAST(ROUND(v * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+             MIN(CAST(ROUND(v * 100) AS BIGINT)) AS min_cents,
+             MAX(CAST(ROUND(v * 100) AS BIGINT)) AS max_cents
+      FROM live GROUP BY o_custkey ORDER BY o_custkey
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q45AsofJoin, q46LookupJoin, q47DedupKeepLast,
-    q48CdcDebezium, q49CdcCanal, q50FlinkSqlTumble, q51Multimodal)
+    q48CdcDebezium, q49CdcCanal, q50FlinkSqlTumble, q51Multimodal,
+    q97CdcRetractPipeline)
 }

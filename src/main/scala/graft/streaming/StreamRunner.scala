@@ -27,19 +27,24 @@ object StreamRunner {
 
   private val nameCounter = new AtomicInteger
 
-  /** The `events` fixture as a real file-source stream with the same
-    * ns→µs event-time normalization as the batch loader
-    * ([[graft.Tables.load]]).
+  /** Any fixture table as a real file-source stream (the file stream
+    * source only accepts directories: stream the fixture dir and select
+    * the single file via pathGlobFilter).
+    */
+  def tableStream(spark: SparkSession, dir: String, table: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/$table.parquet"
+    val schema = spark.read.parquet(path).schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", s"$table.parquet").parquet(dir)
+  }
+
+  /** The `events` fixture as a stream with the same ns→µs event-time
+    * normalization as the batch loader ([[graft.Tables.load]]).
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-    // the file stream source only accepts directories: stream the fixture
-    // dir and select the single events file via pathGlobFilter
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-    if (schema("ts").dataType == LongType)
+    val raw = tableStream(spark, dir, "events")
+    if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
