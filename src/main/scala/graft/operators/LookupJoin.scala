@@ -28,9 +28,27 @@ object LookupJoin {
     def lookup(key: Any): Option[Seq[Any]]
   }
 
+  /** Multi-get lookup: one round-trip answers a whole key batch — the
+    * Spark-idiomatic analog of the reference's ASYNC lookup I/O
+    * (AsyncLookupJoinRunner): where Flink hides per-key latency behind
+    * concurrent in-flight callbacks, a batch-at-a-time engine hides it
+    * by amortizing the round-trip over `batchSize` keys per partition.
+    * Same throughput lever, no callback machinery.
+    */
+  trait BatchedStore extends Serializable {
+    def lookupAll(keys: Seq[Any]): Map[Any, Seq[Any]]
+  }
+
   /** Store stub over a broadcast map (key → payload values). */
   def broadcastStore(bc: Broadcast[Map[Any, Seq[Any]]]): Store =
     new Store { def lookup(key: Any): Option[Seq[Any]] = bc.value.get(key) }
+
+  /** Batched-store stub over the same broadcast map. */
+  def broadcastBatchedStore(bc: Broadcast[Map[Any, Seq[Any]]]): BatchedStore =
+    new BatchedStore {
+      def lookupAll(keys: Seq[Any]): Map[Any, Seq[Any]] =
+        keys.iterator.flatMap(k => bc.value.get(k).map(k -> _)).toMap
+    }
 
   /** Left-outer lookup enrichment of `df` by `keyCol`, appending
     * `outCols` (typed by `outSchema`) from the store, with a
@@ -59,6 +77,30 @@ object LookupJoin {
     }(Encoders.row(schema))
   }
 
+  /** Left-outer lookup enrichment via a [[BatchedStore]]: rows are
+    * consumed in `batchSize` groups per partition, distinct keys of the
+    * group go out as ONE multi-get, results join back in row order.
+    * Dedups keys within the batch (the LRU's job in the point-lookup
+    * path) and keeps memory bounded by the batch, not the partition.
+    */
+  def enrichBatched(
+      df: DataFrame, keyCol: String, store: BatchedStore,
+      outSchema: StructType, batchSize: Int = 1000): DataFrame = {
+    val schema = StructType(df.schema.fields ++ outSchema.fields)
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val nOut = outSchema.size
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        val hits = store.lookupAll(batch.map(_.get(keyIdx)).distinct)
+        batch.iterator.map { row =>
+          val extra = hits.get(row.get(keyIdx)).map(_.toArray)
+            .getOrElse(Array.fill[Any](nOut)(null))
+          Row.fromSeq(row.toSeq ++ extra)
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Builds a broadcast-map store from a SMALL DataFrame: first column
     * is the key, the rest are the payload. This is the test/oracle stub
     * behind the pluggable [[Store]] — the one deliberate driver collect
@@ -67,6 +109,19 @@ object LookupJoin {
     * (production stores wrap JDBC/HBase point reads instead).
     */
   def storeFrom(dim: DataFrame, maxRows: Int = 1000000): (Store, StructType) = {
+    val (bc, schema) = collectDim(dim, maxRows)
+    (broadcastStore(bc), schema)
+  }
+
+  /** Batched twin of [[storeFrom]]. */
+  def batchedStoreFrom(
+      dim: DataFrame, maxRows: Int = 1000000): (BatchedStore, StructType) = {
+    val (bc, schema) = collectDim(dim, maxRows)
+    (broadcastBatchedStore(bc), schema)
+  }
+
+  private def collectDim(dim: DataFrame, maxRows: Int)
+      : (Broadcast[Map[Any, Seq[Any]]], StructType) = {
     val schema = StructType(dim.schema.fields.drop(1))
     val rows = dim.limit(maxRows + 1).collect()
     require(rows.length <= maxRows,
@@ -74,7 +129,6 @@ object LookupJoin {
         "wire a real Store (JDBC/HBase point lookups) for larger tables")
     val m: Map[Any, Seq[Any]] = rows
       .map(r => r.get(0) -> r.toSeq.drop(1)).toMap
-    val bc = dim.sparkSession.sparkContext.broadcast(m)
-    (broadcastStore(bc), schema)
+    (dim.sparkSession.sparkContext.broadcast(m), schema)
   }
 }

@@ -71,6 +71,34 @@ object OperatorQueries {
     """))
 
   // ------------------------------------------------------------------
+  // q98 batched lookup join — the async-lookup-I/O analog: distinct
+  // keys of each 64-row batch go out as ONE multi-get per partition.
+  // Same semantics as q46, so the same left-outer oracle.
+  // ------------------------------------------------------------------
+
+  val q98LookupBatched: QueryDef = QueryDef(
+    "q98_lookup_batched",
+    (s, dir) => {
+      val dim = Tables.load(s, dir, "nation")
+        .join(broadcast(Tables.load(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      val (store, outSchema) = LookupJoin.batchedStoreFrom(dim)
+      LookupJoin.enrichBatched(
+          Tables.load(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_name"), col("s_nationkey")),
+          "s_nationkey", store, outSchema, batchSize = 64)
+        .orderBy(col("s_suppkey"))
+    },
+    Some("""
+      SELECT s_suppkey, s_name, s_nationkey, n_name, r_name
+      FROM supplier
+      LEFT JOIN nation ON s_nationkey = n_nationkey
+      LEFT JOIN region ON n_regionkey = r_regionkey
+      ORDER BY s_suppkey
+    """))
+
+  // ------------------------------------------------------------------
   // q47 deduplicate keep-last (the reference's StreamExecDeduplicate
   // ROW_NUMBER()=1 ORDER BY time DESC pattern, batch semantics)
   // ------------------------------------------------------------------
@@ -330,5 +358,5 @@ object OperatorQueries {
   val all: Seq[QueryDef] = Seq(
     q45AsofJoin, q46LookupJoin, q47DedupKeepLast,
     q48CdcDebezium, q49CdcCanal, q50FlinkSqlTumble, q51Multimodal,
-    q97CdcRetractPipeline)
+    q97CdcRetractPipeline, q98LookupBatched)
 }
