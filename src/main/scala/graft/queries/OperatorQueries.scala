@@ -297,16 +297,19 @@ object OperatorQueries {
       val payUpd = struct(col("o_orderkey"), col("o_custkey"),
         (col("o_totalprice") + 100).as("price"))
       val none = when(lit(false), pay)
-      def env(cond: org.apache.spark.sql.Column, op: String, offMs: Long,
-          before: org.apache.spark.sql.Column,
+      val ts0 = unix_millis(col("o_orderdate").cast("timestamp"))
+      def env(op: String, offMs: Long, before: org.apache.spark.sql.Column,
           after: org.apache.spark.sql.Column) =
-        ord.filter(cond).select(to_json(struct(
-          before.as("before"), after.as("after"), lit(op).as("op"),
-          (unix_millis(col("o_orderdate").cast("timestamp")) + offMs)
-            .as("ts_ms"))).as("j"))
-      val envelopes = env(lit(true), "c", 0L, none, pay)
-        .union(env(col("o_orderstatus") === "O", "u", 43200000L, pay, payUpd))
-        .union(env(col("o_orderstatus") === "P", "d", 86400000L, pay, none))
+        to_json(struct(before.as("before"), after.as("after"),
+          lit(op).as("op"), (ts0 + offMs).as("ts_ms")))
+      // all of an order's envelopes in ONE pass over the source (a
+      // 3-way union would re-read the orders file once per branch)
+      val envelopes = ord.select(explode(array_compact(array(
+        env("c", 0L, none, pay),
+        when(col("o_orderstatus") === "O",
+          env("u", 43200000L, pay, payUpd)),
+        when(col("o_orderstatus") === "P",
+          env("d", 86400000L, pay, none))))).as("j"))
       val changelog = CdcFormats
         .fromDebezium(envelopes, col("j"), cdcPricedPayload)
         .withColumn("ts", timestamp_millis(col("ts_ms")))
