@@ -255,7 +255,33 @@ object CoverageQueries2 {
       ORDER BY win_start, tag
     """))
 
+  // ------------------------------------------------------------------
+  // q99 DataGen bounded sequence source (DataGenTableSourceFactory):
+  // parallel generation across 8 partitions with derived fields,
+  // aggregated and checked against DuckDB's range() — pins that the
+  // generator is deterministic and partition-count-independent. The
+  // xxhash64 pseudo-random helpers stay spec-covered (DuckDB has no
+  // twin hash).
+  // ------------------------------------------------------------------
+
+  val q99DataGen: QueryDef = QueryDef(
+    "q99_datagen",
+    (s, dir) =>
+      graft.sources.DataGen.sequence(s, 10000L, 8,
+          "bucket" -> "id % 7", "v" -> "(id * 37) % 1000")
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .orderBy(col("bucket")),
+    Some("""
+      SELECT range % 7 AS bucket, COUNT(*) AS n,
+             CAST(SUM((range * 37) % 1000) AS BIGINT) AS sum_v,
+             MIN(range) AS min_id, MAX(range) AS max_id
+      FROM range(10000)
+      GROUP BY 1 ORDER BY bucket
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q69CountWindow, q70LateSideOutput, q71BroadcastEnrich,
-    q72FormatRoundtrip, q73RangeSort, q74StreamUnion)
+    q72FormatRoundtrip, q73RangeSort, q74StreamUnion, q99DataGen)
 }

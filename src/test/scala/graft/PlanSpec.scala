@@ -88,6 +88,14 @@ class PlanSpec extends AnyFunSuite {
       s"bucketed layout must eliminate the join shuffle:\n$p")
   }
 
+  test("q96: quantized ANN scores with native vec_dot, queries broadcast") {
+    val p = plan("q96_quantized_ann")
+    assert(p.contains("vec_dot"), "native dot product expected")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "query side must broadcast for corpus-local scoring")
+    assert(!p.contains("CartesianProduct"), "no unbroadcast cross product")
+  }
+
   test("q35: IVF assigns via broadcast centroids and joins per bucket") {
     val p = plan("q35_ivf_topk")
     // centroid assignment: centroids broadcast to the corpus (the only
