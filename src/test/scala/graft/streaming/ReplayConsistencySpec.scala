@@ -91,4 +91,78 @@ class ReplayConsistencySpec extends AnyFunSuite {
     val shuffled = runAgg(aggEvents.grouped(9).map(_.reverse).toSeq)
     assert(one.nonEmpty && one == three && one == shuffled)
   }
+
+  private def runEvict(batches: Seq[Seq[EvictingWindow.EwEvent]])
+      : Seq[(Long, Long, Long, Double)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    StreamRunner.requireRocksDb(spark)
+    val in = MemoryStream[EvictingWindow.EwEvent]
+    val name = s"rc_ew_${System.nanoTime()}"
+    val stream = in.toDS()
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_millis($"tsMs"))
+      .withWatermark("ts", "30 seconds")
+      .drop("ts").as[EvictingWindow.EwEvent]
+    val q = EvictingWindow(stream, 60000L,
+        EvictingWindow.Evictor.CountEvictor(3)).toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      in.addData(EvictingWindow.EwEvent(999L, ts(3599).getTime, 0L, 0.0))
+      q.processAllAvailable()
+      spark.table(name).filter($"key" =!= 999L)
+        .select($"key", $"winStart", $"cnt", $"sum")
+        .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    } finally q.stop()
+  }
+
+  private val ewEvents = (1 to 24).map { i =>
+    EvictingWindow.EwEvent(i % 2, ts(i * 10).getTime, i.toLong, i * 1.0)
+  }
+
+  test("evicting window: one batch == three batches == shuffled batches") {
+    val one = runEvict(Seq(ewEvents))
+    val three = runEvict(ewEvents.grouped(8).toSeq)
+    val shuffled = runEvict(ewEvents.grouped(8).map(_.reverse).toSeq)
+    assert(one.nonEmpty && one == three && one == shuffled)
+  }
+
+  private def runCep(batches: Seq[Seq[Cep.CepEvent]]): Seq[Seq[Long]] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    StreamRunner.requireRocksDb(spark)
+    val in = MemoryStream[Cep.CepEvent]
+    val name = s"rc_cep_${System.nanoTime()}"
+    val pat = Cep.Pattern(Seq(
+      Cep.Step("a", _.tag == "A"),
+      Cep.Step("b", _.tag == "B").oneOrMore,
+      Cep.Step("c", _.tag == "C")), withinMs = 600000, skipPastLast = true)
+    val q = Cep(in.toDS().withWatermark("ts", "30 seconds").as[Cep.CepEvent],
+        pat).toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      in.addData(Cep.CepEvent(999L, ts(3599).getTime, "flush", 0L, ts(3599)))
+      q.processAllAvailable()
+      spark.table(name).filter($"key" =!= 999L).orderBy($"startTsMs")
+        .collect().map(_.getAs[scala.collection.Seq[Long]]("ids").toSeq)
+        .toSeq
+    } finally q.stop()
+  }
+
+  private val cepEvents = (1 to 24).map { i =>
+    val tag = i % 6 match {
+      case 1 => "A"; case 2 | 3 | 4 => "B"; case 5 => "C"; case _ => "X"
+    }
+    Cep.CepEvent(i % 2, ts(i * 10).getTime, tag, i.toLong, ts(i * 10))
+  }
+
+  test("cep quantifiers: one batch == three batches == shuffled batches") {
+    val one = runCep(Seq(cepEvents))
+    val three = runCep(cepEvents.grouped(8).toSeq)
+    val shuffled = runCep(cepEvents.grouped(8).map(_.reverse).toSeq)
+    assert(one.nonEmpty && one == three && one == shuffled)
+  }
 }
