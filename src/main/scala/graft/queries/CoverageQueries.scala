@@ -283,7 +283,44 @@ object CoverageQueries {
       ORDER BY l_returnflag
     """))
 
+  // ------------------------------------------------------------------
+  // q100 approx percentile — superset capability like q60: the sketch
+  // estimate is engine-specific, so the hash-stable contract is the
+  // exact percentile plus a tolerance boolean. percentile_approx with
+  // accuracy 10000 must land within 1% of the exact p50/p95 (DuckDB
+  // twin: exact quantile + TRUE).
+  // ------------------------------------------------------------------
+
+  val q100ApproxPercentile: QueryDef = QueryDef(
+    "q100_approx_percentile",
+    (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95_exact"),
+          expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("p50_a"),
+          expr("percentile_approx(l_extendedprice, 0.95, 10000)").as("p95_a"))
+        .select(col("l_returnflag"),
+          round(col("p50_exact"), 4).as("p50_exact"),
+          round(col("p95_exact"), 4).as("p95_exact"),
+          (abs(col("p50_a") - col("p50_exact"))
+            <= col("p50_exact") * 0.01).as("p50_ok"),
+          (abs(col("p95_a") - col("p95_exact"))
+            <= col("p95_exact") * 0.01).as("p95_ok"))
+        .orderBy(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+             round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_exact,
+             TRUE AS p50_ok, TRUE AS p95_ok
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag
+    """))
+
   val all: Seq[QueryDef] = Seq(
+    q100ApproxPercentile,
     q52SetopsAll, q53Cube, q54GroupingSets, q55Posexplode, q56RangeFrame,
     q57StringFns2, q58TemporalFns2, q59Multiset, q60ApproxDistinct)
 }
