@@ -42,6 +42,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // which queries this run ATTEMPTED (after the filter): lets
+    // check_oracle distinguish "filtered out" (skip) from "attempted
+    // but produced no dump" (a crash — must FAIL, not skip)
+    val attempted = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    Files.writeString(Paths.get(s"$outDir/attempted.json"),
+      attempted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

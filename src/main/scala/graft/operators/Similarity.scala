@@ -159,8 +159,11 @@ object Similarity {
           .as("scale"),
         dv.as("__dv"))
       .select(col(idCol),
-        transform(col("__dv"), x => round(x / col("scale")).cast("tinyint"))
-          .as("qvec"),
+        // scale = 0 (all-zero vector) would make x/scale NaN → null
+        // codes; the zero vector must quantize to zeros, not drop out
+        transform(col("__dv"), x =>
+          when(col("scale") > 0, round(x / col("scale")))
+            .otherwise(lit(0)).cast("tinyint")).as("qvec"),
         col("scale"))
   }
 

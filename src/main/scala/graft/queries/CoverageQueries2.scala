@@ -114,6 +114,7 @@ object CoverageQueries2 {
   val q71BroadcastEnrich: QueryDef = QueryDef(
     "q71_broadcast_enrich",
     (s, dir) => {
+      StreamRunner.useHeapState(s)
       val dim = broadcast(
         Tables.load(s, dir, "customer")
           .join(Tables.load(s, dir, "nation"),

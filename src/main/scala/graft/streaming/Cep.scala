@@ -147,9 +147,15 @@ object Cep {
         * sitting at the final step with minTimes met flush-emits its
         * maximal match first (greedy timeout emission). In
         * SKIP_PAST_LAST mode the flush clears partials that started at
-        * or before the flushed match's end row.
+        * or before the flushed match's end ROW — compared by (ts, id)
+        * position, since a same-millisecond row AFTER the match end is
+        * past the skip point and its partial must survive.
         */
       def expire(isExpired: Partial => Boolean): Unit = {
+        def startsAfter(q: Partial, endTs: Long, endId: Long): Boolean = {
+          val h = q.evs.head
+          h.tsMs > endTs || (h.tsMs == endTs && h.id > endId)
+        }
         var kept = List.empty[Partial]
         var rest = open
         while (rest.nonEmpty) {
@@ -157,11 +163,11 @@ object Cep {
           if (!isExpired(p)) kept ::= p
           else if (p.stepIdx == nSteps - 1 &&
               p.count >= pattern.steps(p.stepIdx).minTimes) {
-            val endTs = p.evs.last.tsMs
-            out += toMatch(key, p, endTs)
+            val last = p.evs.last
+            out += toMatch(key, p, last.tsMs)
             if (pattern.skipPastLast) {
-              kept = kept.filter(_.firstTs > endTs)
-              rest = rest.filter(_.firstTs > endTs)
+              kept = kept.filter(startsAfter(_, last.tsMs, last.id))
+              rest = rest.filter(startsAfter(_, last.tsMs, last.id))
             }
           } // else: expired before completing → silently dropped
         }

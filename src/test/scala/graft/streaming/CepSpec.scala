@@ -137,6 +137,22 @@ class CepSpec extends AnyFunSuite {
     assert(out == Seq(Seq(1L, 2L, 3L)))
   }
 
+  test("flush clearing compares row position, not timestamp alone") {
+    // partial2 starts at the SAME millisecond as partial1's last matched
+    // row but a later id — it is past the skip point and must survive
+    // partial1's window-close flush
+    // within = 15s: partial1 (A@0 B@10) expires when B@20 arrives and
+    // flush-emits ending at row (10s, id 2); partial2 started at
+    // (10s, id 3) must survive the clear and match B@20
+    val p = Pattern(Seq(
+      Step("a", _.tag == "A"),
+      Step("b", _.tag == "B").oneOrMore),
+      withinMs = 15000, skipPastLast = true)
+    val out = run(p, Seq(ev(1, 0, "A", 1), ev(1, 10, "B", 2),
+      ev(1, 10, "A", 3), ev(1, 20, "B", 4)))
+    assert(out == Seq(Seq(1L, 2L), Seq(3L, 4L)))
+  }
+
   test("notFollowedBy kills the partial; the positive edge wins a tie") {
     val p = Pattern(Seq(
       Step("a", _.tag == "A"),

@@ -35,12 +35,27 @@ def main(sf_dir: str, out_dir: str) -> int:
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     failed = []
+    import glob
+    import os
+    # queries the Verify run attempted: anything attempted but missing a
+    # dump crashed (or wrote an empty result) and must FAIL, while
+    # queries filtered out of the run are skipped. Older dumps without
+    # attempted.json are treated as full runs (everything attempted).
+    attempted_path = f"{out_dir}/attempted.json"
+    if os.path.exists(attempted_path):
+        with open(attempted_path) as f:
+            attempted = set(json.load(f))
+    else:
+        attempted = set(oracles)
     skipped = 0
     for name, sql in sorted(oracles.items()):
         try:
-            import glob
             if not glob.glob(f"{out_dir}/{name}/*.parquet"):
-                skipped += 1  # not dumped in this (filtered) Verify run
+                if name in attempted:
+                    failed.append((name, "attempted but no parquet dump "
+                                   "(query crashed or wrote empty output)"))
+                else:
+                    skipped += 1  # filtered out of this Verify run
                 continue
             got = con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
