@@ -218,7 +218,8 @@ object CoverageQueries3 {
       graft.operators.SkewJoin
         .saltedInner(li, ord, "l_orderkey", "l_linenumber", 8)
         .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"))
         .orderBy(col("o_orderpriority"))
     },
     Some("""
@@ -261,7 +262,8 @@ object CoverageQueries3 {
         .join(s.table("graft_ord_b"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"))
         .orderBy(col("o_orderpriority"))
     },
     Some("""
