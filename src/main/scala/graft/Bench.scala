@@ -17,7 +17,13 @@ object Bench {
       spark.range(1000).selectExpr("sum(id)").collect()
       Tables.all.foreach(n => Tables.load(spark, sfDir, n).count())
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // local iteration only: comma-separated query filter (driver leaves
+    // this unset → full run)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -318,8 +318,13 @@ object OperatorQueries {
           col("ts_ms").as("tsMs"), col("o_orderkey").as("id"),
           col("price").as("value"))
         .as[graft.streaming.RetractableAgg.RaEvent]
+      // snapshot emission: one state row per key per timer fire, so the
+      // sink carries O(keys × fires), never the O(changes) changelog —
+      // the per-record emission semantics are q90's subject, not this
+      // pipeline's, and staging 240k+ updates through the harness sink
+      // was the one driver-memory-shaped step in the repo (r3 verdict)
       val table = graft.streaming.StreamRunner.runToTable(
-        graft.streaming.RetractableAgg(changelog).toDF(), "append")
+        graft.streaming.RetractableAgg.snapshots(changelog).toDF(), "append")
       table.groupBy(col("key").as("o_custkey"))
         .agg(max_by(
           struct(col("cnt"), col("sumCents"), col("minCents"),

@@ -47,7 +47,14 @@ object RetractableAgg {
   case class AggState(seq: Long, cnt: Long, sumCents: Long,
       multiset: TreeMap[Long, Long])
 
-  class RetractableAggProcessor
+  /** When `emitEveryUpdate` (the default) each processed changelog
+    * record emits an updated row — Flink's per-record update stream.
+    * When false, only the post-sweep state emits (one row per key per
+    * timer fire): the upsert-snapshot shape, O(keys) per micro-batch
+    * instead of O(changes) total, which is what a sink should carry at
+    * 100 TB when the consumer only wants final values.
+    */
+  class RetractableAggProcessor(emitEveryUpdate: Boolean = true)
       extends WatermarkReplayProcessor[RaEvent, RaRow] {
 
     @transient private var agg: ValueState[AggState] = _
@@ -91,9 +98,13 @@ object RetractableAgg {
           }
         val emitSeq = st.seq + 1
         st = st.copy(seq = emitSeq)
-        out += RaRow(key, emitSeq, st.cnt, st.sumCents,
-          st.multiset.headOption.map(_._1), st.multiset.lastOption.map(_._1))
+        if (emitEveryUpdate)
+          out += RaRow(key, emitSeq, st.cnt, st.sumCents,
+            st.multiset.headOption.map(_._1), st.multiset.lastOption.map(_._1))
       }
+      if (!emitEveryUpdate && ready.nonEmpty)
+        out += RaRow(key, st.seq, st.cnt, st.sumCents,
+          st.multiset.headOption.map(_._1), st.multiset.lastOption.map(_._1))
       agg.update(st)
       out.result().iterator
     }
@@ -103,6 +114,17 @@ object RetractableAgg {
     import events.sparkSession.implicits._
     events.groupByKey(_.key)
       .transformWithState(new RetractableAggProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Snapshot-emission variant: per-key state rows once per timer fire
+    * rather than once per change. Downstream still picks the last fire
+    * per key (`max_by(seq)`), but over O(keys × fires) rows — the full
+    * changelog never leaves the operator. */
+  def snapshots(events: Dataset[RaEvent]): Dataset[RaRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .transformWithState(new RetractableAggProcessor(emitEveryUpdate = false),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }

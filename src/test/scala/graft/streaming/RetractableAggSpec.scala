@@ -74,4 +74,41 @@ class RetractableAggSpec extends AnyFunSuite {
       ev(1, "-D", 20, 1, 7.0)))
     assert(out.last.cnt == 1L && out.last.maxCents == Some(700L))
   }
+
+  test("snapshot emission: one row per fire, same final state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    StreamRunner.requireRocksDb(spark)
+    val events = Seq(
+      ev(1, "+I", 0, 1, 10.0),
+      ev(1, "+I", 10, 2, 5.0),
+      ev(1, "-D", 20, 1, 10.0),
+      ev(2, "+I", 5, 3, 3.0))
+    val in = MemoryStream[RaEvent]
+    val stream = in.toDS()
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_millis($"tsMs"))
+      .withWatermark("ts", "0 seconds")
+      .drop("ts").as[RaEvent]
+    val name = s"ra_snap_${System.nanoTime()}"
+    val q = RetractableAgg.snapshots(stream).toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      in.addData(events: _*)
+      q.processAllAvailable()
+      in.addData(ev(999L, "+I", 3599, 0L, 0.0))
+      q.processAllAvailable()
+      val out = spark.table(name).as[RaRow].collect().toSeq
+        .filter(_.key != 999L)
+      // all 4 events arrive in one batch → one fire per key → exactly
+      // one emission per key (vs 4 for the per-record changelog), and
+      // seq still counts every processed change
+      assert(out.map(_.key).sorted == Seq(1L, 2L))
+      val k1 = out.find(_.key == 1L).get
+      assert(k1.seq == 3L && k1.cnt == 1L && k1.sumCents == 500L &&
+        k1.maxCents == Some(500L))
+      val k2 = out.find(_.key == 2L).get
+      assert(k2.cnt == 1L && k2.sumCents == 300L)
+    } finally q.stop()
+  }
 }
