@@ -16,8 +16,18 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode, S
   * (key, window) via [[UpsertSink]] semantics gives the final table.
   *
   * State: one (count, cents, fired) triple per OPEN window per key in
-  * MapState; windows GC exactly at end+allowed. Timers: one per window
-  * end + one per GC point; each fire sweeps the (small) per-key map.
+  * MapState; windows GC exactly at end+allowed.
+  *
+  * Timer discipline — ONE armed timer per key at the min pending
+  * boundary (unfired window → its end, fired window → its GC point),
+  * re-armed at the new min after every sweep. The earlier design armed
+  * two timers per (key, window); on the file-replay shape (watermark
+  * jumps a month in one batch) that meant ~80k fires each iterating
+  * the key's whole window map — measured 5s of timer processing at
+  * sf0.1. With the re-arm discipline one watermark jump costs one
+  * sweep per key. Invariant: whenever the map is non-empty an armed
+  * timer ≤ min(boundary) exists (inputs arm their batch's min, every
+  * fire re-arms); stale extra timers just cause a cheap empty sweep.
   */
 object RefiringWindow {
 
@@ -45,26 +55,43 @@ object RefiringWindow {
         timerValues: TimerValues): Iterator[RwOut] = {
       val wm = timerValues.getCurrentWatermarkInMs
       val out = Seq.newBuilder[RwOut]
+      // coalesce the batch per window first: state traffic scales with
+      // touched windows, not rows (rows arrive grouped per key per batch)
+      val touched = scala.collection.mutable.LinkedHashMap
+        .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
       rows.foreach { e =>
         val winStart = math.floorDiv(e.tsMs, winMs) * winMs
-        val winEnd = winStart + winMs
         val cents = math.round(e.value * 100.0)
-        if (wm >= winEnd + allowedMs) {
+        if (wm >= winStart + winMs + allowedMs) {
           // beyond allowed lateness: side output, row preserved
           out += RwOut(key, winStart, "L", 1L, cents / 100.0)
         } else {
-          val prev = Option(windows.getValue(winStart))
-            .getOrElse(WinAcc(0L, 0L, fired = false))
-          val acc = WinAcc(prev.cnt + 1, prev.cents + cents, prev.fired)
-          windows.updateValue(winStart, acc)
-          if (prev.cnt == 0) {
-            getHandle.registerTimer(winEnd) // first row arms the fire…
-            getHandle.registerTimer(winEnd + allowedMs) // …and the GC
-          }
-          if (acc.fired) // late row into an already-fired window → re-fire
-            out += RwOut(key, winStart, "+U", acc.cnt, acc.cents / 100.0)
+          touched.getOrElseUpdate(winStart,
+            scala.collection.mutable.ArrayBuffer.empty) += cents
         }
       }
+      var minBoundary = Long.MaxValue
+      touched.foreach { case (winStart, centsList) =>
+        val prev = Option(windows.getValue(winStart))
+          .getOrElse(WinAcc(0L, 0L, fired = false))
+        var acc = prev
+        if (prev.fired) {
+          // late rows into an already-fired window re-fire PER RECORD
+          // (the reference's retracting re-emission), state written once
+          centsList.foreach { c =>
+            acc = WinAcc(acc.cnt + 1, acc.cents + c, fired = true)
+            out += RwOut(key, winStart, "+U", acc.cnt, acc.cents / 100.0)
+          }
+        } else {
+          acc = WinAcc(prev.cnt + centsList.size,
+            prev.cents + centsList.sum, fired = false)
+        }
+        windows.updateValue(winStart, acc)
+        val boundary =
+          if (acc.fired) winStart + winMs + allowedMs else winStart + winMs
+        if (boundary < minBoundary) minBoundary = boundary
+      }
+      if (minBoundary != Long.MaxValue) getHandle.registerTimer(minBoundary)
       out.result().iterator
     }
 
@@ -72,15 +99,25 @@ object RefiringWindow {
         expiredTimerInfo: ExpiredTimerInfo): Iterator[RwOut] = {
       val wm = timerValues.getCurrentWatermarkInMs
       val out = Seq.newBuilder[RwOut]
-      // sweep the per-key window map: fire closed windows, GC expired ones
+      // one sweep of the per-key window map: fire closed windows, GC
+      // expired ones, then re-arm at the min surviving boundary
+      var minBoundary = Long.MaxValue
       val entries = windows.iterator().toArray
       entries.foreach { case (ws, acc) =>
-        if (!acc.fired && wm >= ws + winMs) {
-          out += RwOut(key, ws, "+I", acc.cnt, acc.cents / 100.0)
-          windows.updateValue(ws, acc.copy(fired = true))
+        var cur = acc
+        if (!cur.fired && wm >= ws + winMs) {
+          out += RwOut(key, ws, "+I", cur.cnt, cur.cents / 100.0)
+          cur = cur.copy(fired = true)
+          windows.updateValue(ws, cur)
         }
         if (wm >= ws + winMs + allowedMs) windows.removeKey(ws)
+        else {
+          val boundary =
+            if (cur.fired) ws + winMs + allowedMs else ws + winMs
+          if (boundary < minBoundary) minBoundary = boundary
+        }
       }
+      if (minBoundary != Long.MaxValue) getHandle.registerTimer(minBoundary)
       out.result().iterator
     }
   }
