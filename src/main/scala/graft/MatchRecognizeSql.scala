@@ -60,15 +60,20 @@ object MatchRecognizeSql {
   final case class Measure(fn: String, variable: String, field: String,
       alias: String)
 
-  final case class Quantified(name: String, min: Int, max: Int)
+  final case class Quantified(name: String, min: Int, max: Int,
+      optional: Boolean = false)
 
+  /** `skipTo`: AFTER MATCH SKIP TO (FIRST|LAST) <var> as
+    * (variable, isFirst); exclusive with `skipPastLast`.
+    */
   final case class MrSpec(
       table: String, partitionBy: String, orderBy: String,
       measures: Seq[Measure],
       skipPastLast: Boolean,
       patternVars: Seq[Quantified],
       withinMs: Long,
-      defines: Map[String, Define])
+      defines: Map[String, Define],
+      skipTo: Option[(String, Boolean)] = None)
 
   private def re(p: String) = ("(?is)" + p).r
 
@@ -104,15 +109,20 @@ object MatchRecognizeSql {
     val skipPastLast =
       re("""AFTER\s+MATCH\s+SKIP\s+PAST\s+LAST\s+ROW""")
         .findFirstIn(inner).isDefined
+    val skipTo =
+      re("""AFTER\s+MATCH\s+SKIP\s+TO\s+(FIRST|LAST)\s+(\w+)""")
+        .findFirstMatchIn(inner)
+        .map(g => (g.group(2), g.group(1).equalsIgnoreCase("first")))
     val patternVars = one("""PATTERN\s*\(([^)]+)\)""", "PATTERN")
       .trim.split("\\s+").toSeq.map { tok =>
-        re("""(\w+)(\+|\{(\d+)(?:\s*,\s*(\d+))?\})?""").findFirstMatchIn(tok)
+        re("""(\w+)(\+|\?|\{(\d+)(?:\s*,\s*(\d+))?\})?""").findFirstMatchIn(tok)
           .filter(_.matched == tok) match {
           case Some(g) =>
             val name = g.group(1)
             Option(g.group(2)) match {
               case None => Quantified(name, 1, 1)
               case Some("+") => Quantified(name, 1, Int.MaxValue)
+              case Some("?") => Quantified(name, 1, 1, optional = true)
               case Some(_) =>
                 val n = g.group(3).toInt
                 val m = Option(g.group(4)).map(_.toInt).getOrElse(n)
@@ -167,7 +177,7 @@ object MatchRecognizeSql {
         v -> define
       }.toMap
     MrSpec(table, partitionBy, orderBy, measures, skipPastLast,
-      patternVars, withinMs, defines)
+      patternVars, withinMs, defines, skipTo)
   }
 
   private def cmpOp(op: String): (Double, Double) => Boolean = op match {
@@ -181,7 +191,7 @@ object MatchRecognizeSql {
   /** Compiles one pattern variable to an NFA step. */
   private def toStep(q: Quantified, defines: Map[String, Define]): Step = {
     val base = Step(q.name, _ => true, strict = true,
-      minTimes = q.min, maxTimes = q.max)
+      minTimes = q.min, maxTimes = q.max, isOptional = q.optional)
     defines.get(q.name) match {
       case None => base // undefined variable matches any row
       case Some(Define(_, "=", LitStr(lit))) =>
@@ -229,7 +239,9 @@ object MatchRecognizeSql {
         col(spec.orderBy).as("ts"), col("value").as("num"))
       .as[CepEvent]
     val matches = Cep(ev,
-      Pattern(steps, spec.withinMs, spec.skipPastLast)).toDF()
+      Pattern(steps, spec.withinMs, spec.skipPastLast,
+        skipToVar = spec.skipTo.map(_._1).orNull,
+        skipToFirst = spec.skipTo.exists(_._2))).toDF()
 
     val stepIdx = spec.patternVars.map(_.name).zipWithIndex.toMap
     val measureCols: Seq[Column] = spec.measures.map { m =>
@@ -243,7 +255,9 @@ object MatchRecognizeSql {
         throw new IllegalArgumentException(
           s"measure variable ${m.variable} not in PATTERN"))
       val pos = if (m.fn == "first") "1" else "-1"
-      expr(s"element_at(filter(arrays_zip(stepIdxs, $arr), " +
+      // try_element_at: an optional variable absent from the match has
+      // an empty occurrence list → the measure is NULL (SQL standard)
+      expr(s"try_element_at(filter(arrays_zip(stepIdxs, $arr), " +
         s"x -> x.stepIdxs = $i), $pos).$arr").as(m.alias)
     }
     StreamRunner.runToTable(

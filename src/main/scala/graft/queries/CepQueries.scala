@@ -396,7 +396,136 @@ object CepQueries {
       ORDER BY s.user_id, signup_id, purchase_id
     """))
 
+  // ------------------------------------------------------------------
+  // q101 MATCH_RECOGNIZE optional step (Flink `Pattern#optional` / SQL
+  // `B?`): view → optional click → purchase under strict adjacency.
+  // Deterministic per start row: the next row is either the purchase
+  // (B skipped, click_id NULL) or a click whose next row is the
+  // purchase — LEAD-twice oracle.
+  // ------------------------------------------------------------------
+
+  val q101MrOptional: QueryDef = QueryDef(
+    "q101_mr_optional",
+    (s, dir) => {
+      StreamRunner.requireRocksDb(s)
+      graft.MatchRecognizeSql.run(s, dir, """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES A.event_id AS view_id, B.event_id AS click_id,
+                   C.event_id AS purchase_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (A B? C)
+          WITHIN INTERVAL '7' DAY
+          DEFINE A AS A.event_type = 'view',
+                 B AS B.event_type = 'click',
+                 C AS C.event_type = 'purchase'
+        )""")
+        .orderBy(col("user_id"), col("view_id"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, event_type,
+               CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS ms
+        FROM events
+        WHERE ts <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)),
+      o AS (
+        SELECT *,
+               LEAD(event_type, 1) OVER w AS t1,
+               LEAD(event_id, 1) OVER w AS id1,
+               LEAD(ms, 1) OVER w AS ms1,
+               LEAD(event_type, 2) OVER w AS t2,
+               LEAD(event_id, 2) OVER w AS id2,
+               LEAD(ms, 2) OVER w AS ms2
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id))
+      SELECT user_id, event_id AS view_id,
+             CASE WHEN t1 = 'click' THEN id1 END AS click_id,
+             CASE WHEN t1 = 'purchase' THEN id1 ELSE id2 END AS purchase_id
+      FROM o
+      WHERE event_type = 'view' AND (
+        (t1 = 'purchase' AND ms1 - ms <= 604800000)
+        OR (t1 = 'click' AND t2 = 'purchase' AND ms2 - ms <= 604800000))
+      ORDER BY user_id, view_id
+    """))
+
+  // ------------------------------------------------------------------
+  // q102 AFTER MATCH SKIP TO LAST: q88's V-shape with SKIP TO LAST
+  // DOWN. All starts of one V complete on the same break row; the
+  // earliest emits first and its skip row (the V's bottom) prunes the
+  // later starts — so exactly ONE match per V survives, the one
+  // starting at the row before the down-run. Oracle = q88's
+  // gaps-and-islands analysis with starts pinned to ds-1.
+  // ------------------------------------------------------------------
+
+  val q102MrSkipToLast: QueryDef = QueryDef(
+    "q102_mr_skip_to_last",
+    (s, dir) => {
+      StreamRunner.requireRocksDb(s)
+      graft.MatchRecognizeSql.run(s, dir, """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES A.event_id AS start_id, FIRST(DOWN.value) AS first_down,
+                   LAST(DOWN.event_id) AS bottom_id,
+                   LAST(UP.event_id) AS top_id, LAST(UP.value) AS last_up
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO LAST DOWN
+          PATTERN (A DOWN+ UP+)
+          WITHIN INTERVAL '90' DAY
+          DEFINE DOWN AS DOWN.value < PREV(DOWN.value),
+                 UP AS UP.value > PREV(UP.value)
+        )""")
+        .orderBy(col("user_id"), col("start_id"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, value,
+               CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS ms
+        FROM events
+        WHERE ts <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)),
+      o AS (
+        SELECT *, ROW_NUMBER() OVER w AS rn, LAG(value) OVER w AS pv
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+      d AS (
+        SELECT *, CASE WHEN pv IS NULL THEN NULL
+                       WHEN value < pv THEN 'D'
+                       WHEN value > pv THEN 'U' ELSE 'F' END AS dir
+        FROM o),
+      ch AS (
+        SELECT *, CASE WHEN dir IS DISTINCT FROM
+                            LAG(dir) OVER (PARTITION BY user_id ORDER BY rn)
+                       THEN 1 ELSE 0 END AS chg
+        FROM d),
+      isl AS (
+        SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY rn) AS island
+        FROM ch),
+      runs AS (
+        SELECT user_id, island, dir, MIN(rn) AS s, MAX(rn) AS en
+        FROM isl GROUP BY user_id, island, dir),
+      cand AS (
+        SELECT dr.user_id, dr.s AS ds, dr.en AS de, ur.en AS ue
+        FROM runs dr
+        JOIN runs ur ON ur.user_id = dr.user_id AND ur.s = dr.en + 1
+        WHERE dr.dir = 'D' AND ur.dir = 'U'
+          AND ur.en < (SELECT MAX(rn) FROM isl i
+                       WHERE i.user_id = dr.user_id)),
+      starts AS (
+        SELECT c.*, p.rn AS p_rn, p.event_id AS start_id
+        FROM cand c
+        JOIN isl p ON p.user_id = c.user_id AND p.rn = c.ds - 1)
+      SELECT st.user_id AS user_id, st.start_id, fd.value AS first_down,
+             bot.event_id AS bottom_id, top.event_id AS top_id,
+             top.value AS last_up
+      FROM starts st
+      JOIN isl fd ON fd.user_id = st.user_id AND fd.rn = st.p_rn + 1
+      JOIN isl bot ON bot.user_id = st.user_id AND bot.rn = st.de
+      JOIN isl top ON top.user_id = st.user_id AND top.rn = st.ue
+      ORDER BY user_id, start_id
+    """))
+
   val all: Seq[QueryDef] =
     Seq(q61CepAllMatches, q62CepSkipPastLast, q78MatchRecognize,
-      q88MatchRecognizeVShape, q89CepOneOrMore, q95CepNotFollowedBy)
+      q88MatchRecognizeVShape, q89CepOneOrMore, q95CepNotFollowedBy,
+      q101MrOptional, q102MrSkipToLast)
 }

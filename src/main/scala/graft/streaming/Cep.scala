@@ -58,16 +58,35 @@ object Cep {
   case class Step(name: String, where: CepEvent => Boolean,
       strict: Boolean = false, minTimes: Int = 1, maxTimes: Int = 1,
       ctxWhere: (CepEvent, MatchCtx) => Boolean = null,
-      notBefore: CepEvent => Boolean = null) {
+      notBefore: CepEvent => Boolean = null,
+      isOptional: Boolean = false) {
     require(minTimes >= 1 && maxTimes >= minTimes,
       s"bad quantifier {$minTimes,$maxTimes}")
     def oneOrMore: Step = copy(minTimes = 1, maxTimes = Int.MaxValue)
     def times(n: Int): Step = copy(minTimes = n, maxTimes = n)
     def times(n: Int, m: Int): Step = copy(minTimes = n, maxTimes = m)
+    /** Flink `Pattern#optional`: the step occurs {0} ∪ [min,max] times —
+      * a partial may skip it entirely (SQL `A?` with min=max=1). A
+      * trailing optional step is unsupported (match completion at
+      * window close would be ambiguous); the processor rejects it.
+      */
+    def optional: Step = copy(isOptional = true)
   }
 
+  /** `skipToVar`/`skipToFirst`: AFTER MATCH SKIP TO [FIRST|LAST] <var>
+    * (reference: `nfa/aftermatch/AfterMatchSkipStrategy.java`) — when a
+    * match emits, open partials that STARTED before the match's
+    * first/last `skipToVar` row die; partials starting at or after it
+    * survive, so the next match's scan effectively resumes there.
+    * Mutually exclusive with `skipPastLast`. A match not containing the
+    * variable (possible when it is optional) prunes nothing.
+    */
   case class Pattern(steps: Seq[Step], withinMs: Long,
-      skipPastLast: Boolean)
+      skipPastLast: Boolean, skipToVar: String = null,
+      skipToFirst: Boolean = false) {
+    require(skipToVar == null || !skipPastLast,
+      "SKIP TO FIRST/LAST and SKIP PAST LAST are mutually exclusive")
+  }
 
   /** `ts` duplicates tsMs as the watermarked timestamp column so the
     * upstream watermark survives the typed projection; `num` carries
@@ -118,6 +137,33 @@ object Cep {
 
     private val names = pattern.steps.map(_.name).toIndexedSeq
     private val nSteps = pattern.steps.length
+    require(!pattern.steps.last.isOptional,
+      "trailing optional step unsupported")
+
+    /** Steps an advance out of step `i` may enter: `i+1`, plus each
+      * further step reachable by skipping optional ones.
+      */
+    private val advTargets: Array[List[Int]] = Array.tabulate(nSteps) { i =>
+      val b = List.newBuilder[Int]
+      var j = i + 1
+      var cont = true
+      while (cont && j < nSteps) { b += j; cont = pattern.steps(j).isOptional; j += 1 }
+      b.result()
+    }
+
+    /** Steps a fresh partial may start in: 0, plus each further step
+      * reachable by skipping optional leading steps.
+      */
+    private val startTargets: List[Int] = {
+      val b = List.newBuilder[Int]
+      var j = 0
+      var cont = true
+      while (cont && j < nSteps) { b += j; cont = pattern.steps(j).isOptional; j += 1 }
+      b.result()
+    }
+
+    private val skipToIdx =
+      if (pattern.skipToVar == null) -1 else names.indexOf(pattern.skipToVar)
 
     override protected def initState(): Unit =
       partials = getHandle.getValueState[Array[Partial]]("partials",
@@ -142,6 +188,26 @@ object Cep {
 
       var open = Option(partials.get()).getOrElse(Array.empty[Partial]).toList
       val out = List.newBuilder[CepMatch]
+
+      // AFTER MATCH SKIP TO FIRST/LAST bookkeeping: the (ts, id) row
+      // position partials must have started at-or-after to survive
+      var pruneAt: (Long, Long) = null
+      def startsBefore(q: Partial, at: (Long, Long)): Boolean = {
+        val h = q.evs.head
+        h.tsMs < at._1 || (h.tsMs == at._1 && h.id < at._2)
+      }
+      /** The emitted match's skip row, if the variable occurs in it. */
+      def skipRowOf(p: Partial): Option[(Long, Long)] =
+        if (skipToIdx < 0) None
+        else {
+          val at = if (pattern.skipToFirst) p.stepOf.indexOf(skipToIdx)
+                   else p.stepOf.lastIndexOf(skipToIdx)
+          if (at < 0) None else Some((p.evs(at).tsMs, p.evs(at).id))
+        }
+      def noteMatch(p: Partial): Unit = skipRowOf(p).foreach { sr =>
+        if (pruneAt == null || pruneAt._1 < sr._1 ||
+            (pruneAt._1 == sr._1 && pruneAt._2 < sr._2)) pruneAt = sr
+      }
 
       /** Drops partials whose within-window closed; a dropped partial
         * sitting at the final step with minTimes met flush-emits its
@@ -169,6 +235,11 @@ object Cep {
               kept = kept.filter(startsAfter(_, last.tsMs, last.id))
               rest = rest.filter(startsAfter(_, last.tsMs, last.id))
             }
+            skipRowOf(p).foreach { sr =>
+              noteMatch(p)
+              kept = kept.filter(!startsBefore(_, sr))
+              rest = rest.filter(!startsBefore(_, sr))
+            }
           } // else: expired before completing → silently dropped
         }
         open = kept.reverse
@@ -180,33 +251,48 @@ object Cep {
         var matched = false    // a full match consumed e
         var broke = false      // a strict trailing loop emitted; e NOT consumed
         open.foreach { p =>
-          if ((matched || broke) && pattern.skipPastLast) {
+          if (pruneAt != null && startsBefore(p, pruneAt)) {
+            // pruned by AFTER MATCH SKIP TO FIRST/LAST
+          } else if ((matched || broke) && pattern.skipPastLast) {
             // greedy mode: the first full match wins; the rest discard
           } else {
             val st = pattern.steps(p.stepIdx)
             val last = p.stepIdx == nSteps - 1
             val canLoop = p.count < st.maxTimes && pred(st, e, p.stepOf, p.evs)
-            lazy val canAdvance = p.count >= st.minTimes && !last &&
-              pred(pattern.steps(p.stepIdx + 1), e, p.stepOf, p.evs)
+            lazy val viable =
+              if (p.count >= st.minTimes && !last)
+                advTargets(p.stepIdx)
+                  .filter(j => pred(pattern.steps(j), e, p.stepOf, p.evs))
+              else Nil
             if (canLoop) {
               // greedy: extending the loop beats advancing
               val adv = Partial(p.stepIdx, p.count + 1, p.firstTs,
                 p.stepOf :+ p.stepIdx, p.evs :+ e)
               if (last && adv.count == st.maxTimes) {
                 out += toMatch(key, adv, e.tsMs); matched = true
+                noteMatch(adv)
               } else next ::= adv
-            } else if (canAdvance) {
-              val ni = p.stepIdx + 1
-              val nst = pattern.steps(ni)
-              val adv = Partial(ni, 1, p.firstTs, p.stepOf :+ ni, p.evs :+ e)
-              if (ni == nSteps - 1 && nst.maxTimes == 1) {
-                out += toMatch(key, adv, e.tsMs); matched = true
-              } else next ::= adv
+            } else if (viable.nonEmpty) {
+              // greedy also across skippable optional steps: in
+              // SKIP_PAST_LAST mode only the nearest viable step is
+              // entered (consume the optional step when it matches);
+              // NO_SKIP branches into every viable entry
+              val chosen =
+                if (pattern.skipPastLast) viable.take(1) else viable
+              chosen.foreach { ni =>
+                val nst = pattern.steps(ni)
+                val adv = Partial(ni, 1, p.firstTs, p.stepOf :+ ni, p.evs :+ e)
+                if (ni == nSteps - 1 && nst.maxTimes == 1) {
+                  out += toMatch(key, adv, e.tsMs); matched = true
+                  noteMatch(adv)
+                } else next ::= adv
+              }
               // relaxed-contiguity combinations (NO_SKIP, unquantified
               // step only): the original partial may still match a
               // later event — governed by the ENTERED step's
               // contiguity (a strict entry binds to this exact row)
-              if (!nst.strict && !pattern.skipPastLast && st.maxTimes == 1)
+              if (!pattern.steps(p.stepIdx + 1).strict &&
+                  !pattern.skipPastLast && st.maxTimes == 1)
                 next ::= p
             } else if (p.count >= st.minTimes && !last && {
               val nst = pattern.steps(p.stepIdx + 1)
@@ -220,7 +306,7 @@ object Cep {
               // some awaited transition is relaxed
               val loopRelaxed = p.count < st.maxTimes && !st.strict
               val advRelaxed = p.count >= st.minTimes && !last &&
-                !pattern.steps(p.stepIdx + 1).strict
+                advTargets(p.stepIdx).exists(j => !pattern.steps(j).strict)
               if (loopRelaxed || advRelaxed) next ::= p
               else if (last && p.count >= st.minTimes) {
                 // strict trailing loop broken → its maximal match is
@@ -228,22 +314,33 @@ object Cep {
                 // to start a new partial
                 out += toMatch(key, p, p.evs.last.tsMs)
                 broke = true
+                noteMatch(p)
               } // else: strict step unmatched → partial dies
             }
           }
         }
-        val head = pattern.steps.head
-        val created: List[Partial] =
-          if (pred(head, e, Array.empty, Array.empty)) {
-            val p0 = Partial(0, 1, e.tsMs, Array(0), Array(e))
-            if (nSteps == 1 && head.maxTimes == 1) {
-              out += toMatch(key, p0, e.tsMs); matched = true; Nil
-            } else List(p0)
-          } else Nil
+        var created = List.empty[Partial]
+        val viableStarts = startTargets
+          .filter(k => pred(pattern.steps(k), e, Array.empty, Array.empty))
+        val chosenStarts =
+          if (pattern.skipPastLast) viableStarts.take(1) else viableStarts
+        chosenStarts.foreach { k =>
+          val p0 = Partial(k, 1, e.tsMs, Array(k), Array(e))
+          if (k == nSteps - 1 && pattern.steps(k).maxTimes == 1) {
+            out += toMatch(key, p0, e.tsMs); matched = true
+            noteMatch(p0)
+          } else created ::= p0
+        }
+        created = created.reverse
         open =
           if (matched && pattern.skipPastLast) Nil
           else if (broke && pattern.skipPastLast) created
-          else next.reverse ::: created
+          else {
+            val kept =
+              if (pruneAt == null) next.reverse
+              else next.reverse.filter(!startsBefore(_, pruneAt))
+            kept ::: created
+          }
       }
       // watermark sweep: windows the watermark closed can never extend
       expire(p => wm - p.firstTs > pattern.withinMs)

@@ -51,6 +51,17 @@ class MatchRecognizeSqlSpec extends AnyFunSuite {
       .skipPastLast)
   }
 
+  test("optional quantifier and SKIP TO FIRST/LAST parse") {
+    val spec = parse(base.replace("PATTERN (A B+ C{2} D{1,3})",
+      "PATTERN (A B? C{2} D{1,3})"))
+    assert(spec.patternVars(1) == Quantified("B", 1, 1, optional = true))
+    assert(spec.skipTo.isEmpty)
+    val st = parse(base.replace("SKIP PAST LAST ROW", "SKIP TO LAST B"))
+    assert(!st.skipPastLast && st.skipTo.contains(("B", false)))
+    val sf = parse(base.replace("SKIP PAST LAST ROW", "SKIP TO FIRST C"))
+    assert(sf.skipTo.contains(("C", true)))
+  }
+
   test("bad pattern tokens and DEFINE predicates are rejected") {
     intercept[IllegalArgumentException] {
       parse(base.replace("PATTERN (A B+ C{2} D{1,3})", "PATTERN (A B*)"))

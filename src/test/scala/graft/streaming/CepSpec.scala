@@ -188,4 +188,73 @@ class CepSpec extends AnyFunSuite {
       evn(1, 20, "B", 3, 15.0)))
     assert(out == Seq(Seq(1L, 3L)))
   }
+
+  private def optSteps = Seq(
+    Step("a", _.tag == "A", strict = true),
+    Step("b", _.tag == "B", strict = true).optional,
+    Step("c", _.tag == "C", strict = true))
+
+  test("optional middle step matches with and without the step") {
+    val p = Pattern(optSteps, withinMs = 600000, skipPastLast = false)
+    // A B C → (1,2,3); A C → (4,5); A X C → no match (strict adjacency)
+    val out = run(p, Seq(
+      ev(1, 0, "A", 1), ev(1, 10, "B", 2), ev(1, 20, "C", 3),
+      ev(1, 30, "A", 4), ev(1, 40, "C", 5),
+      ev(1, 50, "A", 6), ev(1, 60, "X", 7), ev(1, 70, "C", 8)))
+    assert(out == Seq(Seq(1L, 2L, 3L), Seq(4L, 5L)))
+  }
+
+  test("optional step skippable at pattern start") {
+    val p = Pattern(Seq(
+      Step("a", _.tag == "A", strict = true).optional,
+      Step("b", _.tag == "B", strict = true)),
+      withinMs = 600000, skipPastLast = false)
+    // A B matches as (A B); every B also matches alone (A skipped),
+    // overlapping matches being SKIP TO NEXT ROW semantics
+    val out = run(p, Seq(
+      ev(1, 0, "A", 1), ev(1, 10, "B", 2), ev(1, 30, "B", 3)))
+    assert(out == Seq(Seq(1L, 2L), Seq(2L), Seq(3L)))
+  }
+
+  test("trailing optional step is rejected") {
+    val p = Pattern(Seq(Step("a", _.tag == "A"),
+      Step("b", _.tag == "B").optional), withinMs = 1000,
+      skipPastLast = false)
+    assertThrows[IllegalArgumentException] {
+      run(p, Seq(ev(1, 0, "A", 1)))
+    }
+  }
+
+  test("SKIP TO LAST resumes at the bottom of a V (W-shape overlap)") {
+    // value pattern: START DOWN+ UP+ on strict rows, SKIP TO LAST down:
+    // W shape 10 8 6 9 5 2 7 — first V = 10↓8↓6↑9; resume at the 6-row
+    // (last DOWN of match 1): second V = 6? No — 6 is consumed as
+    // bottom; partials starting at 9: 9↓5↓2↑7 matches. Under
+    // SKIP_PAST_LAST the 9-start would ALSO survive (starts after
+    // match end); the difference shows for partials starting between
+    // lastDown and match end — here none exist, but crucially NO_SKIP
+    // would emit nested V variants from 8: (8 6 9). SKIP TO LAST down
+    // must kill the 8-start (before skip row 6) and keep 9-start.
+    def evn(key: Long, sec: Int, id: Long, num: Double) =
+      ev(key, sec, "V", id).copy(num = num)
+    val vals = Seq(10.0, 8.0, 6.0, 9.0, 5.0, 2.0, 7.0)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      evn(1, i * 10, i + 1L, v)
+    }
+    val p = Pattern(Seq(
+      Step("s", _ => true, strict = true),
+      Step("down", _ => true, strict = true, minTimes = 1,
+        maxTimes = Int.MaxValue,
+        ctxWhere = (e, m) => m.prev.exists(e.num < _.num)),
+      Step("up", _ => true, strict = true, minTimes = 1,
+        maxTimes = Int.MaxValue,
+        ctxWhere = (e, m) => m.prev.exists(e.num > _.num))),
+      withinMs = 600000, skipPastLast = false, skipToVar = "down",
+      skipToFirst = false)
+    val out = run(p, rows)
+    // match 1: rows 1(10) 2(8) 3(6) 4(9); skip row = row 3 → the
+    // 8-start partial (row 2) dies, row-3/row-4 starts survive:
+    // 3(6) 4(9) is up-only → no; 4(9) 5(5) 6(2) 7(7) completes.
+    assert(out == Seq(Seq(1L, 2L, 3L, 4L), Seq(4L, 5L, 6L, 7L)))
+  }
 }
