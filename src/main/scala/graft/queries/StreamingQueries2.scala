@@ -541,8 +541,114 @@ object StreamingQueries2 {
       ORDER BY user_id, win_start
     """))
 
+  // ------------------------------------------------------------------
+  // q103 DeltaTrigger analog: global window per user, fires whenever a
+  // row's value exceeds the last-fired seed by > 100 (the seed starts
+  // at the key's first value and resets on each fire). Deterministic
+  // event-order walk → recursive-CTE oracle stepping row by row.
+  // ------------------------------------------------------------------
+
+  val q103DeltaTrigger: QueryDef = QueryDef(
+    "q103_delta_trigger",
+    (s, dir) => {
+      StreamRunner.requireRocksDb(s)
+      import s.implicits._
+      import graft.streaming.Triggers
+      val ev = StreamRunner.eventsStream(s, dir)
+        .withWatermark("ts", Wm)
+        .select(col("user_id").as("key"),
+          expr("unix_micros(ts) div 1000").as("tsMs"),
+          col("event_id").as("id"), col("value"))
+        .as[Triggers.TrEvent]
+      val out = Triggers.deltaTrigger(ev, threshold = 100.0).toDF()
+        .select(col("key").as("user_id"), col("id").as("fire_id"),
+          col("n"), col("sumCents").as("sum_cents"))
+      StreamRunner.runToTable(out, "append")
+        .orderBy(col("user_id"), col("n"))
+    },
+    Some("""
+      WITH RECURSIVE e AS (
+        SELECT user_id, event_id, value,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+                 CAST(floor(epoch_us(ts) / 1000) AS BIGINT), event_id) AS rn
+        FROM events
+        WHERE ts <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)),
+      walk AS (
+        SELECT user_id, rn, value AS seed, event_id,
+               FALSE AS fired, 1::BIGINT AS n, cents AS sum_cents
+        FROM e WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.rn,
+               CASE WHEN e.value - w.seed > 100 THEN e.value ELSE w.seed END,
+               e.event_id, e.value - w.seed > 100,
+               w.n + 1, w.sum_cents + e.cents
+        FROM walk w
+        JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+      SELECT user_id, event_id AS fire_id, n, sum_cents
+      FROM walk WHERE fired
+      ORDER BY user_id, n
+    """))
+
+  // ------------------------------------------------------------------
+  // q104 ContinuousEventTimeTrigger analog: daily tumbling window
+  // firing every 6 event-time hours (boundary chain from the window's
+  // first row, final fire on the window end). The fire at boundary b
+  // aggregates exactly the window rows with ts <= b; boundaries fire
+  // only once the watermark passes them.
+  // ------------------------------------------------------------------
+
+  val q104ContinuousTrigger: QueryDef = QueryDef(
+    "q104_continuous_trigger",
+    (s, dir) => {
+      StreamRunner.requireRocksDb(s)
+      import s.implicits._
+      import graft.streaming.Triggers
+      val ev = StreamRunner.eventsStream(s, dir)
+        .withWatermark("ts", Wm)
+        .select(col("user_id").as("key"),
+          expr("unix_micros(ts) div 1000").as("tsMs"),
+          col("event_id").as("id"), col("value"))
+        .as[Triggers.TrEvent]
+      val out = Triggers.continuousTrigger(ev,
+        winMs = 86400000L, intervalMs = 21600000L).toDF()
+        .select(col("key").as("user_id"), col("winStart").as("win_start"),
+          col("fireMs").as("fire_ms"), col("n"),
+          col("sumCents").as("sum_cents"))
+      StreamRunner.runToTable(out, "append")
+        .orderBy(col("user_id"), col("win_start"), col("fire_ms"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS ms,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+      wmv AS (SELECT max(ms) - 3600000 AS w FROM e),
+      win AS (
+        SELECT user_id, (ms // 86400000) * 86400000 AS win_start,
+               MIN(ms) AS first_ms
+        FROM e, wmv WHERE ms <= wmv.w
+        GROUP BY 1, 2),
+      b AS (
+        SELECT w.user_id, w.win_start, gs.fire_ms
+        FROM win w, wmv, LATERAL (
+          SELECT unnest(generate_series(
+            (w.first_ms // 21600000) * 21600000 + 21600000,
+            LEAST(w.win_start + 86400000, wmv.w),
+            21600000)) AS fire_ms) gs)
+      SELECT b.user_id, b.win_start, b.fire_ms,
+             COUNT(e.ms) AS n, SUM(e.cents) AS sum_cents
+      FROM b
+      JOIN e ON e.user_id = b.user_id
+            AND e.ms >= b.win_start AND e.ms < b.win_start + 86400000
+            AND e.ms <= b.fire_ms
+      GROUP BY 1, 2, 3
+      ORDER BY b.user_id, b.win_start, b.fire_ms
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q63StreamHop, q64StreamOver, q65UpsertMaterialize, q81StreamOverRange,
     q82TwinStateJoin, q85RefiringWindow, q86TemporalSortLimit,
-    q87RetractingJoin, q90RetractableAgg, q91EvictingWindow)
+    q87RetractingJoin, q90RetractableAgg, q91EvictingWindow,
+    q103DeltaTrigger, q104ContinuousTrigger)
 }
