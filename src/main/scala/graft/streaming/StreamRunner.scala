@@ -95,4 +95,25 @@ object StreamRunner {
   def useHeapState(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+
+  /** Watermark-idleness analog (reference: `flink-core/…/eventtime/
+    * WatermarksWithIdleness.java`, SURVEY.md §2.10 idleness row). Two
+    * distinct stall shapes exist, and only one needs a knob here:
+    *
+    *  - An idle KEY cannot strand its buffered rows in the replay
+    *    operators: buffering is keyed but the flush clock is the
+    *    GLOBAL watermark, which other keys' traffic keeps advancing
+    *    (proved by IdlenessSpec). Flink needs idleness marks for this
+    *    because its watermark is the MIN over per-partition watermarks.
+    *  - An idle SOURCE/branch in a multi-watermark query (union of
+    *    independently watermarked streams) holds the combined
+    *    watermark back under Spark's default `min` policy — exactly
+    *    the stall WatermarksWithIdleness addresses. This knob opts the
+    *    session into the `max` policy: the active branch drives the
+    *    clock and the idle one no longer wedges the pipeline, at the
+    *    same risk Flink's idleness marks carry (rows a late-waking
+    *    branch sends below the advanced watermark count as late).
+    */
+  def allowIdleSources(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
 }
