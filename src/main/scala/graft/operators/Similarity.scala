@@ -129,14 +129,24 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs within a blocking column
-    * (e.g. a cluster label): pairs with cosine >= threshold.
+    * (e.g. a cluster label): pairs with cosine >= threshold. Blocks
+    * larger than `maxBlockSize` are dropped before pairing — the same
+    * guard the minhash path puts on LSH buckets: the per-block
+    * self-join is quadratic in block size, so one viral block would
+    * otherwise dominate the whole job at scale (pairs inside an
+    * over-cap block are the recall trade, exactly as in LSH capping).
     */
   def cosineNearDupPairs(
       df: DataFrame, blockCol: String, threshold: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBlockSize: Int = 10000): DataFrame = {
     val v = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
         asD(col(vecCol)).as("v"))
       .withColumn("vn", l2norm(col("v")))
+      .withColumn("blk_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("blk"))))
+      .filter(col("blk_n") <= maxBlockSize)
+      .drop("blk_n")
     v.as("x").join(v.as("y"),
         col("x.blk") === col("y.blk") && col("x.id") < col("y.id"))
       .withColumn("sim", dot(col("x.v"), col("y.v")) / (col("x.vn") * col("y.vn")))

@@ -69,6 +69,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "no all-pairs fallback")
   }
 
+  test("q36: cosine near-dup blocks are capped before the pair join") {
+    val p = plan("q36_cosine_near_dup")
+    // the block cap must gate the quadratic self-join, exactly like the
+    // minhash bucket cap (a viral block would otherwise dominate)
+    assert("blk_n#\\d+L? <= \\d+".r.findFirstIn(p).isDefined &&
+      p.contains("Filter"),
+      s"block-size cap filter missing:\n$p")
+    assert(!p.contains("CartesianProduct"), "no all-pairs fallback")
+  }
+
   test("q93: salted join shuffles on (key, salt) — skew splits across reducers") {
     val p = plan("q93_salted_skew_join")
     assert("Exchange hashpartitioning\\(l_orderkey#\\d+L?, __salt".r
