@@ -165,4 +165,50 @@ class ReplayConsistencySpec extends AnyFunSuite {
     val shuffled = runCep(cepEvents.grouped(8).map(_.reverse).toSeq)
     assert(one.nonEmpty && one == three && one == shuffled)
   }
+
+  // SKIP TO LAST pruning is applied inside one replay sweep (the
+  // prune position is sweep-transient); splitting the stream so a
+  // match emits in an earlier batch than the partials it must prune
+  // exercises the persisted-state hand-off
+  private def runCepSkipTo(batches: Seq[Seq[Cep.CepEvent]]): Seq[Seq[Long]] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    StreamRunner.requireRocksDb(spark)
+    val in = MemoryStream[Cep.CepEvent]
+    val name = s"rc_cepst_${System.nanoTime()}"
+    val pat = Cep.Pattern(Seq(
+      Cep.Step("s", _ => true, strict = true),
+      Cep.Step("down", _ => true, strict = true, minTimes = 1,
+        maxTimes = Int.MaxValue,
+        ctxWhere = (e, m) => m.prev.exists(e.num < _.num)),
+      Cep.Step("up", _ => true, strict = true, minTimes = 1,
+        maxTimes = Int.MaxValue,
+        ctxWhere = (e, m) => m.prev.exists(e.num > _.num))),
+      withinMs = 600000, skipPastLast = false, skipToVar = "down",
+      skipToFirst = false)
+    val q = Cep(in.toDS().withWatermark("ts", "30 seconds").as[Cep.CepEvent],
+        pat).toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      in.addData(Cep.CepEvent(999L, ts(3599).getTime, "flush", 0L, ts(3599)))
+      q.processAllAvailable()
+      spark.table(name).filter($"key" =!= 999L).orderBy($"startTsMs")
+        .collect().map(_.getAs[scala.collection.Seq[Long]]("ids").toSeq)
+        .toSeq
+    } finally q.stop()
+  }
+
+  private val zigzagEvents = (1 to 24).map { i =>
+    Cep.CepEvent(i % 2, ts(i * 10).getTime, "V", i.toLong, ts(i * 10),
+      num = ((i * 7) % 13).toDouble)
+  }
+
+  test("cep skip-to-last: one batch == three batches == shuffled batches") {
+    val one = runCepSkipTo(Seq(zigzagEvents))
+    val three = runCepSkipTo(zigzagEvents.grouped(8).toSeq)
+    val shuffled = runCepSkipTo(zigzagEvents.grouped(8).map(_.reverse).toSeq)
+    assert(one.nonEmpty && one == three && one == shuffled)
+  }
 }
