@@ -646,9 +646,109 @@ object StreamingQueries2 {
       ORDER BY b.user_id, b.win_start, b.fire_ms
     """))
 
+  // ------------------------------------------------------------------
+  // q105 DeltaEvictor: per-user daily windows over purchases where
+  // elements far (>= 50) from the window's LAST element are evicted
+  // before the aggregate. Oracle: last_value per (user, day) frame in
+  // DuckDB, keep |value - lastv| < 50, fired windows only.
+  // ------------------------------------------------------------------
+
+  val q105DeltaEvictor: QueryDef = QueryDef(
+    "q105_delta_evictor",
+    (s, dir) => {
+      StreamRunner.requireRocksDb(s)
+      import s.implicits._
+      val ev = StreamRunner.eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .withWatermark("ts", Wm)
+        .select(col("user_id").as("key"),
+          expr("unix_micros(ts) div 1000").as("tsMs"),
+          col("event_id").as("id"), col("value"))
+        .as[graft.streaming.EvictingWindow.EwEvent]
+      val out = graft.streaming.EvictingWindow(ev, winMs = 86400000L,
+        graft.streaming.EvictingWindow.Evictor.DeltaEvictor(50.0)).toDF()
+        .select(col("key").as("user_id"), col("winStart").as("win_start"),
+          col("cnt"), col("sum"))
+      StreamRunner.runToTable(out, "append")
+        .orderBy(col("user_id"), col("win_start"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id,
+               CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS ms, value
+        FROM events WHERE event_type = 'purchase'),
+      w AS (
+        SELECT user_id, (ms // 86400000) * 86400000 AS win_start, value,
+               LAST_VALUE(value) OVER (
+                 PARTITION BY user_id, ms // 86400000
+                 ORDER BY ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                 AS lastv
+        FROM e)
+      SELECT user_id, win_start, COUNT(*) AS cnt,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100
+               AS sum
+      FROM w
+      WHERE abs(value - lastv) < 50
+        AND win_start + 86400000 <= (SELECT MAX(ms) - 3600000 FROM e)
+      GROUP BY user_id, win_start
+      ORDER BY user_id, win_start
+    """))
+
+  // ------------------------------------------------------------------
+  // q106 PurgingTrigger(DeltaTrigger): like q103 but each fire purges
+  // the window contents, so emissions carry only the rows since the
+  // previous fire; the trigger's seed state survives the purge.
+  // ------------------------------------------------------------------
+
+  val q106PurgingDeltaTrigger: QueryDef = QueryDef(
+    "q106_purging_delta_trigger",
+    (s, dir) => {
+      StreamRunner.requireRocksDb(s)
+      import s.implicits._
+      import graft.streaming.Triggers
+      val ev = StreamRunner.eventsStream(s, dir)
+        .withWatermark("ts", Wm)
+        .select(col("user_id").as("key"),
+          expr("unix_micros(ts) div 1000").as("tsMs"),
+          col("event_id").as("id"), col("value"))
+        .as[Triggers.TrEvent]
+      val out = Triggers.deltaTrigger(ev, threshold = 100.0, purge = true)
+        .toDF()
+        .select(col("key").as("user_id"), col("id").as("fire_id"),
+          col("n"), col("sumCents").as("sum_cents"))
+      StreamRunner.runToTable(out, "append")
+        .orderBy(col("user_id"), col("fire_id"))
+    },
+    Some("""
+      WITH RECURSIVE e AS (
+        SELECT user_id, event_id, value,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+                 CAST(floor(epoch_us(ts) / 1000) AS BIGINT), event_id) AS rn
+        FROM events
+        WHERE ts <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)),
+      walk AS (
+        SELECT user_id, rn, value AS seed, event_id,
+               FALSE AS fired, 1::BIGINT AS n, cents AS sum_cents
+        FROM e WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.rn,
+               CASE WHEN e.value - w.seed > 100 THEN e.value ELSE w.seed END,
+               e.event_id, e.value - w.seed > 100,
+               CASE WHEN w.fired THEN 1::BIGINT ELSE w.n + 1 END,
+               CASE WHEN w.fired THEN e.cents ELSE w.sum_cents + e.cents END
+        FROM walk w
+        JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+      SELECT user_id, event_id AS fire_id, n, sum_cents
+      FROM walk WHERE fired
+      ORDER BY user_id, fire_id
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q63StreamHop, q64StreamOver, q65UpsertMaterialize, q81StreamOverRange,
     q82TwinStateJoin, q85RefiringWindow, q86TemporalSortLimit,
     q87RetractingJoin, q90RetractableAgg, q91EvictingWindow,
-    q103DeltaTrigger, q104ContinuousTrigger)
+    q103DeltaTrigger, q104ContinuousTrigger, q105DeltaEvictor,
+    q106PurgingDeltaTrigger)
 }

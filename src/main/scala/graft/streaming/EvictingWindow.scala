@@ -30,6 +30,12 @@ object EvictingWindow {
   object Evictor {
     final case class CountEvictor(keepLast: Int) extends Evictor
     final case class TimeEvictor(keepMs: Long) extends Evictor
+    /** Flink `DeltaEvictor(threshold, deltaFunction)` with the absolute
+      * value delta: evicts every element whose |value − lastElement
+      * .value| >= threshold, where lastElement is the window's last
+      * element in (ts, id) order (which trivially survives itself).
+      */
+    final case class DeltaEvictor(threshold: Double) extends Evictor
   }
 
   case class EwEvent(key: Long, tsMs: Long, id: Long, value: Double)
@@ -59,6 +65,9 @@ object EvictingWindow {
         case Evictor.TimeEvictor(keepMs) =>
           val cutoff = sorted.last.tsMs - keepMs
           sorted.filter(_.tsMs > cutoff)
+        case Evictor.DeltaEvictor(t) =>
+          val last = sorted.last.value
+          sorted.filter(e => math.abs(e.value - last) < t)
       }
     }
 

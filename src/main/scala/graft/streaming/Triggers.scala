@@ -37,7 +37,13 @@ object Triggers {
   case class DtState(seeded: Boolean, seed: Double, n: Long,
       sumCents: Long)
 
-  class DeltaTriggerProcessor(threshold: Double)
+  /** `purge` = Flink's `PurgingTrigger(DeltaTrigger(…))`: a fire also
+    * purges the window contents, so each emission aggregates only the
+    * rows since the previous fire. The trigger's own comparison state
+    * (the seed) persists across purges, as in the reference — purging
+    * clears window contents, not trigger state.
+    */
+  class DeltaTriggerProcessor(threshold: Double, purge: Boolean = false)
       extends WatermarkReplayProcessor[TrEvent, DtFire] {
 
     @transient private var st: ValueState[DtState] = _
@@ -61,7 +67,8 @@ object Triggers {
         if (!s.seeded) s = s.copy(seeded = true, seed = e.value)
         else if (e.value - s.seed > threshold) {
           out += DtFire(key, e.id, s.n, s.sumCents)
-          s = s.copy(seed = e.value)
+          s = if (purge) DtState(seeded = true, e.value, 0L, 0L)
+              else s.copy(seed = e.value)
         }
       }
       st.update(s)
@@ -69,11 +76,11 @@ object Triggers {
     }
   }
 
-  def deltaTrigger(events: Dataset[TrEvent], threshold: Double)
-      : Dataset[DtFire] = {
+  def deltaTrigger(events: Dataset[TrEvent], threshold: Double,
+      purge: Boolean = false): Dataset[DtFire] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.key)
-      .transformWithState(new DeltaTriggerProcessor(threshold),
+      .transformWithState(new DeltaTriggerProcessor(threshold, purge),
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         org.apache.spark.sql.streaming.OutputMode.Append())
   }

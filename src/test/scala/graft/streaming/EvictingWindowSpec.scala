@@ -69,4 +69,12 @@ class EvictingWindowSpec extends AnyFunSuite {
       ev(1, 30, 2, 5.0), ev(1, 0, 1, 1.0))) // latest by ts is id=2
     assert(out == Seq(EwOut(1L, base, 1L, 5.0)))
   }
+
+  test("delta evictor drops elements far from the window's last element") {
+    // last element value 10.0, threshold 4: keep 8.0 and 10.0 only
+    val out = run(60000L, Evictor.DeltaEvictor(4.0), Seq(
+      ev(1, 0, 1, 1.0), ev(1, 10, 2, 8.0), ev(1, 20, 3, 20.0),
+      ev(1, 30, 4, 10.0)))
+    assert(out == Seq(EwOut(1L, base, 2L, 18.0)))
+  }
 }

@@ -68,6 +68,28 @@ class TriggersSpec extends AnyFunSuite {
     assert(out == Seq(DtFire(1, 3, 3, 18000), DtFire(1, 5, 5, 52500)))
   }
 
+  test("purging delta trigger resets the aggregate on fire, keeps the seed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    StreamRunner.requireRocksDb(spark)
+    val in = MemoryStream[TrEvent]
+    val name = s"tr_purge_${System.nanoTime()}"
+    val q = Triggers.deltaTrigger(stream(in), 100.0, purge = true).toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      in.addData(ev(1, 0, 1, 10.0), ev(1, 10, 2, 120.0),
+        ev(1, 20, 3, 50.0), ev(1, 30, 4, 260.0))
+      q.processAllAvailable()
+      in.addData(ev(999L, 3599, 0L, 0.0))
+      q.processAllAvailable()
+      val out = spark.table(name).as[DtFire].collect().toSeq
+        .filter(_.key != 999L).sortBy(_.n)
+      // fire at 120 (n=2, 10+120), purge; fire at 260 (n=2, 50+260)
+      assert(out.toSet == Set(DtFire(1, 2, 2, 13000), DtFire(1, 4, 2, 31000)))
+    } finally q.stop()
+  }
+
   test("continuous trigger fires each boundary with rows ts <= boundary") {
     val out = runCont(Seq(Seq(
       ev(1, 5, 1, 1.0), ev(1, 25, 2, 2.0), ev(1, 50, 3, 4.0))),
