@@ -306,7 +306,66 @@ object ScalarQueries {
       ORDER BY p_partkey
     """))
 
+  /** q107_string_fns4 — remaining §2.9 surface: PARSE_URL, STR_TO_MAP,
+    * CONVERT_TZ, RPAD, UUID (reference: SqlFunctionUtils#parseUrl /
+    * #strToMap, SqlDateTimeUtils#convertTz, BuiltInFunctionDefinitions
+    * UUID — SURVEY §2.9). DuckDB lacks parse_url/str_to_map, so the
+    * oracle recomputes each part from the same source columns; UUID is
+    * non-deterministic, so the hash-stable contract is the v4 shape
+    * check (boolean). CONVERT_TZ: naive-as-UTC → wall-clock string,
+    * DuckDB twin via timezone(tz, timezone('UTC', ts)).
+    */
+  val q107StringFns4: QueryDef = QueryDef(
+    "q107_string_fns4",
+    (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") <= 2000)
+        .withColumn("prio", regexp_replace(col("o_orderpriority"), " ", "_"))
+        .withColumn("url", concat(lit("https://orders.example.com/o/"),
+          col("o_orderkey"), lit("?status="), col("o_orderstatus"),
+          lit("&prio="), col("prio")))
+        .withColumn("kv", concat(lit("status="), col("o_orderstatus"),
+          lit(",prio="), col("prio")))
+        .select(
+          col("o_orderkey"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY')").as("query"),
+          expr("parse_url(url, 'QUERY', 'prio')").as("q_prio"),
+          expr("element_at(str_to_map(kv, ',', '='), 'status')")
+            .as("m_status"),
+          expr("element_at(str_to_map(kv, ',', '='), 'prio')").as("m_prio"),
+          rpad(col("o_orderstatus"), 4, "*").as("status_rpad"),
+          expr("uuid() rlike '^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-" +
+            "[89ab][0-9a-f]{3}-[0-9a-f]{12}$'").as("uuid_v4"),
+          date_format(from_utc_timestamp(col("o_orderdate"),
+            "America/New_York"), "yyyy-MM-dd HH:mm:ss").as("ny_wall"),
+          date_format(from_utc_timestamp(col("o_orderdate"), "Asia/Tokyo"),
+            "yyyy-MM-dd HH:mm:ss").as("tokyo_wall"))
+        .orderBy(col("o_orderkey")),
+    Some("""
+      SELECT o_orderkey,
+             'orders.example.com' AS host,
+             '/o/' || o_orderkey AS path,
+             'status=' || o_orderstatus || '&prio='
+               || replace(o_orderpriority, ' ', '_') AS query,
+             replace(o_orderpriority, ' ', '_') AS q_prio,
+             o_orderstatus AS m_status,
+             replace(o_orderpriority, ' ', '_') AS m_prio,
+             rpad(o_orderstatus, 4, '*') AS status_rpad,
+             TRUE AS uuid_v4,
+             strftime(timezone('America/New_York',
+               timezone('UTC', o_orderdate)), '%Y-%m-%d %H:%M:%S')
+               AS ny_wall,
+             strftime(timezone('Asia/Tokyo', timezone('UTC', o_orderdate)),
+               '%Y-%m-%d %H:%M:%S') AS tokyo_wall
+      FROM orders
+      WHERE o_orderkey <= 2000
+      ORDER BY o_orderkey
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q16StringFns, q17MathFns, q18TemporalFns, q19Conditional, q20Json,
-    q21EventsHourly, q22Collection, q23Listagg, q92StringFns3)
+    q21EventsHourly, q22Collection, q23Listagg, q92StringFns3,
+    q107StringFns4)
 }
