@@ -17,11 +17,12 @@ object Tables {
 
   /** Raw parquet read — single narrow scan, no driver-side work.
     * Also the engine's per-session bootstrap chokepoint: native function
-    * registration (vec_dot) happens here, so any session that reads a
+    * registration (vec_dot, winnow_fp) happens here, so any session that reads a
     * table can resolve the engine's expressions.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.functions.VectorExpressions.ensureRegistered(spark)
+    graft.functions.WinnowExpression.ensureRegistered(spark)
     if (name == "events") {
       // events.ts is TIMESTAMP(NANOS); Spark only reads it via the
       // legacy long passthrough — set it lazily so driver-created

@@ -392,8 +392,74 @@ object PipelineQueries {
       ORDER BY query_id
     """))
 
+  // ------------------------------------------------------------------
+  // q108 winnowing fingerprints (rolling hash — MOSS)
+  // ------------------------------------------------------------------
+
+  /** Per-doc winnowed fingerprint summary over the codegen
+    * `winnow_fp` expression ([[graft.functions.Winnow]]): k=7 char
+    * grams, window w=4 — any ≥10-char shared substring between two
+    * normalized documents yields a common fingerprint hash. The oracle
+    * recomputes the polynomial hash definitionally (unrolled k terms)
+    * and the window minima via inclusive list slices.
+    */
+  val q108WinnowFingerprint: QueryDef = {
+    val (k, w) = (7, 4)
+    val M = graft.functions.Winnow.M
+    val pows = Iterator.iterate(1L)(p => p * graft.functions.Winnow.B % M)
+      .take(k).toSeq // pows(j) = B^j mod M
+    val terms = (0 until k)
+      .map(j => s"CAST(ord(s[i + $j]) AS BIGINT) * ${pows(k - 1 - j)}")
+      .mkString(" + ")
+    QueryDef(
+      "q108_winnow_fingerprint",
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .withColumn("norm",
+            regexp_replace(TextOps.normalize(col("text")), " ", ""))
+          .withColumn("fp", expr(s"winnow_fp(norm, $k, $w)"))
+          .select(
+            col("doc_id"),
+            size(col("fp")).cast("long").as("fp_n"),
+            array_min(col("fp")).as("fp_min"),
+            array_max(col("fp")).as("fp_max"),
+            when(size(col("fp")) > 0,
+              expr("aggregate(fp, cast(0 as bigint), (acc, x) -> acc + x)"))
+              .as("fp_sum"))
+          .orderBy(col("doc_id")),
+      Some(s"""
+      WITH n AS (
+        SELECT doc_id, replace(${TextOps.normalizeSql("text")}, ' ', '') AS s
+        FROM documents),
+      h AS (
+        SELECT doc_id,
+          CASE WHEN length(s) >= $k THEN
+            [ ($terms) % $M
+              for i in generate_series(1, length(s) - ${k - 1}) ]
+          ELSE [] END AS hs
+        FROM n),
+      mins AS (
+        SELECT doc_id,
+          CASE WHEN len(hs) = 0 THEN []
+               WHEN len(hs) <= $w THEN [list_min(hs)]
+               ELSE [ list_min(hs[i:i + ${w - 1}])
+                      for i in generate_series(1, len(hs) - ${w - 1}) ]
+          END AS ms
+        FROM h),
+      fp AS (SELECT doc_id, list_sort(list_distinct(ms)) AS f FROM mins)
+      SELECT doc_id,
+             len(f) AS fp_n,
+             list_min(f) AS fp_min,
+             list_max(f) AS fp_max,
+             CAST(list_sum(f) AS BIGINT) AS fp_sum
+      FROM fp
+      ORDER BY doc_id
+    """))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
-    q38CurationRollup, q84MinhashClusters, q96QuantizedAnn)
+    q38CurationRollup, q84MinhashClusters, q96QuantizedAnn,
+    q108WinnowFingerprint)
 }
