@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.StreamingQueries2.all ++
       graft.queries.UdfQueries.all ++
       graft.queries.CoverageQueries2.all ++
-      graft.queries.CoverageQueries3.all
+      graft.queries.CoverageQueries3.all ++
+      graft.queries.CurationQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

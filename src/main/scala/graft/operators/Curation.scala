@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation primitives: deterministic sampling, hash-based
+  * train/test splitting, and PII redaction.
+  *
+  * Everything here is HASH-deterministic, not RNG-based: `rand()`-style
+  * sampling is irreproducible across retries/partitions and cannot be
+  * oracle-checked, while `md5(key)` ordering gives the same sample on
+  * every engine and every run. That is also the scale-correct design —
+  * a re-run over 100 TB reproduces the sample exactly, so downstream
+  * shards stay stable across pipeline restarts.
+  *
+  * Reference shape: Flink 1.11's DataSet sampling utilities
+  * (flink-java/…/utils/DataSetUtils.java#sample) are RNG-based per
+  * partition; the deterministic-hash reformulation is the retry-safe
+  * equivalent for a curation pipeline.
+  */
+object Curation {
+
+  /** Deterministic sample ORDER key: md5 of the row key (hex string).
+    * Uniform over keys, stable across engines (Spark and DuckDB both
+    * emit lowercase hex md5).
+    */
+  def sampleOrder(key: Column): Column = md5(key.cast("string"))
+
+  /** Zero-shuffle deterministic Bernoulli sample flag: true for rows
+    * whose md5 hex prefix is <= `maxHex`. One lowercase hex char ⇒
+    * rate n/16 ('3' ⇒ 4/16 = 25%). A pure filter — at 100 TB this
+    * subsamples at scan speed with no shuffle at all; use it when an
+    * approximate rate is enough and exact-k is not required.
+    */
+  def bernoulliFlag(key: Column, maxHex: String): Column =
+    substring(sampleOrder(key), 1, maxHex.length) <= maxHex
+
+  /** Exact-k per-stratum sample: rank rows within each stratum by the
+    * deterministic hash order and keep `rk <= k`. Costs ONE shuffle on
+    * the stratum column (the window sort); at scale prefer
+    * [[bernoulliFlag]] when strata are huge and k is proportional.
+    * `rk` is emitted as BIGINT to match window-function output types
+    * across engines.
+    */
+  def stratifiedTopK(df: DataFrame, stratumCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(sampleOrder(col(idCol)), col(idCol))
+    df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** Group-aware train/test split: every row whose `key` hashes to a
+    * hex first char <= 'b' (12/16 = 75%) is 'train', else 'test'.
+    * Splitting on a GROUP key (source domain, site, author) rather than
+    * the row id is the leakage-safe design — near-duplicate documents
+    * overwhelmingly share a source, so they land in the same split.
+    */
+  def hashSplit(key: Column): Column =
+    when(substring(sampleOrder(key), 1, 1) <= "b", lit("train"))
+      .otherwise(lit("test"))
+
+  // ------------------------------------------------------------------
+  // PII redaction
+  // ------------------------------------------------------------------
+  // Patterns are deliberately RE2-compatible (no lookbehind/backrefs) so
+  // the DuckDB oracle runs the byte-identical regex. Replacement order
+  // matters and is fixed: URLs first (they may embed '@' and digits),
+  // then emails, then long digit runs.
+
+  val UrlRe: String = "https?://[^ ]+"
+  val EmailRe: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val LongNumRe: String = "[0-9]{7,}"
+
+  /** Redacted text: URLs → <URL>, emails → <EMAIL>, 7+ digit runs →
+    * <NUM>. Pure codegen'd string expressions — no UDF, stays inside
+    * WholeStageCodegen at any scale.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlRe, "<URL>"),
+        EmailRe, "<EMAIL>"),
+      LongNumRe, "<NUM>")
+
+  /** Match count for one PII pattern (BIGINT). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+}

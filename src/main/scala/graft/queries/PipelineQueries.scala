@@ -14,9 +14,9 @@ object PipelineQueries {
 
   import TextOps.{HashP => P}
 
-  private val NumHashes = 16
-  private val Bands = 4
-  private val ShingleN = 3
+  private[queries] val NumHashes = 16
+  private[queries] val Bands = 4
+  private[queries] val ShingleN = 3
 
   // ------------------------------------------------------------------
   // shared oracle-SQL fragments (CTEs mirroring the operators)
@@ -55,7 +55,7 @@ object PipelineQueries {
   /** CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — the full
     * minhash→LSH→verify pipeline, shared by q31 and q84.
     */
-  private val minhashPairCtes: String = {
+  private[queries] val minhashPairCtes: String = {
     val params = TextOps.hashParams(NumHashes)
     val minExprs = params.zipWithIndex.map { case ((a, b), i) =>
       s"min(${TextOps.universalHashSql("h", a, b)}) AS mh$i"

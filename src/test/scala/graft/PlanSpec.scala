@@ -121,4 +121,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), "top-k must push group limits")
     assert(p.contains("vec_dot"), "native dot product expected")
   }
+
+  test("q109: stratified sample is one stratum shuffle with pushed group limit") {
+    val p = plan("q109_stratified_sample")
+    // the rk <= k predicate must push into the window sort (partial
+    // WindowGroupLimit before the exchange) so each stratum keeps only
+    // k candidates per map partition at 100 TB, not the whole stratum
+    assert(p.contains("WindowGroupLimit"), s"rk filter must push into the window:\n$p")
+    val exchanges = "(?m)^\\s*\\+?-?\\s*Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"one stratum shuffle + final sort expected:\n$p")
+  }
+
+  test("q110: PII redaction is pure codegen projection — no UDF, no shuffle before sort") {
+    val p = plan("q110_pii_redaction")
+    // codegen-able Project of built-in regexp expressions (AQE plans
+    // don't print WholeStageCodegen spans pre-execution, so pin the
+    // expression shape: plain Project, no UDF object barrier)
+    assert(p.contains("regexp_replace(regexp_replace(regexp_replace("),
+      "redaction must be one nested regexp projection")
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF") &&
+      !p.contains("MapPartitions"), "no UDF/object barrier in the redaction path")
+    val exchanges = "(?m)^\\s*\\+?-?\\s*Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"only the final orderBy may shuffle:\n$p")
+  }
 }
