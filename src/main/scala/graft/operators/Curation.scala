@@ -87,4 +87,44 @@ object Curation {
   /** Match count for one PII pattern (BIGINT). */
   def piiCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  // ------------------------------------------------------------------
+  // Vocabulary + chunking
+  // ------------------------------------------------------------------
+
+  /** Top-k tokens by frequency within each group (vocabulary builder).
+    * explode → two-phase count (map-side partial agg absorbs the token
+    * explosion before the shuffle) → windowed rank with pushed group
+    * limit. Ties break lexicographically so the result is total-ordered.
+    */
+  def vocabTopK(df: DataFrame, groupCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("cnt").desc, col("tok"))
+    df.select(col(groupCol), explode(TextOps.tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col(groupCol), col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** Overlapping token-window chunks: starts 1, 1+stride, … while
+    * start <= len(tokens); each chunk is `chunkSize` tokens (the last
+    * may be shorter). The pretraining preprocessing shape — one
+    * explode per document, no shuffle, chunk index derived from the
+    * start offset so output is deterministic without posexplode.
+    * Emits (…, chunk_idx BIGINT, n_chunk_tokens BIGINT, chunk STRING).
+    */
+  def tokenChunks(df: DataFrame, textCol: String, chunkSize: Int,
+      stride: Int): DataFrame = {
+    require(stride > 0 && chunkSize > 0)
+    df.withColumn("toks", TextOps.tokens(col(textCol)))
+      .withColumn("start",
+        explode(sequence(lit(1), greatest(size(col("toks")), lit(1)), lit(stride))))
+      .withColumn("chunk_idx", expr(s"CAST((start - 1) div $stride AS BIGINT)"))
+      .withColumn("piece", slice(col("toks"), col("start"), lit(chunkSize)))
+      .withColumn("n_chunk_tokens", size(col("piece")).cast("long"))
+      .withColumn("chunk", concat_ws(" ", col("piece")))
+      .drop("toks", "start", "piece")
+  }
 }

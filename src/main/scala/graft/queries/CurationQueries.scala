@@ -126,6 +126,71 @@ object CurationQueries {
       ORDER BY p.doc_a, p.doc_b
     """))
 
+  // ------------------------------------------------------------------
+  // q112 per-language vocabulary heavy-hitters
+  // ------------------------------------------------------------------
+
+  /** Top-10 tokens by frequency per language — the vocabulary-building
+    * pass. Map-side partial counts absorb the token explosion before
+    * the (lang, tok) shuffle, so the shuffled volume is the distinct
+    * vocabulary, not the corpus.
+    */
+  val q112VocabTopK: QueryDef = {
+    import graft.operators.TextOps
+    QueryDef(
+      "q112_vocab_topk",
+      (s, dir) =>
+        Curation.vocabTopK(Tables.load(s, dir, "documents"), "lang", "text", 10)
+          .select(col("lang"), col("tok"), col("cnt"), col("rk"))
+          .orderBy(col("lang"), col("rk")),
+      Some(s"""
+        WITH tk AS (SELECT lang, unnest(${TextOps.tokensSql("text")}) AS tok
+                    FROM documents),
+        c AS (SELECT lang, tok, COUNT(*) AS cnt FROM tk
+              WHERE tok <> '' GROUP BY 1, 2),
+        r AS (SELECT lang, tok, cnt,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY cnt DESC, tok) AS rk
+              FROM c)
+        SELECT lang, tok, cnt, rk FROM r WHERE rk <= 10
+        ORDER BY lang, rk
+      """))
+  }
+
+  // ------------------------------------------------------------------
+  // q113 overlapping token-window chunking
+  // ------------------------------------------------------------------
+
+  /** 16-token chunks with stride 8 — the sequence-packing preprocessing
+    * step. One explode per document, zero shuffle before the final
+    * sort; the chunk index derives from the start offset so the result
+    * is deterministic under any partitioning.
+    */
+  val q113TokenChunks: QueryDef = {
+    import graft.operators.TextOps
+    QueryDef(
+      "q113_token_chunks",
+      (s, dir) =>
+        Curation.tokenChunks(Tables.load(s, dir, "documents"), "text",
+            chunkSize = 16, stride = 8)
+          .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"), col("chunk"))
+          .orderBy(col("doc_id"), col("chunk_idx")),
+      Some(s"""
+        WITH toks AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS t
+                      FROM documents),
+        st AS (SELECT doc_id, t,
+                      unnest(generate_series(1, greatest(len(t), 1), 8)) AS start
+               FROM toks)
+        SELECT doc_id,
+               CAST((start - 1) // 8 AS BIGINT) AS chunk_idx,
+               CAST(least(len(t), start + 15) - start + 1 AS BIGINT) AS n_chunk_tokens,
+               array_to_string(t[start:least(len(t), start + 15)], ' ') AS chunk
+        FROM st
+        ORDER BY doc_id, chunk_idx
+      """))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q109StratifiedSample, q110PiiRedaction, q111SplitLeakage)
+    Seq(q109StratifiedSample, q110PiiRedaction, q111SplitLeakage,
+      q112VocabTopK, q113TokenChunks)
 }

@@ -37,6 +37,34 @@ class CurationSpec extends AnyFunSuite {
     assert(splits == Set("train", "test"), s"got $splits")
   }
 
+  test("vocabTopK ranks by count desc with lexicographic tie-break") {
+    val df = Seq(
+      ("en", "b b b a a c"),
+      ("en", "a"),          // a ties b at 3 -> 'a' ranks first
+      ("fr", "x y")).toDF("lang", "text")
+    val out = Curation.vocabTopK(df, "lang", "text", 2)
+      .orderBy("lang", "rk")
+      .select("lang", "tok", "cnt", "rk")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(out == Seq(("en", "a", 3L, 1L), ("en", "b", 3L, 2L),
+      ("fr", "x", 1L, 1L), ("fr", "y", 1L, 2L)))
+  }
+
+  test("tokenChunks covers every token with stride overlap; short docs get one chunk") {
+    val df = Seq((1L, (1 to 30).map(i => s"t$i").mkString(" ")), (2L, "only two"))
+      .toDF("doc_id", "text")
+    val out = Curation.tokenChunks(df, "text", chunkSize = 16, stride = 8)
+      .orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_idx", "n_chunk_tokens", "chunk")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // doc 1: starts 1,9,17,25 -> sizes 16,16,14,6
+    assert(out.filter(_._1 == 1L).map(r => (r._2, r._3)) ==
+      Seq((0L, 16L), (1L, 16L), (2L, 14L), (3L, 6L)))
+    assert(out.find(r => r._1 == 1L && r._2 == 3L).get._4 ==
+      (25 to 30).map(i => s"t$i").mkString(" "))
+    assert(out.filter(_._1 == 2L) == Seq((2L, 0L, 2L, "only two")))
+  }
+
   test("redactPii replaces URLs before emails and masks long digit runs") {
     val rows = Seq(
       // the email inside the URL is consumed by the URL mask
