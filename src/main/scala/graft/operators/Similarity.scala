@@ -180,4 +180,73 @@ object Similarity {
   /** Reconstructs the double vector from (qvec, scale). */
   def dequantize(qvec: Column, scale: Column): Column =
     transform(qvec, x => x.cast("double") * scale)
+
+  // ------------------------------------------------------------------
+  // Random-hyperplane LSH (the global near-dup scale path)
+  // ------------------------------------------------------------------
+
+  /** Deterministic Rademacher hyperplanes: component i of plane j is
+    * +1/-1 from bit 0 of the shared md5-prefix hash of "hp:j:i" — no
+    * RNG, so every engine and every retry builds the identical family
+    * (the oracle embeds the same values as literals).
+    */
+  def hyperplanes(numPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until numPlanes).map(j => (0 until dim).map(i =>
+      if ((TextOps.hash32Str(md, s"hp:$j:$i") & 1L) == 1L) 1.0 else -1.0))
+  }
+
+  /** Hyperplane-LSH near-duplicate pairs, exact-verified — the GLOBAL
+    * counterpart to [[cosineNearDupPairs]] (which needs a blocking
+    * column): sign-bit signatures against `numPlanes` fixed hyperplanes,
+    * banded like minhash so Hamming-close signatures collide, capped
+    * buckets, then exact cosine on the candidates.
+    *
+    * 100 TB posture mirrors [[graft.operators.Dedup.minhashDedup]]
+    * exactly: the signature is one codegen projection on the scan (the
+    * planes are literal arrays — zero shuffle, no lookup side), the band
+    * explode is one generator, buckets are capped before the pair join
+    * bounds the quadratic, and verification touches only candidates.
+    */
+  def lshNearDupPairs(
+      df: DataFrame, threshold: Double, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      numPlanes: Int = 16, bands: Int = 4,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(numPlanes % bands == 0, "bands must divide numPlanes")
+    val rows = numPlanes / bands
+    val planes = hyperplanes(numPlanes, dim)
+
+    val v = df.select(col(idCol).as("id"), asD(col(vecCol)).as("v"))
+      .withColumn("vn", l2norm(col("v")))
+    val bitCols = planes.zipWithIndex.map { case (p, j) =>
+      when(dot(col("v"), array(p.map(lit): _*)) >= 0, lit(1))
+        .otherwise(lit(0)).as(s"b$j")
+    }
+    val sig = v.select(col("id") +: bitCols: _*)
+
+    val banded = sig.select(col("id"),
+      explode(array((0 until bands).map { b =>
+        concat_ws("_",
+          lit(b) +: (0 until rows).map(r => col(s"b${b * rows + r}")): _*)
+      }: _*)).as("bk"))
+
+    val capped = banded
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
+
+    val cands = capped.as("x")
+      .join(capped.as("y"), col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+
+    cands
+      .join(v.select(col("id").as("id_a"), col("v").as("va"), col("vn").as("na")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("v").as("vb"), col("vn").as("nb")), "id_b")
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
 }

@@ -457,9 +457,63 @@ object PipelineQueries {
     """))
   }
 
+  // ------------------------------------------------------------------
+  // q114 hyperplane-LSH near-dup pairs (global, no blocking column)
+  // ------------------------------------------------------------------
+
+  /** Random-hyperplane LSH over the whole corpus — the scale path when
+    * no blocking column exists (q36 needs one). The 16 Rademacher
+    * hyperplanes are hash-derived constants, so the oracle embeds the
+    * identical ±1 literals and replays the same sign-bit/band/cap/verify
+    * pipeline; dot products accumulate left-to-right on both engines.
+    */
+  val q114LshNearDup: QueryDef = {
+    val dim = 64
+    val numPlanes = 16
+    val bands = 4
+    val planes = Similarity.hyperplanes(numPlanes, dim)
+    def dotSql(x: String, y: String) =
+      s"list_sum(list_transform(list_zip($x, $y), p -> p[1] * p[2]))"
+    val bitExprs = planes.zipWithIndex.map { case (p, j) =>
+      val lit = p.map(d => if (d > 0) "1.0" else "-1.0")
+        .mkString("CAST([", ", ", "] AS DOUBLE[])")
+      s"CASE WHEN ${dotSql("v", lit)} >= 0 THEN 1 ELSE 0 END AS b$j"
+    }.mkString(",\n               ")
+    val rows = numPlanes / bands
+    val bandSelects = (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => s"b${b * rows + r}").mkString(", ")
+      s"SELECT id, concat_ws('_', $b, $cols) AS bk FROM s"
+    }.mkString("\n        UNION ALL ")
+    QueryDef(
+      "q114_lsh_near_dup",
+      (s, dir) =>
+        Similarity.lshNearDupPairs(Tables.load(s, dir, "embeddings"),
+            threshold = 0.3, dim = dim, numPlanes = numPlanes, bands = bands)
+          .orderBy(col("id_a"), col("id_b")),
+      Some(s"""
+        WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        s AS (SELECT id, $bitExprs FROM v),
+        bands AS ($bandSelects),
+        capped AS (SELECT id, bk FROM (
+          SELECT id, bk, COUNT(*) OVER (PARTITION BY bk) AS bn FROM bands) t
+          WHERE bn <= 1000),
+        cands AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+                  FROM capped x JOIN capped y ON x.bk = y.bk AND x.id < y.id),
+        n AS (SELECT id, v, sqrt(${dotSql("v", "v")}) AS vn FROM v)
+        SELECT c.id_a, c.id_b,
+               round(${dotSql("a.v", "b.v")} / (a.vn * b.vn), 6) AS sim
+        FROM cands c
+        JOIN n a ON a.id = c.id_a
+        JOIN n b ON b.id = c.id_b
+        WHERE ${dotSql("a.v", "b.v")} / (a.vn * b.vn) >= 0.3
+        ORDER BY id_a, id_b
+      """))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
     q38CurationRollup, q84MinhashClusters, q96QuantizedAnn,
-    q108WinnowFingerprint)
+    q108WinnowFingerprint, q114LshNearDup)
 }

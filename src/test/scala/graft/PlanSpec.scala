@@ -144,4 +144,30 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = "(?m)^\\s*\\+?-?\\s*Exchange".r.findAllIn(p).size
     assert(exchanges <= 1, s"only the final orderBy may shuffle:\n$p")
   }
+
+  test("q112: vocab counts partial-aggregate before the shuffle, top-k pushes") {
+    val p = plan("q112_vocab_topk")
+    // map-side combine: a partial_count must appear below the
+    // (lang, tok) exchange — the shuffled volume is the vocabulary,
+    // not the exploded corpus
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"map-side partial aggregation expected:\n$p")
+    assert(p.contains("WindowGroupLimit"), "top-k must push group limits")
+  }
+
+  test("q114: LSH signatures are literal-plane vec_dots, buckets capped, no cross") {
+    val p = plan("q114_lsh_near_dup")
+    assert(p.contains("vec_dot"), "sign bits must come from the native dot")
+    assert("bucket_n#\\d+L? <= \\d+".r.findFirstIn(p).isDefined,
+      s"bucket-size cap filter missing:\n$p")
+    assert(p.contains("Generate explode"), "band explode expected")
+    assert(!p.contains("CartesianProduct"), "no all-pairs fallback")
+  }
+
+  test("q113: token chunking is explode-only — no shuffle before the final sort") {
+    val p = plan("q113_token_chunks")
+    val exchanges = "(?m)^\\s*\\+?-?\\s*Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"chunking must not shuffle:\n$p")
+    assert(p.contains("Generate explode"), "one generator per document expected")
+  }
 }
