@@ -524,8 +524,62 @@ object CepQueries {
       ORDER BY user_id, start_id
     """))
 
+  // ------------------------------------------------------------------
+  // q115 TRAILING optional step (Flink `Pattern#optional` at the last
+  // position): view → optional immediately-next click. Greedy-maximal
+  // completion: the match waits for the click and emits without it
+  // when the strict edge breaks (next row isn't a click) or the
+  // within-window closes. click_id is the next row's id iff it is a
+  // click — LEAD-once oracle. A view emits ONLY when its completion is
+  // observable by the final watermark (= max(ts) - 1h delay): either a
+  // later replayed row exists for the user (click consumes / break
+  // emits), or the 7-day window closed before the final watermark —
+  // the same finality convention the other streaming oracles encode.
+  // ------------------------------------------------------------------
+
+  val q115MrTrailingOptional: QueryDef = QueryDef(
+    "q115_mr_trailing_optional",
+    (s, dir) => {
+      StreamRunner.requireRocksDb(s)
+      graft.MatchRecognizeSql.run(s, dir, """
+        SELECT * FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES A.event_id AS view_id, B.event_id AS click_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO NEXT ROW
+          PATTERN (A B?)
+          WITHIN INTERVAL '7' DAY
+          DEFINE A AS A.event_type = 'view',
+                 B AS B.event_type = 'click'
+        )""")
+        .orderBy(col("user_id"), col("view_id"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, event_type,
+               CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS ms
+        FROM events
+        WHERE ts <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)),
+      o AS (
+        SELECT *,
+               LEAD(event_type, 1) OVER w AS t1,
+               LEAD(event_id, 1) OVER w AS id1,
+               LEAD(ms, 1) OVER w AS ms1
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id))
+      SELECT user_id, event_id AS view_id,
+             CASE WHEN t1 = 'click' AND ms1 - ms <= 604800000
+                  THEN id1 END AS click_id
+      FROM o
+      WHERE event_type = 'view'
+        AND (t1 IS NOT NULL
+             OR (SELECT CAST(floor(epoch_us(max(ts)) / 1000) AS BIGINT)
+                   - 3600000 FROM events) - ms > 604800000)
+      ORDER BY user_id, view_id
+    """))
+
   val all: Seq[QueryDef] =
     Seq(q61CepAllMatches, q62CepSkipPastLast, q78MatchRecognize,
       q88MatchRecognizeVShape, q89CepOneOrMore, q95CepNotFollowedBy,
-      q101MrOptional, q102MrSkipToLast)
+      q101MrOptional, q102MrSkipToLast, q115MrTrailingOptional)
 }

@@ -18,7 +18,10 @@ import org.apache.spark.sql.streaming.{OutputMode, TimeMode, ValueState}
   *    step is consumed into the loop. The non-deterministic relaxed
   *    expansion enumeration (one match per subset) is out of scope;
   *    each partial advances deterministically, so every start yields at
-  *    most one (maximal) match. `minTimes >= 1` (no `optional`).
+  *    most one (maximal) match. `optional` marks a step skippable at
+  *    ANY position — including trailing, where completion follows the
+  *    greedy-maximal rule (wait for the tail; emit without it on
+  *    contiguity break or window close).
   *  - context predicates `ctxWhere(event, matchedSoFar)` for
   *    DEFINE-style conditions that reference previously matched rows
   *    (`PREV(...)`, cross-variable comparisons, FIRST/LAST),
@@ -67,8 +70,9 @@ object Cep {
     def times(n: Int, m: Int): Step = copy(minTimes = n, maxTimes = m)
     /** Flink `Pattern#optional`: the step occurs {0} ∪ [min,max] times —
       * a partial may skip it entirely (SQL `A?` with min=max=1). A
-      * trailing optional step is unsupported (match completion at
-      * window close would be ambiguous); the processor rejects it.
+      * TRAILING optional step follows greedy-maximal arbitration: the
+      * match waits for the optional tail and emits without it when the
+      * tail's strict contiguity breaks or the within-window closes.
       */
     def optional: Step = copy(isOptional = true)
   }
@@ -137,8 +141,15 @@ object Cep {
 
     private val names = pattern.steps.map(_.name).toIndexedSeq
     private val nSteps = pattern.steps.length
-    require(!pattern.steps.last.isOptional,
-      "trailing optional step unsupported")
+
+    /** A partial sitting at step `i` with `minTimes` met is a complete
+      * match candidate iff every LATER step is optional (trivially true
+      * at the last step) — the generalization that makes trailing
+      * optional steps work: completion paths test this, not `i == last`.
+      */
+    private val completableFrom: Array[Boolean] =
+      Array.tabulate(nSteps)(i =>
+        (i + 1 until nSteps).forall(pattern.steps(_).isOptional))
 
     /** Steps an advance out of step `i` may enter: `i+1`, plus each
       * further step reachable by skipping optional ones.
@@ -227,7 +238,7 @@ object Cep {
         while (rest.nonEmpty) {
           val p = rest.head; rest = rest.tail
           if (!isExpired(p)) kept ::= p
-          else if (p.stepIdx == nSteps - 1 &&
+          else if (completableFrom(p.stepIdx) &&
               p.count >= pattern.steps(p.stepIdx).minTimes) {
             val last = p.evs.last
             out += toMatch(key, p, last.tsMs)
@@ -308,8 +319,9 @@ object Cep {
               val advRelaxed = p.count >= st.minTimes && !last &&
                 advTargets(p.stepIdx).exists(j => !pattern.steps(j).strict)
               if (loopRelaxed || advRelaxed) next ::= p
-              else if (last && p.count >= st.minTimes) {
-                // strict trailing loop broken → its maximal match is
+              else if (completableFrom(p.stepIdx) && p.count >= st.minTimes) {
+                // strict trailing loop (or the strict edge into a
+                // trailing OPTIONAL tail) broken → the maximal match is
                 // complete as of the PREVIOUS row; e stays available
                 // to start a new partial
                 out += toMatch(key, p, p.evs.last.tsMs)

@@ -216,13 +216,29 @@ class CepSpec extends AnyFunSuite {
     assert(out == Seq(Seq(1L, 2L), Seq(2L), Seq(3L)))
   }
 
-  test("trailing optional step is rejected") {
-    val p = Pattern(Seq(Step("a", _.tag == "A"),
-      Step("b", _.tag == "B").optional), withinMs = 1000,
-      skipPastLast = false)
-    assertThrows[IllegalArgumentException] {
-      run(p, Seq(ev(1, 0, "A", 1)))
-    }
+  test("trailing optional: greedy tail consumed, break emits without it, close flushes") {
+    val p = Pattern(Seq(Step("a", _.tag == "A", strict = true),
+      Step("b", _.tag == "B", strict = true).optional),
+      withinMs = 600000, skipPastLast = false)
+    val out = run(p, Seq(
+      // A B → one maximal match (A B); the B row does not re-match
+      ev(1, 0, "A", 1), ev(1, 10, "B", 2),
+      // A X → strict edge into the optional tail breaks: emit (A) alone
+      ev(1, 20, "A", 3), ev(1, 30, "X", 4),
+      // trailing A with nothing after → window close flushes (A) alone
+      ev(1, 40, "A", 5)))
+    assert(out == Seq(Seq(1L, 2L), Seq(3L), Seq(5L)))
+  }
+
+  test("trailing optional quantified tail stays greedy-maximal") {
+    val p = Pattern(Seq(Step("a", _.tag == "A", strict = true),
+      Step("b", _.tag == "B", strict = true).times(1, 3).optional),
+      withinMs = 600000, skipPastLast = false)
+    val out = run(p, Seq(
+      ev(1, 0, "A", 1), ev(1, 10, "B", 2), ev(1, 20, "B", 3),
+      ev(1, 30, "X", 4)))
+    // the loop absorbs both Bs; the X breaks it → one maximal match
+    assert(out == Seq(Seq(1L, 2L, 3L)))
   }
 
   test("SKIP TO LAST resumes at the bottom of a V (W-shape overlap)") {
