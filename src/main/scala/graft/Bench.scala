@@ -8,6 +8,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // runtime bloom-filter semi-join reduction: a selective dim-side
+      // filter prunes the fact scan before the shuffle. Default size
+      // thresholds (10 MB creation side / 10 GB scan side) mean it only
+      // fires at production scale — no effect at test SF, pure win at
+      // 100 TB (mechanism pinned in PlanSpec)
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up outside the timed region: JVM/codegen/broadcast-infra spinup

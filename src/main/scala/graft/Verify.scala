@@ -15,6 +15,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same production default as Bench (inert at test SF — the size
+      // thresholds gate it; mechanism pinned in PlanSpec)
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -126,4 +126,56 @@ object TextAnalysis {
   def fingerprint(text: Column): Column = md5(normalize(text))
 
   def fingerprintSql(text: String): String = s"md5(${normalizeSql(text)})"
+
+  /** Gopher-style repetition signals (Rae et al. '21 §A1.1): the
+    * duplicate 3-gram fraction (1 - distinct/total) and the
+    * top-token frequency fraction (mode count / token count). High
+    * values flag boilerplate/spam for the quality gate. dup3 is a
+    * narrow projection; the top-token mode needs a per-(doc, token)
+    * count → two-phase aggregation with map-side combine, so the
+    * shuffled volume is per-doc vocabularies, not the corpus.
+    */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df
+      .withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__sh", shinglesFromToks(col("__toks"), 3))
+      .select(col(idCol).as("doc_id"),
+        size(col("__toks")).cast("long").as("n_toks"),
+        when(size(col("__sh")) > 0,
+          round(lit(1.0) - size(array_distinct(col("__sh"))).cast("double")
+            / size(col("__sh")).cast("double"), 6))
+          .otherwise(lit(0.0)).as("dup3_frac"),
+        col("__toks"))
+    val top = base
+      .select(col("doc_id"), explode(col("__toks")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(round(max(col("c")).cast("double") / sum(col("c")).cast("double"), 6)
+        .as("top_frac"))
+    base.drop("__toks")
+      .join(top, Seq("doc_id"), "left")
+      .withColumn("top_frac", coalesce(col("top_frac"), lit(0.0)))
+  }
+
+  /** DuckDB twin of [[repetitionMetrics]] — a full SELECT over
+    * `documents`, ordered by doc_id.
+    */
+  def repetitionMetricsSql(idCol: String, textCol: String): String = s"""
+    WITH t AS (SELECT $idCol AS doc_id, ${tokensSql(textCol)} AS t FROM documents),
+    s3 AS (SELECT doc_id, t, ${shinglesSql("t", 3)} AS sh FROM t),
+    base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_toks,
+                    CASE WHEN len(sh) > 0
+                         THEN round(1.0 - len(list_distinct(sh)) * 1.0 / len(sh), 6)
+                         ELSE 0.0 END AS dup3_frac
+             FROM s3),
+    tok AS (SELECT doc_id, unnest(t) AS tok FROM t),
+    cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok
+            WHERE tok <> '' GROUP BY 1, 2),
+    top AS (SELECT doc_id, round(MAX(c) * 1.0 / SUM(c), 6) AS top_frac
+            FROM cnt GROUP BY doc_id)
+    SELECT b.doc_id, b.n_toks, b.dup3_frac,
+           coalesce(top.top_frac, 0.0) AS top_frac
+    FROM base b LEFT JOIN top USING (doc_id)
+    ORDER BY doc_id"""
 }

@@ -190,7 +190,87 @@ object CurationQueries {
       """))
   }
 
+  // ------------------------------------------------------------------
+  // q116 flagship end-to-end curation pipeline
+  // ------------------------------------------------------------------
+
+  /** The whole pretraining-prep pipeline in one composed query:
+    * quality gate (>= 10 tokens) → exact-dedup keep-first → minhash
+    * near-dup removal (every pair's doc_b drops) → group-aware hash
+    * split → 16/8 token chunking → per-(split, lang) rollup. Every
+    * stage is a previously-verified operator; this query proves they
+    * COMPOSE — one plan, no driver round-trips, each stage's scale
+    * posture unchanged (the near-dup pass is the only shuffle-heavy
+    * stage and keeps its band/bucket/cap structure).
+    */
+  val q116CurationE2e: QueryDef = {
+    import graft.operators.TextOps
+    QueryDef(
+      "q116_curation_e2e",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val quality = docs.filter(size(TextOps.tokens(col("text"))) >= 10)
+        val exactKept = Dedup.exactClusters(quality, "doc_id", "text")
+          .select(col("kept_id").as("doc_id"))
+        val losers = Dedup.minhashDedup(docs, "doc_id", "text",
+            NumHashes, Bands, ShingleN, threshold = 0.8)
+          .select(col("doc_b").as("doc_id")).distinct()
+        docs.join(exactKept, "doc_id")
+          .join(losers, Seq("doc_id"), "left_anti")
+          .withColumn("split", Curation.hashSplit(col("source")))
+          .transform(d => Curation.tokenChunks(d, "text", 16, 8))
+          .groupBy(col("split"), col("lang"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_chunks"),
+            sum(col("n_chunk_tokens")).as("sum_chunk_tokens"))
+          .orderBy(col("split"), col("lang"))
+      },
+      Some(s"""
+        WITH $minhashPairCtes,
+        q AS (SELECT * FROM documents
+              WHERE len(${TextOps.tokensSql("text")}) >= 10),
+        surv AS (SELECT MIN(doc_id) AS doc_id FROM q
+                 GROUP BY md5(${TextOps.normalizeSql("text")})),
+        losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+        kept AS (SELECT d.*,
+                        CASE WHEN substr(md5(d.source), 1, 1) <= 'b'
+                             THEN 'train' ELSE 'test' END AS split
+                 FROM documents d
+                 JOIN surv USING (doc_id)
+                 WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)),
+        ktoks AS (SELECT doc_id, split, lang,
+                         ${TextOps.tokensSql("text")} AS t FROM kept),
+        chunks AS (SELECT doc_id, split, lang,
+                          least(len(t), start + 15) - start + 1 AS n_chunk_tokens
+                   FROM (SELECT *, unnest(generate_series(1, greatest(len(t), 1), 8)) AS start
+                         FROM ktoks) st)
+        SELECT split, lang,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               COUNT(*) AS n_chunks,
+               CAST(SUM(n_chunk_tokens) AS BIGINT) AS sum_chunk_tokens
+        FROM chunks
+        GROUP BY split, lang
+        ORDER BY split, lang
+      """))
+  }
+
+  // ------------------------------------------------------------------
+  // q117 repetition-based quality signals (Gopher rules)
+  // ------------------------------------------------------------------
+
+  val q117RepetitionMetrics: QueryDef = {
+    import graft.operators.TextAnalysis
+    QueryDef(
+      "q117_repetition_metrics",
+      (s, dir) =>
+        TextAnalysis.repetitionMetrics(
+            Tables.load(s, dir, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some(TextAnalysis.repetitionMetricsSql("doc_id", "text")))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q109StratifiedSample, q110PiiRedaction, q111SplitLeakage,
-      q112VocabTopK, q113TokenChunks)
+      q112VocabTopK, q113TokenChunks, q116CurationE2e,
+      q117RepetitionMetrics)
 }

@@ -164,6 +164,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "no all-pairs fallback")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // Bench/Verify enable spark.sql.optimizer.runtime.bloomFilter.enabled;
+    // its size thresholds gate it to production scale, so pin the
+    // MECHANISM here by dropping the thresholds: a selective dim filter
+    // must inject might_contain onto the fact side before the shuffle
+    val conf = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // creation threshold is a MAX (dim side must be smaller), scan
+      // threshold a MIN (fact side must be larger) — relax both so the
+      // rule fires at test SF
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.load(spark, sf, "lineitem")
+      val ord = Tables.load(spark, sf, "orders")
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val p = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+        .queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"bloom-filter semi-join reduction must reach the fact side:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q113: token chunking is explode-only — no shuffle before the final sort") {
     val p = plan("q113_token_chunks")
     val exchanges = "(?m)^\\s*\\+?-?\\s*Exchange".r.findAllIn(p).size
