@@ -118,13 +118,13 @@ object Curation {
   def tokenChunks(df: DataFrame, textCol: String, chunkSize: Int,
       stride: Int): DataFrame = {
     require(stride > 0 && chunkSize > 0)
-    df.withColumn("toks", TextOps.tokens(col(textCol)))
-      .withColumn("start",
-        explode(sequence(lit(1), greatest(size(col("toks")), lit(1)), lit(stride))))
-      .withColumn("chunk_idx", expr(s"CAST((start - 1) div $stride AS BIGINT)"))
-      .withColumn("piece", slice(col("toks"), col("start"), lit(chunkSize)))
-      .withColumn("n_chunk_tokens", size(col("piece")).cast("long"))
-      .withColumn("chunk", concat_ws(" ", col("piece")))
-      .drop("toks", "start", "piece")
+    df.withColumn("__toks", TextOps.tokens(col(textCol)))
+      .withColumn("__start",
+        explode(sequence(lit(1), greatest(size(col("__toks")), lit(1)), lit(stride))))
+      .withColumn("chunk_idx", expr(s"CAST((__start - 1) div $stride AS BIGINT)"))
+      .withColumn("__piece", slice(col("__toks"), col("__start"), lit(chunkSize)))
+      .withColumn("n_chunk_tokens", size(col("__piece")).cast("long"))
+      .withColumn("chunk", concat_ws(" ", col("__piece")))
+      .drop("__toks", "__start", "__piece")
   }
 }
