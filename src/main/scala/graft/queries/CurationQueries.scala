@@ -196,9 +196,12 @@ object CurationQueries {
 
   /** The whole pretraining-prep pipeline in one composed query:
     * quality gate (>= 10 tokens) → exact-dedup keep-first → minhash
-    * near-dup removal (every pair's doc_b drops) → group-aware hash
-    * split → 16/8 token chunking → per-(split, lang) rollup. Every
-    * stage is a previously-verified operator; this query proves they
+    * near-dup removal → group-aware hash split → 16/8 token chunking →
+    * per-(split, lang) rollup. Near-dup pairs are computed CORPUS-WIDE
+    * (not on the quality survivors) and every pair's doc_b drops — the
+    * conservative policy: a document near-duplicating even a
+    * quality-rejected partner still signals duplication. Every stage
+    * is a previously-verified operator; this query proves they
     * COMPOSE — one plan, no driver round-trips, each stage's scale
     * posture unchanged (the near-dup pass is the only shuffle-heavy
     * stage and keeps its band/bucket/cap structure).

@@ -70,9 +70,14 @@ object Cep {
     def times(n: Int, m: Int): Step = copy(minTimes = n, maxTimes = m)
     /** Flink `Pattern#optional`: the step occurs {0} ∪ [min,max] times —
       * a partial may skip it entirely (SQL `A?` with min=max=1). A
-      * TRAILING optional step follows greedy-maximal arbitration: the
-      * match waits for the optional tail and emits without it when the
-      * tail's strict contiguity breaks or the within-window closes.
+      * TRAILING optional step with STRICT contiguity follows
+      * greedy-maximal arbitration: the match waits for the tail and
+      * emits without it when the tail's adjacency breaks or the
+      * within-window closes — one match per start. A RELAXED trailing
+      * optional in NO_SKIP mode yields all combinations instead: each
+      * tail-consumed match as its tail arrives, plus the tail-less
+      * match flushed at window close (micro-batch replay cannot know
+      * earlier that no tail will arrive).
       */
     def optional: Step = copy(isOptional = true)
   }
@@ -90,6 +95,8 @@ object Cep {
       skipToFirst: Boolean = false) {
     require(skipToVar == null || !skipPastLast,
       "SKIP TO FIRST/LAST and SKIP PAST LAST are mutually exclusive")
+    require(skipToVar == null || steps.exists(_.name == skipToVar),
+      s"AFTER MATCH SKIP TO references unknown pattern variable '$skipToVar'")
   }
 
   /** `ts` duplicates tsMs as the watermarked timestamp column so the
@@ -131,8 +138,15 @@ object Cep {
     * `stepIdx` is the step currently being consumed, `count` its
     * occurrences so far (>= 1), `stepOf(i)` the step `evs(i)` matched.
     */
+  /** `gapped`: at least one row passed unconsumed since the last matched
+    * event. Strict (`next`) transitions require row-adjacency to the
+    * last matched event, so a gapped partial may only take RELAXED
+    * transitions until it consumes again (which resets the flag). The
+    * flag only ever sets when the partial survives via some relaxed
+    * await — pure-strict partials die instead of gapping.
+    */
   case class Partial(stepIdx: Int, count: Int, firstTs: Long,
-      stepOf: Array[Int], evs: Array[CepEvent])
+      stepOf: Array[Int], evs: Array[CepEvent], gapped: Boolean = false)
 
   class CepProcessor(pattern: Pattern)
       extends WatermarkReplayProcessor[CepEvent, CepMatch] {
@@ -269,10 +283,15 @@ object Cep {
           } else {
             val st = pattern.steps(p.stepIdx)
             val last = p.stepIdx == nSteps - 1
-            val canLoop = p.count < st.maxTimes && pred(st, e, p.stepOf, p.evs)
+            // a gapped partial (rows passed unconsumed since its last
+            // match) may only take RELAXED transitions: strict means
+            // row-adjacent to the last matched event
+            val canLoop = p.count < st.maxTimes && (!st.strict || !p.gapped) &&
+              pred(st, e, p.stepOf, p.evs)
             lazy val viable =
               if (p.count >= st.minTimes && !last)
                 advTargets(p.stepIdx)
+                  .filter(j => !pattern.steps(j).strict || !p.gapped)
                   .filter(j => pred(pattern.steps(j), e, p.stepOf, p.evs))
               else Nil
             if (canLoop) {
@@ -299,12 +318,13 @@ object Cep {
                 } else next ::= adv
               }
               // relaxed-contiguity combinations (NO_SKIP, unquantified
-              // step only): the original partial may still match a
-              // later event — governed by the ENTERED step's
-              // contiguity (a strict entry binds to this exact row)
-              if (!pattern.steps(p.stepIdx + 1).strict &&
+              // step only): the original partial may still enter some
+              // RELAXED target on a later event — it survives gapped,
+              // which bars it from every strict transition from now
+              // until it consumes again
+              if (advTargets(p.stepIdx).exists(j => !pattern.steps(j).strict) &&
                   !pattern.skipPastLast && st.maxTimes == 1)
-                next ::= p
+                next ::= p.copy(gapped = true)
             } else if (p.count >= st.minTimes && !last && {
               val nst = pattern.steps(p.stepIdx + 1)
               nst.notBefore != null && nst.notBefore(e)
@@ -318,7 +338,7 @@ object Cep {
               val loopRelaxed = p.count < st.maxTimes && !st.strict
               val advRelaxed = p.count >= st.minTimes && !last &&
                 advTargets(p.stepIdx).exists(j => !pattern.steps(j).strict)
-              if (loopRelaxed || advRelaxed) next ::= p
+              if (loopRelaxed || advRelaxed) next ::= p.copy(gapped = true)
               else if (completableFrom(p.stepIdx) && p.count >= st.minTimes) {
                 // strict trailing loop (or the strict edge into a
                 // trailing OPTIONAL tail) broken → the maximal match is

@@ -230,6 +230,66 @@ class CepSpec extends AnyFunSuite {
     assert(out == Seq(Seq(1L, 2L), Seq(3L), Seq(5L)))
   }
 
+  test("gapped partial cannot take a strict transition (no phantom adjacency)") {
+    // A(strict) B(relaxed, optional) C(strict); events A C1 C2:
+    // C1 enters strict C adjacently -> (A, C1). The retained partial is
+    // GAPPED after C1 passes it, so C2 must NOT enter strict C with a
+    // one-row gap — (A, C2) would be derivable from no valid path.
+    val p = Pattern(Seq(
+      Step("a", _.tag == "A", strict = true),
+      Step("b", _.tag == "B").optional,
+      Step("c", _.tag == "C", strict = true)),
+      withinMs = 600000, skipPastLast = false)
+    val out = run(p, Seq(
+      ev(1, 0, "A", 1), ev(1, 10, "C", 2), ev(1, 20, "C", 3)))
+    assert(out == Seq(Seq(1L, 2L)), s"got $out")
+  }
+
+  test("surviving via a relaxed await does not license a later strict entry") {
+    // A(strict) B(relaxed, optional) C(strict); events A X C: the
+    // partial survives X only because relaxed B is awaited; strict C
+    // at row 3 is NOT adjacent to A — no match may emit.
+    val p = Pattern(Seq(
+      Step("a", _.tag == "A", strict = true),
+      Step("b", _.tag == "B").optional,
+      Step("c", _.tag == "C", strict = true)),
+      withinMs = 600000, skipPastLast = false)
+    val out = run(p, Seq(
+      ev(1, 0, "A", 1), ev(1, 10, "X", 2), ev(1, 20, "C", 3)))
+    assert(out == Seq(), s"got $out")
+  }
+
+  test("gap resets on consume: relaxed entry re-anchors strict continuation") {
+    // A(strict) B(relaxed) C(strict); A X B C: B enters relaxedly after
+    // the gap (resetting it), C is adjacent to B -> (A, B, C) emits.
+    val p = Pattern(Seq(
+      Step("a", _.tag == "A", strict = true),
+      Step("b", _.tag == "B"),
+      Step("c", _.tag == "C", strict = true)),
+      withinMs = 600000, skipPastLast = false)
+    val out = run(p, Seq(
+      ev(1, 0, "A", 1), ev(1, 10, "X", 2), ev(1, 20, "B", 3), ev(1, 30, "C", 4)))
+    assert(out == Seq(Seq(1L, 3L, 4L)), s"got $out")
+  }
+
+  test("NO_SKIP relaxed optional tail emits all combinations incl. tail-less flush") {
+    // A(strict) B(relaxed, optional): B arrives -> (A, B); the retained
+    // partial flushes the tail-less (A) at window close — combinations,
+    // per the documented NO_SKIP semantics for relaxed optional tails.
+    val p = Pattern(Seq(Step("a", _.tag == "A", strict = true),
+      Step("b", _.tag == "B").optional),
+      withinMs = 600000, skipPastLast = false)
+    val out = run(p, Seq(ev(1, 0, "A", 1), ev(1, 10, "B", 2)))
+    assert(out.toSet == Set(Seq(1L, 2L), Seq(1L)), s"got $out")
+  }
+
+  test("SKIP TO an unknown variable is rejected at construction") {
+    assertThrows[IllegalArgumentException] {
+      Pattern(Seq(Step("a", _.tag == "A")), withinMs = 1000,
+        skipPastLast = false, skipToVar = "typo")
+    }
+  }
+
   test("trailing optional quantified tail stays greedy-maximal") {
     val p = Pattern(Seq(Step("a", _.tag == "A", strict = true),
       Step("b", _.tag == "B", strict = true).times(1, 3).optional),

@@ -64,13 +64,29 @@ def main(src: str, dst: str, copies: int) -> None:
         f"SELECT event_id + {{s}} AS event_id, epoch_ns(ts) AS ts, "
         f"user_id + {{s}} AS user_id, event_type, value, props "
         f"FROM '{src}/events.parquet'")
+    # source shifts per copy for the same reason text is perturbed:
+    # blocking columns (q33 n-gram jaccard blocks on source) must keep
+    # fixture-sized blocks as the corpus grows, or per-block quadratic
+    # work measures block inflation instead of corpus scaling — the
+    # "10x corpus = 10x new sources" model, not "every source 10x hotter"
     gen("documents",
         f"SELECT doc_id + {{s}} AS doc_id, CASE WHEN {{i}} = 0 THEN text "
         f"ELSE regexp_replace(text, '(\\S+)', '\\1x{{i}}', 'g') END AS "
-        f"text, lang, source, n_chars FROM '{src}/documents.parquet'")
+        f"text, lang, CASE WHEN {{i}} = 0 THEN source "
+        f"ELSE source || 'x{{i}}' END AS source, n_chars "
+        f"FROM '{src}/documents.parquet'")
+    # rotate each copy's vectors by i dimensions: a permutation keeps
+    # every within-copy pairwise cosine (up to fp accumulation order)
+    # while decorrelating cross-copy clones — byte-identical replicas
+    # would otherwise give quadratic-in-copies near-dup pair growth and
+    # concentrate LSH buckets, measuring the fixture instead of the
+    # engine (the same reason document text is token-perturbed above)
+    # label (the q36 blocking column) shifts per copy like source above
     gen("embeddings",
-        f"SELECT vec_id + {{s}} AS vec_id, embedding, label "
-        f"FROM '{src}/embeddings.parquet'")
+        f"SELECT vec_id + {{s}} AS vec_id, "
+        f"CASE WHEN {{i}} = 0 THEN embedding "
+        f"ELSE embedding[{{i}}+1:] || embedding[:{{i}}] END AS embedding, "
+        f"label + {{i}} * 1000000 AS label FROM '{src}/embeddings.parquet'")
 
 
 if __name__ == "__main__":
