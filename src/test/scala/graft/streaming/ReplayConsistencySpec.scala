@@ -211,4 +211,54 @@ class ReplayConsistencySpec extends AnyFunSuite {
     val shuffled = runCepSkipTo(zigzagEvents.grouped(8).map(_.reverse).toSeq)
     assert(one.nonEmpty && one == three && one == shuffled)
   }
+
+  // the gapped flag is persisted Partial state: splitting the stream so
+  // the gap-creating row lands in a DIFFERENT micro-batch than the
+  // strict-entry attempt exercises the flag's round-trip through the
+  // state store (a sweep-transient flag would wrongly re-admit the
+  // strict transition after the batch boundary)
+  private def runCepOptional(batches: Seq[Seq[Cep.CepEvent]]): Seq[Seq[Long]] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    StreamRunner.requireRocksDb(spark)
+    val in = MemoryStream[Cep.CepEvent]
+    val name = s"rc_cep_opt_${System.nanoTime()}"
+    val pat = Cep.Pattern(Seq(
+      Cep.Step("a", _.tag == "A", strict = true),
+      Cep.Step("b", _.tag == "B").optional,
+      Cep.Step("c", _.tag == "C", strict = true)),
+      withinMs = 600000, skipPastLast = false)
+    val q = Cep(in.toDS().withWatermark("ts", "30 seconds").as[Cep.CepEvent],
+        pat).toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      in.addData(Cep.CepEvent(999L, ts(3599).getTime, "flush", 0L, ts(3599)))
+      q.processAllAvailable()
+      spark.table(name).filter($"key" =!= 999L).orderBy($"startTsMs")
+        .collect().map(_.getAs[scala.collection.Seq[Long]]("ids").toSeq)
+        .toSeq
+    } finally q.stop()
+  }
+
+  // gap-flag-sensitive shapes, one scenario per key so the relaxed
+  // A→B edge cannot link events across scenarios
+  private val optionalEvents = Seq(
+    (1L, "A", 1), (1L, "C", 2), (1L, "C", 3), // (A,C@2); C@3 must NOT match
+    (2L, "A", 4), (2L, "X", 5), (2L, "C", 6), // none: C gapped, B never seen
+    (3L, "A", 7), (3L, "B", 8), (3L, "C", 9), // (A,B,C)
+    (4L, "A", 10), (4L, "C", 11)              // (A,C@11)
+  ).map { case (k, tag, i) =>
+    Cep.CepEvent(k, ts(i * 10).getTime, tag, i.toLong, ts(i * 10))
+  }
+
+  test("cep optional + gap flag: one batch == per-event batches == split at gap") {
+    val one = runCepOptional(Seq(optionalEvents))
+    val each = runCepOptional(optionalEvents.map(Seq(_)))
+    // split exactly between the gap-creating row (C@2) and the retry (C@3)
+    val split = runCepOptional(Seq(optionalEvents.take(2), optionalEvents.drop(2)))
+    assert(one == Seq(Seq(1L, 2L), Seq(7L, 8L, 9L), Seq(10L, 11L)), s"got $one")
+    assert(each == one && split == one)
+  }
 }
