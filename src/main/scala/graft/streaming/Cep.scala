@@ -137,13 +137,17 @@ object Cep {
   /** Open partial match (public: the state encoder requires it).
     * `stepIdx` is the step currently being consumed, `count` its
     * occurrences so far (>= 1), `stepOf(i)` the step `evs(i)` matched.
-    */
-  /** `gapped`: at least one row passed unconsumed since the last matched
+    * `gapped`: at least one row passed unconsumed since the last matched
     * event. Strict (`next`) transitions require row-adjacency to the
     * last matched event, so a gapped partial may only take RELAXED
     * transitions until it consumes again (which resets the flag). The
     * flag only ever sets when the partial survives via some relaxed
     * await — pure-strict partials die instead of gapping.
+    *
+    * State compatibility: Partial is Kryo-encoded in the state store
+    * and Kryo is not schema-evolvable — adding `gapped` BROKE restore
+    * of checkpoints written before it existed; a running CEP query must
+    * restart with fresh state across that upgrade.
     */
   case class Partial(stepIdx: Int, count: Int, firstTs: Long,
       stepOf: Array[Int], evs: Array[CepEvent], gapped: Boolean = false)
@@ -189,6 +193,15 @@ object Cep {
 
     private val skipToIdx =
       if (pattern.skipToVar == null) -1 else names.indexOf(pattern.skipToVar)
+
+    /** Whether any advance target out of step `i` is relaxed — the
+      * survival/retention predicate, precomputed like `advTargets` (the
+      * exists() scan would otherwise run per partial per event in the
+      * replay hot loop).
+      */
+    private val hasRelaxedAdv: Array[Boolean] =
+      Array.tabulate(nSteps)(i =>
+        advTargets(i).exists(j => !pattern.steps(j).strict))
 
     override protected def initState(): Unit =
       partials = getHandle.getValueState[Array[Partial]]("partials",
@@ -322,7 +335,7 @@ object Cep {
               // RELAXED target on a later event — it survives gapped,
               // which bars it from every strict transition from now
               // until it consumes again
-              if (advTargets(p.stepIdx).exists(j => !pattern.steps(j).strict) &&
+              if (hasRelaxedAdv(p.stepIdx) &&
                   !pattern.skipPastLast && st.maxTimes == 1)
                 next ::= p.copy(gapped = true)
             } else if (p.count >= st.minTimes && !last && {
@@ -337,7 +350,7 @@ object Cep {
               // some awaited transition is relaxed
               val loopRelaxed = p.count < st.maxTimes && !st.strict
               val advRelaxed = p.count >= st.minTimes && !last &&
-                advTargets(p.stepIdx).exists(j => !pattern.steps(j).strict)
+                hasRelaxedAdv(p.stepIdx)
               if (loopRelaxed || advRelaxed) next ::= p.copy(gapped = true)
               else if (completableFrom(p.stepIdx) && p.count >= st.minTimes) {
                 // strict trailing loop (or the strict edge into a

@@ -22,6 +22,10 @@ SHIFT = 1_000_000_000
 
 def main(src: str, dst: str, copies: int) -> None:
     import os
+    # the per-copy embedding rotation below shifts by i dimensions;
+    # DuckDB clamps list slices, so i >= dim would silently yield the
+    # UNROTATED vector and reintroduce the byte-identical-clone artifact
+    assert copies <= 64, "embedding rotation degenerates past dim=64 copies"
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
 
