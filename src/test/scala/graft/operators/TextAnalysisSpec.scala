@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextAnalysisSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def metrics(texts: (Long, String)*): Map[Long, (Long, Double, Double)] =
+    TextAnalysis.repetitionMetrics(texts.toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id", "n_toks", "dup3_frac", "top_frac")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("repetitionMetrics flags boilerplate and passes varied text") {
+    val m = metrics(
+      1L -> "spam spam spam spam spam spam",      // one token repeated
+      2L -> "one two three four five six",        // all distinct
+      3L -> "a b c a b c a b c")                  // repeated 3-gram phrase
+    // doc 1: 6 tokens, 4 shingles all "spam spam spam" -> dup3 = 1 - 1/4
+    assert(m(1L) == ((6L, 0.75, 1.0)))
+    // doc 2: no repetition at all
+    assert(m(2L) == ((6L, 0.0, round6(1.0 / 6))))
+    // doc 3: 9 tokens, 7 shingles, 3 distinct ("a b c","b c a","c a b")
+    assert(m(3L)._2 == round6(1.0 - 3.0 / 7))
+    assert(m(3L)._3 == round6(3.0 / 9))
+  }
+
+  test("repetitionMetrics survives sub-3-token and empty docs") {
+    val m = metrics(10L -> "just two", 11L -> "")
+    assert(m(10L) == ((2L, 0.0, 0.5)))
+    // empty text normalizes to one empty token, which the top-token
+    // pass filters out -> top_frac coalesces to 0
+    assert(m(11L)._2 == 0.0 && m(11L)._3 == 0.0)
+  }
+
+  private def round6(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+}
