@@ -65,6 +65,37 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Executor-side asset writer: one `<id>.bin` file per row, written
+    * in parallel from the partitions (no driver collect). The fixture
+    * side of the binaryFile ingestion round-trip below; in production
+    * the files already exist on object storage.
+    */
+  def writeAssets(df: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    df.select(col(idCol).cast("long"), col(textCol))
+      .foreachPartition { it: Iterator[Row] =>
+        it.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"${r.getLong(0)}.bin"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+  }
+
+  /** Media-directory ingestion through Spark's `binaryFile` source —
+    * THE path real image/audio/video corpora enter a pipeline by: each
+    * file one row of (path, modificationTime, length, content), scanned
+    * in parallel with no decode. The asset id parses from the filename;
+    * the payload column feeds [[featurize]] / [[sampleFrames]] directly.
+    */
+  def ingestBinaryDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.format("binaryFile").load(dir)
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.bin$", 1).cast("long").as("asset_id"),
+        col("content").as("payload"))
+
   /** Frame-sampling stage: split each payload into fixed-size frames
     * (the batch shape a video/audio pipeline hands to a model), one
     * output row per sampled frame.

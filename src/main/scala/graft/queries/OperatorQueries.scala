@@ -363,8 +363,39 @@ object OperatorQueries {
       FROM live GROUP BY o_custkey ORDER BY o_custkey
     """))
 
+  // ------------------------------------------------------------------
+  // q118 binaryFile-source ingestion round-trip: documents written as
+  // one .bin asset per doc (executor-side, no collect), read back
+  // through spark.read.format("binaryFile") — the path real media
+  // corpora enter by — and featurized. The oracle computes the same
+  // byte-level features from the text directly, so any divergence in
+  // the write→scan→parse chain (encoding, truncation, path parsing)
+  // hash-fails.
+  // ------------------------------------------------------------------
+
+  val q118BinaryIngest: QueryDef = QueryDef(
+    "q118_binary_ingest",
+    (s, dir) => {
+      val assetDir = java.nio.file.Files
+        .createTempDirectory("graft_assets_").toString
+      Multimodal.writeAssets(
+        Tables.load(s, dir, "documents"), "doc_id", "text", assetDir)
+      Multimodal.featurize(
+          Multimodal.ingestBinaryDir(s, assetDir), "asset_id")
+        .orderBy(col("asset_id"))
+    },
+    Some("""
+      SELECT doc_id AS asset_id,
+             CASE WHEN length(text) = 0 THEN -1
+                  ELSE ascii(substr(text, 1, 1)) END AS head_byte,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS content_hash
+      FROM documents
+      ORDER BY asset_id
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q45AsofJoin, q46LookupJoin, q47DedupKeepLast,
     q48CdcDebezium, q49CdcCanal, q50FlinkSqlTumble, q51Multimodal,
-    q97CdcRetractPipeline, q98LookupBatched)
+    q97CdcRetractPipeline, q98LookupBatched, q118BinaryIngest)
 }
