@@ -148,22 +148,38 @@ object Dedup {
           lit(bnd) +: (0 until rows).map(r => col(s"mh${bnd * rows + r}")): _*)
       }: _*)).as("bk"))
 
-    // cap pathological buckets before pairing (bounds quadratic blowup)
-    val capped = banded
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))))
-      .filter(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
-
-    val cands = capped.as("x")
-      .join(capped.as("y"), col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // bucket-local pair explosion from ONE aggregation per band key —
+    // the capped-window + self-join formulation re-ran the signature
+    // mapPartitions per join side (no ReusedExchange across the object
+    // barrier) and shuffled the banded rows twice; the size() filter IS
+    // the bucket cap (bounds the quadratic), applied before any pairing
+    val cands = banded.groupBy(col("bk"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucketSize)
+      .select(explode(expr(
+        """flatten(transform(ds, a ->
+             filter(transform(ds, b -> CASE WHEN b > a
+                      THEN struct(a AS doc_a, b AS doc_b) END),
+                    p -> p IS NOT NULL)))""")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
 
+    // exact-Jaccard verify with ONE shingle-set pass: melt each pair to
+    // (pair, endpoint) rows, join the sets once, fold back per pair —
+    // two per-endpoint joins would re-run the whole tokenize/hash pass
+    // per side. first(ignoreNulls) is deterministic: each pair has
+    // exactly one a-row and one b-row
     val sets = shingleSets(df, idCol, textCol, shingleN)
     cands
-      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"), col("n").as("na")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .join(sets, "doc_id")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        first(when(col("doc_id") === col("doc_a"), col("hs")), ignoreNulls = true).as("hs_a"),
+        first(when(col("doc_id") === col("doc_b"), col("hs")), ignoreNulls = true).as("hs_b"),
+        first(when(col("doc_id") === col("doc_a"), col("n")), ignoreNulls = true).as("na"),
+        first(when(col("doc_id") === col("doc_b"), col("n")), ignoreNulls = true).as("nb"))
       .withColumn("i", size(array_intersect(col("hs_a"), col("hs_b"))))
       .withColumn("jaccard",
         round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))

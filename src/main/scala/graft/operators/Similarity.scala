@@ -231,15 +231,19 @@ object Similarity {
           lit(b) +: (0 until rows).map(r => col(s"b${b * rows + r}")): _*)
       }: _*)).as("bk"))
 
-    val capped = banded
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))))
-      .filter(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
-
-    val cands = capped.as("x")
-      .join(capped.as("y"), col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    // bucket-local pair explosion from one aggregation per band key
+    // (same shape as minhashDedup): the size() filter is the bucket
+    // cap, and the 16-dot signature projection runs ONCE instead of
+    // once per self-join side
+    val cands = banded.groupBy(col("bk"))
+      .agg(collect_list(col("id")).as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucketSize)
+      .select(explode(expr(
+        """flatten(transform(ds, a ->
+             filter(transform(ds, b -> CASE WHEN b > a
+                      THEN struct(a AS id_a, b AS id_b) END),
+                    p -> p IS NOT NULL)))""")).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
 
     cands

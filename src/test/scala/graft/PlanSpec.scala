@@ -49,7 +49,7 @@ class PlanSpec extends AnyFunSuite {
       "higher-order-function lambdas should be gone from the hot path")
   }
 
-  test("q31: minhash signatures are one object barrier, buckets capped before pairing") {
+  test("q31: minhash sig/sets each ONE object barrier, buckets capped before pairing") {
     val p = plan("q31_minhash_dedup")
     // signature computation: a single MapPartitions pass directly over
     // the scan — no shuffle until the band explode
@@ -59,13 +59,17 @@ class PlanSpec extends AnyFunSuite {
     assert(scanIdx > sigIdx, "mapPartitions must sit on the scan")
     assert(!p.substring(sigIdx, scanIdx).contains("Exchange"),
       "zero shuffle between scan and signature pass")
-    // the bucket cap must gate the pair join (bounds quadratic blowup)
-    assert("Filter \\(bucket_n#\\d+L? <= \\d+".r.findFirstIn(p).isDefined,
+    // exactly TWO object barriers in the whole plan: one signature
+    // pass + one shingle-set pass — the self-join formulation ran four
+    // (no ReusedExchange across object barriers)
+    assert("MapPartitions graft\\.operators\\.Dedup".r.findAllIn(p).size == 2,
+      s"sig and sets must each compute once:\n$p")
+    // the bucket cap gates pairing (bounds the quadratic): size-filter
+    // on the collected posting list before the pair explosion
+    assert("size\\(ds#\\d+[^)]*\\) <= \\d+".r.findFirstIn(p).isDefined,
       s"bucket-size cap filter missing:\n$p")
-    val capIdx = p.indexOf("bucket_n")
-    val joinIdx = p.indexOf("Join [bk")
-    assert(joinIdx > 0 && capIdx < p.lastIndexOf("bucket_n"),
-      "band-bucket equi-join expected")
+    assert(p.contains("Exchange hashpartitioning(bk"),
+      "bucket aggregation keyed on the band key expected")
     assert(!p.contains("CartesianProduct"), "no all-pairs fallback")
   }
 
@@ -158,7 +162,7 @@ class PlanSpec extends AnyFunSuite {
   test("q114: LSH signatures are literal-plane vec_dots, buckets capped, no cross") {
     val p = plan("q114_lsh_near_dup")
     assert(p.contains("vec_dot"), "sign bits must come from the native dot")
-    assert("bucket_n#\\d+L? <= \\d+".r.findFirstIn(p).isDefined,
+    assert("size\\(ds#\\d+[^)]*\\) <= \\d+".r.findFirstIn(p).isDefined,
       s"bucket-size cap filter missing:\n$p")
     assert(p.contains("Generate explode"), "band explode expected")
     assert(!p.contains("CartesianProduct"), "no all-pairs fallback")
