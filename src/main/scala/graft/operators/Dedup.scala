@@ -148,14 +148,21 @@ object Dedup {
           lit(bnd) +: (0 until rows).map(r => col(s"mh${bnd * rows + r}")): _*)
       }: _*)).as("bk"))
 
-    // bucket-local pair explosion from ONE aggregation per band key —
-    // the capped-window + self-join formulation re-ran the signature
+    // bucket-local pair explosion from ONE keyed pass — the old
+    // capped-window + SELF-JOIN formulation re-ran the signature
     // mapPartitions per join side (no ReusedExchange across the object
-    // barrier) and shuffled the banded rows twice; the size() filter IS
-    // the bucket cap (bounds the quadratic), applied before any pairing
-    val cands = banded.groupBy(col("bk"))
+    // barrier) and shuffled the banded rows twice. The cap stays a
+    // WINDOW count (WindowExec buffers spill to disk, so a viral
+    // over-cap bucket is counted and dropped without materializing in
+    // memory); only the post-cap survivors — at most maxBucketSize ids
+    // — reach the collect_list buffer. Window and groupBy share the bk
+    // partitioning: one exchange total.
+    val cands = banded
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))))
+      .filter(col("bucket_n") > 1 && col("bucket_n") <= maxBucketSize)
+      .groupBy(col("bk"))
       .agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucketSize)
       .select(explode(expr(
         """flatten(transform(ds, a ->
              filter(transform(ds, b -> CASE WHEN b > a
@@ -257,21 +264,30 @@ object Dedup {
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
-      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+      shingleN: Int = 3, threshold: Double = 0.5,
+      maxPostingSize: Int = 10000): DataFrame = {
     require(threshold > 0,
       "inverted-index jaccard only surfaces pairs sharing >=1 shingle")
     val sets = shingleSets(df, idCol, textCol, shingleN, Some(blockCol))
     val hd = sets.select(col("blk"), col("doc_id"), col("n"),
-      explode(col("hs")).as("h"))
-    // ONE aggregation per (blk, shingle) posting list, then bucket-local
+        explode(col("hs")).as("h"))
+      // NULL block = no block: never paired (the SQL-join semantics the
+      // self-join formulation had; groupBy would pair NULLs together)
+      .filter(col("blk").isNotNull)
+    // ONE keyed pass per (blk, shingle) posting list, then bucket-local
     // pair explosion via higher-order functions — a self-join of hd
     // would re-run the whole shingle/hash pass per side (Spark plans no
     // ReusedExchange across the object barrier; measured 2x at sf1) and
-    // shuffle the postings twice. Work is still Σ|posting|² per shingle;
-    // the HOF lambdas are interpreted but run on tiny per-shingle lists.
-    hd.groupBy(col("blk"), col("h"))
+    // shuffle the postings twice. The posting cap is a spillable WINDOW
+    // count (a corpus-wide boilerplate shingle drops without ever
+    // materializing), so the collect_list buffer and the exploded pair
+    // array are both bounded by maxPostingSize. Work stays Σ|posting|²;
+    // the HOF lambdas are interpreted but run on capped lists.
+    hd.withColumn("posting_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("blk"), col("h"))))
+      .filter(col("posting_n") > 1 && col("posting_n") <= maxPostingSize)
+      .groupBy(col("blk"), col("h"))
       .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
-      .filter(size(col("ds")) > 1)
       .select(col("blk"), explode(expr(
         """flatten(transform(ds, a ->
              filter(transform(ds, b -> CASE WHEN b.doc_id > a.doc_id

@@ -73,7 +73,10 @@ object Multimodal {
   def writeAssets(df: DataFrame, idCol: String, textCol: String,
       dir: String): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    // NULL payloads have no file representation — skipped, like the
+    // other text consumers (simhash, shingleSets) drop null text
     df.select(col(idCol).cast("long"), col(textCol))
+      .filter(col(textCol).isNotNull)
       .foreachPartition { it: Iterator[Row] =>
         it.foreach { r =>
           java.nio.file.Files.write(
@@ -93,8 +96,13 @@ object Multimodal {
       dir: String): DataFrame =
     spark.read.format("binaryFile").load(dir)
       .select(
-        regexp_extract(col("path"), "(\\d+)\\.bin$", 1).cast("long").as("asset_id"),
+        // filename must be exactly <digits>.bin: anything else (a
+        // stray cover.jpg, a negative id that would alias another
+        // asset) yields NULL and is dropped instead of NPE-ing the
+        // downstream featurize
+        regexp_extract(col("path"), "/([0-9]+)\\.bin$", 1).cast("long").as("asset_id"),
         col("content").as("payload"))
+      .filter(col("asset_id").isNotNull)
 
   /** Frame-sampling stage: split each payload into fixed-size frames
     * (the batch shape a video/audio pipeline hands to a model), one

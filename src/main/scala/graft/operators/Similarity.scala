@@ -231,13 +231,18 @@ object Similarity {
           lit(b) +: (0 until rows).map(r => col(s"b${b * rows + r}")): _*)
       }: _*)).as("bk"))
 
-    // bucket-local pair explosion from one aggregation per band key
-    // (same shape as minhashDedup): the size() filter is the bucket
-    // cap, and the 16-dot signature projection runs ONCE instead of
-    // once per self-join side
-    val cands = banded.groupBy(col("bk"))
+    // bucket-local pair explosion from one keyed pass (same shape and
+    // rationale as minhashDedup): spillable window count as the cap —
+    // a viral bucket drops without materializing — then a bounded
+    // collect_list (<= maxBucketSize ids) feeds the pair explosion;
+    // the 16-dot signature projection runs ONCE instead of per
+    // self-join side
+    val cands = banded
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))))
+      .filter(col("bucket_n") > 1 && col("bucket_n") <= maxBucketSize)
+      .groupBy(col("bk"))
       .agg(collect_list(col("id")).as("ds"))
-      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucketSize)
       .select(explode(expr(
         """flatten(transform(ds, a ->
              filter(transform(ds, b -> CASE WHEN b > a

@@ -376,12 +376,23 @@ object OperatorQueries {
   val q118BinaryIngest: QueryDef = QueryDef(
     "q118_binary_ingest",
     (s, dir) => {
-      val assetDir = java.nio.file.Files
-        .createTempDirectory("graft_assets_").toString
+      // fixed per-SF path, cleared before each run: a fresh temp dir
+      // per invocation would leak one corpus copy to /tmp per
+      // Bench/Verify run (the ingest DataFrame is lazy, so the dir
+      // must outlive this builder — bounding it to one copy is the
+      // cleanup)
+      val assetDir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_assets_q118_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_"))
+      if (java.nio.file.Files.exists(assetDir)) {
+        val s0 = java.nio.file.Files.list(assetDir)
+        try s0.forEach(p => java.nio.file.Files.delete(p))
+        finally s0.close()
+      }
       Multimodal.writeAssets(
-        Tables.load(s, dir, "documents"), "doc_id", "text", assetDir)
+        Tables.load(s, dir, "documents"), "doc_id", "text", assetDir.toString)
       Multimodal.featurize(
-          Multimodal.ingestBinaryDir(s, assetDir), "asset_id")
+          Multimodal.ingestBinaryDir(s, assetDir.toString), "asset_id")
         .orderBy(col("asset_id"))
     },
     Some("""

@@ -137,15 +137,18 @@ object PipelineQueries {
         .orderBy(col("blk"), col("doc_a"), col("doc_b")),
     Some(s"""
       WITH $shingleCtes,
-      blk AS (SELECT doc_id, source FROM documents),
+      blk AS (SELECT doc_id, source FROM documents WHERE source IS NOT NULL),
       hd AS (SELECT DISTINCT doc_id, h FROM hs),
       cnts AS (SELECT doc_id, COUNT(*) AS n FROM hd GROUP BY doc_id),
-      inter AS (SELECT bx.source AS blk, hx.doc_id AS doc_a, hy.doc_id AS doc_b, COUNT(*) AS i
-                FROM hd hx
-                JOIN blk bx ON bx.doc_id = hx.doc_id
-                JOIN blk by_ ON by_.source = bx.source
-                JOIN hd hy ON hy.doc_id = by_.doc_id AND hy.h = hx.h
-                WHERE hx.doc_id < hy.doc_id
+      pb AS (SELECT b.source AS blk, hd.doc_id, hd.h
+             FROM hd JOIN blk b ON b.doc_id = hd.doc_id),
+      capped AS (SELECT blk, doc_id, h FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY blk, h) AS pn FROM pb) t
+        WHERE pn <= 10000),
+      inter AS (SELECT x.blk, x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+                FROM capped x
+                JOIN capped y ON y.blk = x.blk AND y.h = x.h
+                             AND x.doc_id < y.doc_id
                 GROUP BY 1, 2, 3)
       SELECT i.blk, i.doc_a, i.doc_b,
              round(i.i * 1.0 / (ca.n + cb.n - i.i), 6) AS jaccard

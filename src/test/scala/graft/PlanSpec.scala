@@ -64,9 +64,9 @@ class PlanSpec extends AnyFunSuite {
     // (no ReusedExchange across object barriers)
     assert("MapPartitions graft\\.operators\\.Dedup".r.findAllIn(p).size == 2,
       s"sig and sets must each compute once:\n$p")
-    // the bucket cap gates pairing (bounds the quadratic): size-filter
-    // on the collected posting list before the pair explosion
-    assert("size\\(ds#\\d+[^)]*\\) <= \\d+".r.findFirstIn(p).isDefined,
+    // the bucket cap gates pairing (bounds the quadratic): a spillable
+    // WINDOW count filtered BEFORE the bounded collect_list
+    assert("bucket_n#\\d+L? <= \\d+".r.findFirstIn(p).isDefined,
       s"bucket-size cap filter missing:\n$p")
     assert(p.contains("Exchange hashpartitioning(bk"),
       "bucket aggregation keyed on the band key expected")
@@ -162,7 +162,7 @@ class PlanSpec extends AnyFunSuite {
   test("q114: LSH signatures are literal-plane vec_dots, buckets capped, no cross") {
     val p = plan("q114_lsh_near_dup")
     assert(p.contains("vec_dot"), "sign bits must come from the native dot")
-    assert("size\\(ds#\\d+[^)]*\\) <= \\d+".r.findFirstIn(p).isDefined,
+    assert("bucket_n#\\d+L? <= \\d+".r.findFirstIn(p).isDefined,
       s"bucket-size cap filter missing:\n$p")
     assert(p.contains("Generate explode"), "band explode expected")
     assert(!p.contains("CartesianProduct"), "no all-pairs fallback")
