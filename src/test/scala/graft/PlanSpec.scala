@@ -73,6 +73,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "no all-pairs fallback")
   }
 
+  test("q33: ngram-jaccard runs ONE shingle pass, postings capped before pairing") {
+    val p = plan("q33_ngram_jaccard")
+    assert("MapPartitions graft\\.operators\\.Dedup".r.findAllIn(p).size == 1,
+      s"the shingle-set pass must compute once:\n$p")
+    assert("posting_n#\\d+L? <= \\d+".r.findFirstIn(p).isDefined,
+      s"posting-size cap filter missing:\n$p")
+    assert(!p.contains("CartesianProduct"), "no all-pairs fallback")
+  }
+
   test("q36: cosine near-dup blocks are capped before the pair join") {
     val p = plan("q36_cosine_near_dup")
     // the block cap must gate the quadratic self-join, exactly like the
