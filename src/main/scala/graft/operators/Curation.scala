@@ -108,6 +108,29 @@ object Curation {
       .filter(col("rk") <= k)
   }
 
+  /** Benchmark decontamination: per corpus document, the count of
+    * distinct word n-grams it shares with ANY benchmark document (and
+    * how many benchmark docs it collides with) — the standard
+    * eval-set-overlap pass run before training. The benchmark side is
+    * small by definition → broadcast: the corpus never shuffles for
+    * the probe, only the per-doc aggregation. Emits only contaminated
+    * docs (n_hits >= 1); everything else passes clean.
+    */
+  def contaminationHits(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 5): DataFrame = {
+    def sh(df: DataFrame): DataFrame = df
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(
+          TextOps.shinglesFromToks(col("__toks"), shingleN))).as("s"))
+    val bm = broadcast(
+      sh(benchmark).select(col("doc_id").as("bench_id"), col("s")).distinct())
+    sh(corpus).join(bm, "s")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("s")).as("n_hits"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+  }
+
   /** Overlapping token-window chunks: starts 1, 1+stride, … while
     * start <= len(tokens); each chunk is `chunkSize` tokens (the last
     * may be shorter). The pretraining preprocessing shape — one

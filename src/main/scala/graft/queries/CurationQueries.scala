@@ -272,8 +272,45 @@ object CurationQueries {
       Some(TextAnalysis.repetitionMetricsSql("doc_id", "text")))
   }
 
+  // ------------------------------------------------------------------
+  // q119 benchmark decontamination (eval-set n-gram overlap)
+  // ------------------------------------------------------------------
+
+  /** docs with id < 10 stand in for the eval set; every other document
+    * reports its distinct shared 5-grams against it. The benchmark
+    * side broadcasts, so the corpus probe is shuffle-free.
+    */
+  val q119Decontamination: QueryDef = {
+    import graft.operators.TextOps
+    QueryDef(
+      "q119_decontamination",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Curation.contaminationHits(
+            docs.filter(col("doc_id") >= 10),
+            docs.filter(col("doc_id") < 10),
+            "doc_id", "text", shingleN = 5)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH toks AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS t
+                      FROM documents),
+        sh AS (SELECT doc_id,
+                      unnest(list_distinct(${TextOps.shinglesSql("t", 5)})) AS s
+               FROM toks),
+        bm AS (SELECT DISTINCT doc_id AS bench_id, s FROM sh WHERE doc_id < 10)
+        SELECT c.doc_id,
+               COUNT(DISTINCT c.s) AS n_hits,
+               COUNT(DISTINCT bm.bench_id) AS n_bench_docs
+        FROM sh c JOIN bm ON bm.s = c.s
+        WHERE c.doc_id >= 10
+        GROUP BY c.doc_id
+        ORDER BY doc_id
+      """))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q109StratifiedSample, q110PiiRedaction, q111SplitLeakage,
       q112VocabTopK, q113TokenChunks, q116CurationE2e,
-      q117RepetitionMetrics)
+      q117RepetitionMetrics, q119Decontamination)
 }

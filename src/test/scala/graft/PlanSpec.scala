@@ -82,6 +82,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "no all-pairs fallback")
   }
 
+  test("q119: decontamination probe broadcasts the benchmark, corpus never shuffles for the join") {
+    val p = plan("q119_decontamination")
+    assert(p.contains("BroadcastHashJoin"), "benchmark side must broadcast")
+    assert(!p.contains("SortMergeJoin"), "the corpus probe must not shuffle")
+    assert(!p.contains("CartesianProduct"), "no all-pairs fallback")
+  }
+
   test("q36: cosine near-dup blocks are capped before the pair join") {
     val p = plan("q36_cosine_near_dup")
     // the block cap must gate the quadratic self-join, exactly like the
