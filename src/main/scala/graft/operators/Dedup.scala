@@ -156,19 +156,20 @@ object Dedup {
     // over-cap bucket is counted and dropped without materializing in
     // memory); only the post-cap survivors — at most maxBucketSize ids
     // — reach the collect_list buffer. Window and groupBy share the bk
-    // partitioning: one exchange total.
+    // partitioning: one exchange total. Pairs are emitted INCREMENTALLY
+    // (posexplode each sorted left endpoint against its tail slice), so
+    // the largest single row buffer is the O(cap) id list — never the
+    // O(cap²) pair array the flatten(transform(transform(…))) form
+    // materialized.
     val cands = banded
       .withColumn("bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))))
       .filter(col("bucket_n") > 1 && col("bucket_n") <= maxBucketSize)
       .groupBy(col("bk"))
-      .agg(collect_list(col("doc_id")).as("ds"))
-      .select(explode(expr(
-        """flatten(transform(ds, a ->
-             filter(transform(ds, b -> CASE WHEN b > a
-                      THEN struct(a AS doc_a, b AS doc_b) END),
-                    p -> p IS NOT NULL)))""")).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .select(posexplode(col("ds")).as(Seq("i", "doc_a")), col("ds"))
+      .select(col("doc_a"),
+        explode(expr("slice(ds, i + 2, size(ds))")).as("doc_b"))
       .distinct()
 
     // exact-Jaccard verify with ONE shingle-set pass: melt each pair to
@@ -275,27 +276,27 @@ object Dedup {
       // self-join formulation had; groupBy would pair NULLs together)
       .filter(col("blk").isNotNull)
     // ONE keyed pass per (blk, shingle) posting list, then bucket-local
-    // pair explosion via higher-order functions — a self-join of hd
-    // would re-run the whole shingle/hash pass per side (Spark plans no
-    // ReusedExchange across the object barrier; measured 2x at sf1) and
-    // shuffle the postings twice. The posting cap is a spillable WINDOW
-    // count (a corpus-wide boilerplate shingle drops without ever
-    // materializing), so the collect_list buffer and the exploded pair
-    // array are both bounded by maxPostingSize. Work stays Σ|posting|²;
-    // the HOF lambdas are interpreted but run on capped lists.
+    // pair explosion — a self-join of hd would re-run the whole
+    // shingle/hash pass per side (Spark plans no ReusedExchange across
+    // the object barrier; measured 2x at sf1) and shuffle the postings
+    // twice. The posting cap is a spillable WINDOW count (a corpus-wide
+    // boilerplate shingle drops without ever materializing), bounding
+    // the collect_list buffer to maxPostingSize structs. Pairs are then
+    // emitted INCREMENTALLY: posexplode each left endpoint of the
+    // sorted posting against its tail slice, so the largest single row
+    // buffer is the O(cap) posting — the old flatten(transform(…)) form
+    // built the full O(cap²) pair array (~5e7 structs ≈ GBs at cap
+    // 10000) in one row. Work stays Σ|posting|².
     hd.withColumn("posting_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("blk"), col("h"))))
       .filter(col("posting_n") > 1 && col("posting_n") <= maxPostingSize)
       .groupBy(col("blk"), col("h"))
-      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
-      .select(col("blk"), explode(expr(
-        """flatten(transform(ds, a ->
-             filter(transform(ds, b -> CASE WHEN b.doc_id > a.doc_id
-                      THEN struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
-                                  a.n AS na, b.n AS nb) END),
-                    p -> p IS NOT NULL)))""")).as("p"))
-      .groupBy(col("blk"), col("p.doc_a").as("doc_a"),
-        col("p.doc_b").as("doc_b"), col("p.na").as("na"), col("p.nb").as("nb"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
+      .select(col("blk"), posexplode(col("ds")).as(Seq("i", "a")), col("ds"))
+      .select(col("blk"), col("a"),
+        explode(expr("slice(ds, i + 2, size(ds))")).as("b"))
+      .groupBy(col("blk"), col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"), col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("i"))
       .withColumn("jaccard",
         round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))

@@ -234,21 +234,20 @@ object Similarity {
     // bucket-local pair explosion from one keyed pass (same shape and
     // rationale as minhashDedup): spillable window count as the cap —
     // a viral bucket drops without materializing — then a bounded
-    // collect_list (<= maxBucketSize ids) feeds the pair explosion;
-    // the 16-dot signature projection runs ONCE instead of per
-    // self-join side
+    // collect_list (<= maxBucketSize ids) feeds incremental pair
+    // emission (posexplode each sorted left endpoint against its tail
+    // slice — no single row ever buffers the O(cap²) pair array); the
+    // 16-dot signature projection runs ONCE instead of per self-join
+    // side
     val cands = banded
       .withColumn("bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))))
       .filter(col("bucket_n") > 1 && col("bucket_n") <= maxBucketSize)
       .groupBy(col("bk"))
-      .agg(collect_list(col("id")).as("ds"))
-      .select(explode(expr(
-        """flatten(transform(ds, a ->
-             filter(transform(ds, b -> CASE WHEN b > a
-                      THEN struct(a AS id_a, b AS id_b) END),
-                    p -> p IS NOT NULL)))""")).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(sort_array(collect_list(col("id"))).as("ds"))
+      .select(posexplode(col("ds")).as(Seq("i", "id_a")), col("ds"))
+      .select(col("id_a"),
+        explode(expr("slice(ds, i + 2, size(ds))")).as("id_b"))
       .distinct()
 
     cands

@@ -637,7 +637,7 @@ object StreamingQueries2 {
             LEAST(w.win_start + 86400000, wmv.w),
             21600000)) AS fire_ms) gs)
       SELECT b.user_id, b.win_start, b.fire_ms,
-             COUNT(e.ms) AS n, SUM(e.cents) AS sum_cents
+             COUNT(e.ms) AS n, CAST(SUM(e.cents) AS BIGINT) AS sum_cents
       FROM b
       JOIN e ON e.user_id = b.user_id
             AND e.ms >= b.win_start AND e.ms < b.win_start + 86400000

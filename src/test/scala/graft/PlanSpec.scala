@@ -71,6 +71,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Exchange hashpartitioning(bk"),
       "bucket aggregation keyed on the band key expected")
     assert(!p.contains("CartesianProduct"), "no all-pairs fallback")
+    // incremental pair emission: no single row may buffer the O(cap²)
+    // pair array — posexplode + tail slice, not flatten(transform(…))
+    assert(p.contains("Generate posexplode") && "slice\\(ds#".r.findFirstIn(p).isDefined,
+      s"pair emission must be incremental (posexplode + slice):\n$p")
+    assert(!p.contains("flatten(transform"),
+      "the O(cap²) single-row pair array must not come back")
   }
 
   test("q33: ngram-jaccard runs ONE shingle pass, postings capped before pairing") {
@@ -80,6 +86,10 @@ class PlanSpec extends AnyFunSuite {
     assert("posting_n#\\d+L? <= \\d+".r.findFirstIn(p).isDefined,
       s"posting-size cap filter missing:\n$p")
     assert(!p.contains("CartesianProduct"), "no all-pairs fallback")
+    assert(p.contains("Generate posexplode") && "slice\\(ds#".r.findFirstIn(p).isDefined,
+      s"pair emission must be incremental (posexplode + slice):\n$p")
+    assert(!p.contains("flatten(transform"),
+      "the O(cap²) single-row pair array must not come back")
   }
 
   test("q119: decontamination probe broadcasts the benchmark, corpus never shuffles for the join") {
@@ -182,6 +192,10 @@ class PlanSpec extends AnyFunSuite {
       s"bucket-size cap filter missing:\n$p")
     assert(p.contains("Generate explode"), "band explode expected")
     assert(!p.contains("CartesianProduct"), "no all-pairs fallback")
+    assert(p.contains("Generate posexplode") && "slice\\(ds#".r.findFirstIn(p).isDefined,
+      s"pair emission must be incremental (posexplode + slice):\n$p")
+    assert(!p.contains("flatten(transform"),
+      "the O(cap²) single-row pair array must not come back")
   }
 
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
