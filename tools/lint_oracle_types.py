@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Oracle canonicalization lint: DESCRIBE every oracle SQL in DuckDB and
+flag output column types the driver's hash canonicalizes differently
+from Spark's result schema even when the VALUES are identical:
+
+  - HUGEINT / UHUGEINT — DuckDB's SUM(BIGINT) result type; Spark has no
+    int128, so the driver's canonical form never matches.
+  - DECIMAL(38,*) — DuckDB widens SUM(DECIMAL(p,s)) to precision 38
+    while Spark widens to min(38, p+10); the mismatched precision trips
+    the hash.
+
+Three rounds were lost to this trap (q1-family in r1, q93/q94 in r3,
+q104 in r4). The fix is always the same: CAST the offending aggregate
+to BIGINT / DOUBLE (or a matching explicit DECIMAL) in the oracle SQL.
+
+Usage: lint_oracle_types.py <sfDir> <oracleJson>
+Exit 0 = clean, 2 = flagged, 3 = infra unavailable (caller should skip).
+"""
+import json
+import re
+import sys
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main(sf_dir: str, oracle_json: str) -> int:
+    try:
+        import duckdb
+    except ImportError:
+        print("SKIP: duckdb unavailable")
+        return 3
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    with open(oracle_json) as f:
+        oracles = json.load(f)
+    flagged, skipped = [], []
+    for name, sql in sorted(oracles.items()):
+        try:
+            rows = con.execute("DESCRIBE " + sql).fetchall()
+        except Exception:  # noqa: BLE001 — e.g. oracles over run-time-written asset dirs
+            skipped.append(name)
+            continue
+        for col, typ in [(r[0], r[1]) for r in rows]:
+            if "HUGEINT" in typ or re.match(r"DECIMAL\(38,", typ):
+                flagged.append(f"{name}.{col}: {typ}")
+    if skipped:
+        print(f"note: {len(skipped)} not bindable at this SF, skipped: "
+              + ", ".join(skipped))
+    if flagged:
+        print("FLAGGED (cast these to BIGINT/DOUBLE in the oracle SQL):")
+        for f in flagged:
+            print("  " + f)
+        return 2
+    print(f"{len(oracles) - len(skipped)} oracles lint clean")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
