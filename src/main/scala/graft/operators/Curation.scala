@@ -69,8 +69,11 @@ object Curation {
   // matters and is fixed: URLs first (they may embed '@' and digits),
   // then emails, then long digit runs.
 
-  val UrlRe: String = "https?://[^ ]+"
-  val EmailRe: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  // Case-insensitive via explicit classes (NOT `(?i)`) so the exact same
+  // bytes mean the same thing under java.util.regex and RE2:
+  // `User@Example.COM` and `HTTPS://…` redact like their lowercase forms.
+  val UrlRe: String = "[Hh][Tt][Tt][Pp][Ss]?://[^ ]+"
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val LongNumRe: String = "[0-9]{7,}"
 
   /** Redacted text: URLs → <URL>, emails → <EMAIL>, 7+ digit runs →

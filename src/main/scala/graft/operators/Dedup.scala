@@ -170,6 +170,9 @@ object Dedup {
       .select(posexplode(col("ds")).as(Seq("i", "doc_a")), col("ds"))
       .select(col("doc_a"),
         explode(expr("slice(ds, i + 2, size(ds))")).as("doc_b"))
+      // tail-slice pairing is positional: duplicate doc_ids in the input
+      // would emit (a,a) self-pairs the strict `<` restores
+      .filter(col("doc_a") < col("doc_b"))
       .distinct()
 
     // exact-Jaccard verify with ONE shingle-set pass: melt each pair to
@@ -262,6 +265,16 @@ object Dedup {
     * the number of actually-shared shingles (≈ true near-dups), not with
     * |block|^2, and join parallelism is keyed on the full (block, hash)
     * space instead of the handful of block values.
+    *
+    * Bias note: "exact" holds only while no posting exceeds
+    * `maxPostingSize`. A capped (dropped) shingle still counts in both
+    * documents' sizes `na`/`nb` but can no longer contribute to the
+    * intersection count, so once the cap fires the jaccard of surviving
+    * pairs is UNDERestimated — the operator errs toward missing near-dups,
+    * never toward false pairs. Raise `maxPostingSize` if recall near the
+    * threshold matters more than bounding a corpus-wide boilerplate
+    * shingle (the cap is a spillable window count — a skew guard, not a
+    * memory ceiling).
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
@@ -295,6 +308,8 @@ object Dedup {
       .select(col("blk"), posexplode(col("ds")).as(Seq("i", "a")), col("ds"))
       .select(col("blk"), col("a"),
         explode(expr("slice(ds, i + 2, size(ds))")).as("b"))
+      // positional tail-slice would self-pair duplicate doc_ids
+      .filter(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("blk"), col("a.doc_id").as("doc_a"),
         col("b.doc_id").as("doc_b"), col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("i"))

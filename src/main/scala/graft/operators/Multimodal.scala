@@ -69,6 +69,15 @@ object Multimodal {
     * in parallel from the partitions (no driver collect). The fixture
     * side of the binaryFile ingestion round-trip below; in production
     * the files already exist on object storage.
+    *
+    * LOCAL-MODE ONLY: `dir` is created on the driver and written via
+    * bare `java.nio.file` from the executors, so on a multi-node
+    * cluster each executor writes its own local disk and a subsequent
+    * [[ingestBinaryDir]] scan sees only a shard of the corpus. On a
+    * real cluster point `dir` at a shared filesystem and write through
+    * Hadoop's `FileSystem` API (or skip this entirely — production
+    * assets already live on object storage); this helper exists to
+    * build the ingestion fixture, not to be a distributed sink.
     */
   def writeAssets(df: DataFrame, idCol: String, textCol: String,
       dir: String): Unit = {

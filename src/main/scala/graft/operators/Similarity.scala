@@ -248,6 +248,8 @@ object Similarity {
       .select(posexplode(col("ds")).as(Seq("i", "id_a")), col("ds"))
       .select(col("id_a"),
         explode(expr("slice(ds, i + 2, size(ds))")).as("id_b"))
+      // positional tail-slice would self-pair duplicate vec_ids
+      .filter(col("id_a") < col("id_b"))
       .distinct()
 
     cands

@@ -578,8 +578,58 @@ object CepQueries {
       ORDER BY user_id, view_id
     """))
 
+  // ------------------------------------------------------------------
+  // q120 AFTER MATCH SKIP TO NEXT (flink-cep
+  // AfterMatchSkipStrategy#skipToNext, distinct from #noSkip): at most
+  // ONE match per start event. signup → purchase relaxed: NO_SKIP
+  // pairs a signup with EVERY later purchase in the window (q61-style
+  // combinations); SKIP_TO_NEXT kills the signup's remaining partials
+  // the moment its first match emits — so each signup pairs with its
+  // FIRST subsequent purchase only. Oracle: next-purchase position per
+  // signup via the forward-window MIN, like q62's nx CTE.
+  // ------------------------------------------------------------------
+
+  val q120CepSkipToNext: QueryDef = QueryDef(
+    "q120_cep_skip_to_next",
+    (s, dir) => {
+      StreamRunner.requireRocksDb(s)
+      val pat = Pattern(
+        steps = Seq(
+          Step("signup", _.tag == "signup"),
+          Step("purchase", _.tag == "purchase")),
+        withinMs = WithinMs, skipPastLast = false, skipToNext = true)
+      val m = Cep(cepStream(s, dir), pat).toDF()
+      StreamRunner.runToTable(m
+          .select(col("key").as("user_id"),
+            col("ids")(0).as("signup_id"), col("ids")(1).as("purchase_id")),
+          "append")
+        .orderBy(col("user_id"), col("signup_id"))
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT user_id, event_type, event_id,
+               CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS ms,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY
+                 CAST(floor(epoch_us(ts) / 1000) AS BIGINT), event_id) AS rn
+        FROM events
+        WHERE ts <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)),
+      nx AS (
+        SELECT *,
+               MIN(CASE WHEN event_type = 'purchase' THEN rn END) OVER w
+                 AS next_pur_rn
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+      SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id
+      FROM nx s
+      JOIN e p ON p.user_id = s.user_id AND p.rn = s.next_pur_rn
+      WHERE s.event_type = 'signup' AND p.ms - s.ms <= $WithinMs
+      ORDER BY s.user_id, signup_id
+    """))
+
   val all: Seq[QueryDef] =
     Seq(q61CepAllMatches, q62CepSkipPastLast, q78MatchRecognize,
       q88MatchRecognizeVShape, q89CepOneOrMore, q95CepNotFollowedBy,
-      q101MrOptional, q102MrSkipToLast, q115MrTrailingOptional)
+      q101MrOptional, q102MrSkipToLast, q115MrTrailingOptional,
+      q120CepSkipToNext)
 }

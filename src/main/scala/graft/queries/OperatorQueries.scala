@@ -376,13 +376,16 @@ object OperatorQueries {
   val q118BinaryIngest: QueryDef = QueryDef(
     "q118_binary_ingest",
     (s, dir) => {
-      // fixed per-SF path, cleared before each run: a fresh temp dir
-      // per invocation would leak one corpus copy to /tmp per
+      // fixed per-(JVM, SF) path, cleared before each run: a fresh temp
+      // dir per invocation would leak one corpus copy to /tmp per
       // Bench/Verify run (the ingest DataFrame is lazy, so the dir
-      // must outlive this builder — bounding it to one copy is the
-      // cleanup)
+      // must outlive this builder — bounding it to one copy per JVM is
+      // the cleanup). The PID key keeps CONCURRENT Bench/Verify JVMs
+      // apart: without it, one process's clear races the other's lazy
+      // binaryFile scan of the same path.
       val assetDir = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"), "graft_assets_q118_" +
+          ProcessHandle.current().pid() + "_" +
           dir.replaceAll("[^A-Za-z0-9]", "_"))
       if (java.nio.file.Files.exists(assetDir)) {
         val s0 = java.nio.file.Files.list(assetDir)

@@ -745,10 +745,59 @@ object StreamingQueries2 {
       ORDER BY user_id, fire_id
     """))
 
+  // ------------------------------------------------------------------
+  // q121 punctuated watermark release (flink-core
+  // WatermarkGenerator#onEvent — punctuated generators): marker events
+  // (event_id % 50 = 0) carry the watermark in-band, releasing each
+  // key's buffered rows up to the marker's timestamp immediately. The
+  // watermark delay (2000 hours) exceeds the fixture's whole span, so
+  // the GLOBAL watermark never passes any row — every emitted row was
+  // released by a punctuation, which is exactly what the oracle
+  // asserts: per key, the rows at or below the key's latest marker, in
+  // rowtime order. (The fixture arrives in one micro-batch, so the
+  // release happens after all of a key's rows are buffered; marker
+  // honesty only matters across batches — see
+  // WatermarkReplayProcessor.punctuationOf.)
+  // ------------------------------------------------------------------
+
+  val q121PunctuatedSort: QueryDef = QueryDef(
+    "q121_punctuated_sort",
+    (s, dir) => {
+      import s.implicits._
+      StreamRunner.requireRocksDb(s)
+      val ev = StreamRunner.eventsStream(s, dir)
+        .withWatermark("ts", "2000 hours")
+        .select(col("user_id").as("key"),
+          expr("unix_micros(ts) div 1000").as("tsMs"),
+          col("event_id").as("id"), col("ts"))
+        .as[graft.streaming.TemporalSort.SortEvent]
+      val out = graft.streaming.Punctuated.sort(ev, _.id % 50 == 0).toDF()
+        .select(col("key").as("user_id"), col("id").as("event_id"),
+          col("tsMs").as("ms"), col("seq"))
+      StreamRunner.runToTable(out, "append")
+        .orderBy(col("user_id"), col("seq"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id,
+               CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS ms
+        FROM events),
+      m AS (
+        SELECT user_id, MAX(ms) AS punct_ms
+        FROM e WHERE event_id % 50 = 0 GROUP BY user_id),
+      r AS (
+        SELECT e.user_id, e.event_id, e.ms,
+               ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ms, e.event_id) AS seq
+        FROM e JOIN m ON m.user_id = e.user_id AND e.ms <= m.punct_ms)
+      SELECT user_id, event_id, ms, seq
+      FROM r ORDER BY user_id, seq
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q63StreamHop, q64StreamOver, q65UpsertMaterialize, q81StreamOverRange,
     q82TwinStateJoin, q85RefiringWindow, q86TemporalSortLimit,
     q87RetractingJoin, q90RetractableAgg, q91EvictingWindow,
     q103DeltaTrigger, q104ContinuousTrigger, q105DeltaEvictor,
-    q106PurgingDeltaTrigger)
+    q106PurgingDeltaTrigger, q121PunctuatedSort)
 }

@@ -27,8 +27,9 @@ import org.apache.spark.sql.streaming.{OutputMode, TimeMode, ValueState}
   *    (`PREV(...)`, cross-variable comparisons, FIRST/LAST),
   *  - `within(duration)` from first to last matched event,
   *  - after-match: NO_SKIP (all combinations for unquantified relaxed
-  *    steps; SKIP TO NEXT ROW semantics) or SKIP_PAST_LAST (greedy: a
-  *    full match clears open partials).
+  *    steps), SKIP_TO_NEXT (at most one match per start event),
+  *    SKIP_PAST_LAST (greedy: a full match clears open partials), or
+  *    SKIP TO FIRST/LAST <var>.
   *
   * Emission of a quantified FINAL step: immediately when its bounded
   * `maxTimes` is reached; on contiguity break for a strict loop (the
@@ -89,12 +90,23 @@ object Cep {
     * survive, so the next match's scan effectively resumes there.
     * Mutually exclusive with `skipPastLast`. A match not containing the
     * variable (possible when it is optional) prunes nothing.
+    *
+    * `skipToNext` (Flink `AfterMatchSkipStrategy.skipToNext()`, distinct
+    * from `noSkip()`): when a match emits, every open partial that
+    * STARTED AT THE SAME EVENT as the match dies — at most one match per
+    * start row. NO_SKIP and SKIP_TO_NEXT only differ when several
+    * matches can share a start event, i.e. the relaxed-contiguity
+    * combination branches: `A followedBy B` over a, b1, b2 yields
+    * (a,b1) AND (a,b2) under NO_SKIP but only (a,b1) under SKIP_TO_NEXT.
+    * Mutually exclusive with the other skip strategies.
     */
   case class Pattern(steps: Seq[Step], withinMs: Long,
       skipPastLast: Boolean, skipToVar: String = null,
-      skipToFirst: Boolean = false) {
+      skipToFirst: Boolean = false, skipToNext: Boolean = false) {
     require(skipToVar == null || !skipPastLast,
       "SKIP TO FIRST/LAST and SKIP PAST LAST are mutually exclusive")
+    require(!skipToNext || (!skipPastLast && skipToVar == null),
+      "SKIP TO NEXT is mutually exclusive with the other skip strategies")
     require(skipToVar == null || steps.exists(_.name == skipToVar),
       s"AFTER MATCH SKIP TO references unknown pattern variable '$skipToVar'")
   }
@@ -145,9 +157,15 @@ object Cep {
     * await — pure-strict partials die instead of gapping.
     *
     * State compatibility: Partial is Kryo-encoded in the state store
-    * and Kryo is not schema-evolvable — adding `gapped` BROKE restore
-    * of checkpoints written before it existed; a running CEP query must
-    * restart with fresh state across that upgrade.
+    * and Kryo is not schema-evolvable — the state VARIABLE NAME is
+    * therefore versioned (`partials_v2` below) and MUST be bumped on
+    * any change to this class's shape. A restore across an unbumped
+    * shape change dies in an opaque Kryo decode crash; with the bump,
+    * restore is a CLEAN DEFINED restart — the renamed variable starts
+    * empty (in-flight partials from the pre-upgrade run are dropped,
+    * already-emitted matches are unaffected) and the old variable is
+    * discarded by Spark's deleted-state-variable handling. RecoverySpec
+    * pins exactly that behavior. v1 = the pre-`gapped` shape.
     */
   case class Partial(stepIdx: Int, count: Int, firstTs: Long,
       stepOf: Array[Int], evs: Array[CepEvent], gapped: Boolean = false)
@@ -204,7 +222,7 @@ object Cep {
         advTargets(i).exists(j => !pattern.steps(j).strict))
 
     override protected def initState(): Unit =
-      partials = getHandle.getValueState[Array[Partial]]("partials",
+      partials = getHandle.getValueState[Array[Partial]]("partials_v2",
         Encoders.kryo[Array[Partial]],
         org.apache.spark.sql.streaming.TTLConfig.NONE)
 
@@ -247,6 +265,17 @@ object Cep {
             (pruneAt._1 == sr._1 && pruneAt._2 < sr._2)) pruneAt = sr
       }
 
+      // SKIP TO NEXT bookkeeping: (ts, id) start rows of matches emitted
+      // this sweep — partials sharing an emitted match's start row die.
+      // A sweep-local set is complete: partials that survive into state
+      // were already filtered against it before the update, and no
+      // later-created partial can start at an earlier row (events replay
+      // in order).
+      var deadStarts = Set.empty[(Long, Long)]
+      def startRow(q: Partial): (Long, Long) = (q.evs.head.tsMs, q.evs.head.id)
+      def noteStart(p: Partial): Unit =
+        if (pattern.skipToNext) deadStarts += startRow(p)
+
       /** Drops partials whose within-window closed; a dropped partial
         * sitting at the final step with minTimes met flush-emits its
         * maximal match first (greedy timeout emission). In
@@ -273,6 +302,11 @@ object Cep {
               kept = kept.filter(startsAfter(_, last.tsMs, last.id))
               rest = rest.filter(startsAfter(_, last.tsMs, last.id))
             }
+            if (pattern.skipToNext) {
+              noteStart(p)
+              kept = kept.filter(startRow(_) != startRow(p))
+              rest = rest.filter(startRow(_) != startRow(p))
+            }
             skipRowOf(p).foreach { sr =>
               noteMatch(p)
               kept = kept.filter(!startsBefore(_, sr))
@@ -291,6 +325,9 @@ object Cep {
         open.foreach { p =>
           if (pruneAt != null && startsBefore(p, pruneAt)) {
             // pruned by AFTER MATCH SKIP TO FIRST/LAST
+          } else if (deadStarts.nonEmpty && deadStarts(startRow(p))) {
+            // pruned by SKIP TO NEXT: a match already emitted from this
+            // partial's start row
           } else if ((matched || broke) && pattern.skipPastLast) {
             // greedy mode: the first full match wins; the rest discard
           } else {
@@ -313,7 +350,7 @@ object Cep {
                 p.stepOf :+ p.stepIdx, p.evs :+ e)
               if (last && adv.count == st.maxTimes) {
                 out += toMatch(key, adv, e.tsMs); matched = true
-                noteMatch(adv)
+                noteMatch(adv); noteStart(adv)
               } else next ::= adv
             } else if (viable.nonEmpty) {
               // greedy also across skippable optional steps: in
@@ -327,7 +364,7 @@ object Cep {
                 val adv = Partial(ni, 1, p.firstTs, p.stepOf :+ ni, p.evs :+ e)
                 if (ni == nSteps - 1 && nst.maxTimes == 1) {
                   out += toMatch(key, adv, e.tsMs); matched = true
-                  noteMatch(adv)
+                  noteMatch(adv); noteStart(adv)
                 } else next ::= adv
               }
               // relaxed-contiguity combinations (NO_SKIP, unquantified
@@ -359,7 +396,7 @@ object Cep {
                 // to start a new partial
                 out += toMatch(key, p, p.evs.last.tsMs)
                 broke = true
-                noteMatch(p)
+                noteMatch(p); noteStart(p)
               } // else: strict step unmatched → partial dies
             }
           }
@@ -373,7 +410,7 @@ object Cep {
           val p0 = Partial(k, 1, e.tsMs, Array(k), Array(e))
           if (k == nSteps - 1 && pattern.steps(k).maxTimes == 1) {
             out += toMatch(key, p0, e.tsMs); matched = true
-            noteMatch(p0)
+            noteMatch(p0); noteStart(p0)
           } else created ::= p0
         }
         created = created.reverse
@@ -381,9 +418,15 @@ object Cep {
           if (matched && pattern.skipPastLast) Nil
           else if (broke && pattern.skipPastLast) created
           else {
-            val kept =
+            var kept =
               if (pruneAt == null) next.reverse
               else next.reverse.filter(!startsBefore(_, pruneAt))
+            // SKIP TO NEXT: branches pushed into next/created BEFORE a
+            // same-start match emitted later in this event's scan
+            if (deadStarts.nonEmpty) {
+              kept = kept.filter(q => !deadStarts(startRow(q)))
+              created = created.filter(q => !deadStarts(startRow(q)))
+            }
             kept ::: created
           }
       }

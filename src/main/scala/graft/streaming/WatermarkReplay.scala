@@ -43,6 +43,28 @@ trait WatermarkReplayProcessor[I, O] extends StatefulProcessor[Long, I, O] {
     */
   protected def replayOnEmptyTimer: Boolean = false
 
+  /** Punctuated-watermark analog (reference: flink-core
+    * `eventtime/WatermarkGenerator.java#onEvent` — a punctuated
+    * generator emits the watermark from the event itself instead of on
+    * the periodic clock). Returning `Some(w)` marks the row as a
+    * punctuation asserting "no later row of this KEY carries ts <= w":
+    * all buffered rows with ts <= w replay IMMEDIATELY in the same
+    * micro-batch, without waiting for the global watermark to pass
+    * them. The marker row itself stays ordinary data (buffered and
+    * replayed like any other — Flink's generators also see the event
+    * before emitting the watermark after it).
+    *
+    * Same contract Flink's punctuated generators carry: if the
+    * assertion is false — a later micro-batch delivers a row at or
+    * below an already-fired punctuation — that row is LATE. It is not
+    * dropped here; it buffers and replays once the GLOBAL watermark
+    * passes it, i.e. in a separate later sweep, out of order with the
+    * rows the punctuation already released. Within one micro-batch the
+    * release is safe regardless, because it runs after the whole
+    * batch's rows are buffered.
+    */
+  protected def punctuationOf(e: I): Option[Long] = None
+
   @transient private var buffer: ListState[I] = _
 
   final override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
@@ -58,13 +80,30 @@ trait WatermarkReplayProcessor[I, O] extends StatefulProcessor[Long, I, O] {
     // appendList per key per batch ~2x SLOWER (q103 8.8→15.2 s, q87
     // 33→58 s) — don't "optimize" this into appendList
     var minTs = Long.MaxValue
+    var punct = Long.MinValue
     rows.foreach { e =>
       buffer.appendValue(e)
       val t = tsOf(e)
       if (t < minTs) minTs = t
+      punctuationOf(e).foreach { w => if (w > punct) punct = w }
     }
-    if (minTs != Long.MaxValue) getHandle.registerTimer(minTs)
-    Iterator.empty
+    if (punct == Long.MinValue) {
+      if (minTs != Long.MaxValue) getHandle.registerTimer(minTs)
+      Iterator.empty
+    } else {
+      // punctuated release: drain the covered prefix NOW (the
+      // punctuation is the watermark for these rows); pending rows
+      // keep the one-timer invariant exactly like a timer fire
+      val all = buffer.get().toList
+      val (ready, pending) = all.partition(tsOf(_) <= punct)
+      buffer.clear()
+      if (pending.nonEmpty) {
+        pending.foreach(buffer.appendValue)
+        getHandle.registerTimer(pending.map(tsOf).min)
+      }
+      if (ready.isEmpty && !replayOnEmptyTimer) Iterator.empty
+      else replay(key, ready, punct)
+    }
   }
 
   final override def handleExpiredTimer(key: Long, timerValues: TimerValues,

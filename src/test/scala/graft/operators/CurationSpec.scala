@@ -78,4 +78,15 @@ class CurationSpec extends AnyFunSuite {
     assert(rows(1) == "call <NUM> not 123456")
     assert(rows(2) == "clean text stays clean")
   }
+
+  test("redactPii is case-insensitive: mixed-case emails and schemes redact") {
+    val rows = Seq(
+      "write User@Example.COM today",
+      "or HTTPS://Example.com/Path works too")
+      .toDF("t")
+      .select(Curation.redactPii(col("t")).as("r"))
+      .as[String].collect()
+    assert(rows(0) == "write <EMAIL> today")
+    assert(rows(1) == "or <URL> works too")
+  }
 }

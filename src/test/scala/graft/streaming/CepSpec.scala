@@ -283,6 +283,28 @@ class CepSpec extends AnyFunSuite {
     assert(out.toSet == Set(Seq(1L, 2L), Seq(1L)), s"got $out")
   }
 
+  test("SKIP_TO_NEXT emits at most one match per start event") {
+    // identical input to the NO_SKIP combination test (which yields all
+    // four A×B pairs): under SKIP_TO_NEXT each A matches only its FIRST
+    // subsequent B — the emitted match kills the A's remaining partials
+    val events = Seq(ev(1, 0, "A", 1), ev(1, 10, "A", 2), ev(1, 20, "B", 3),
+      ev(1, 30, "B", 4))
+    val out = run(Pattern(steps(), withinMs = 600000, skipPastLast = false,
+      skipToNext = true), events)
+    assert(out.toSet == Set(Seq(1L, 3L), Seq(2L, 3L)), s"got $out")
+  }
+
+  test("SKIP_TO_NEXT is mutually exclusive with the other strategies") {
+    assertThrows[IllegalArgumentException] {
+      Pattern(steps(), withinMs = 1000, skipPastLast = true,
+        skipToNext = true)
+    }
+    assertThrows[IllegalArgumentException] {
+      Pattern(steps(), withinMs = 1000, skipPastLast = false,
+        skipToVar = "a", skipToNext = true)
+    }
+  }
+
   test("SKIP TO an unknown variable is rejected at construction") {
     assertThrows[IllegalArgumentException] {
       Pattern(Seq(Step("a", _.tag == "A")), withinMs = 1000,

@@ -49,10 +49,20 @@ def main(sf_dir: str, oracle_json: str) -> int:
     if skipped:
         print(f"note: {len(skipped)} not bindable at this SF, skipped: "
               + ", ".join(skipped))
+    # every DESCRIBE failing means the environment (sf dir / parquet) is
+    # broken, not that the oracles are clean — don't let the gate
+    # silently pass exactly when it can't see anything
+    if oracles and len(skipped) == len(oracles):
+        print("SKIP: no oracle could be described (bad sfDir?)")
+        return 3
     if flagged:
         print("FLAGGED (cast these to BIGINT/DOUBLE in the oracle SQL):")
         for f in flagged:
             print("  " + f)
+        print("note: DECIMAL(38,*) is a false positive iff the Spark side"
+              " also widens to precision 38 (SUM over DECIMAL(p,s) with"
+              " p >= 28: min(38, p+10) = 38) — verify before 'fixing' a"
+              " matching oracle.")
         return 2
     print(f"{len(oracles) - len(skipped)} oracles lint clean")
     return 0
