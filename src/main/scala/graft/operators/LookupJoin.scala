@@ -120,7 +120,7 @@ object LookupJoin {
     (broadcastBatchedStore(bc), schema)
   }
 
-  private def collectDim(dim: DataFrame, maxRows: Int)
+  private[operators] def collectDim(dim: DataFrame, maxRows: Int)
       : (Broadcast[Map[Any, Seq[Any]]], StructType) = {
     val schema = StructType(dim.schema.fields.drop(1))
     val rows = dim.limit(maxRows + 1).collect()

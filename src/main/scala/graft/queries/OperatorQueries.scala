@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{FlinkSql, QueryDef, Tables}
-import graft.operators.{CdcFormats, LookupJoin, Multimodal, TemporalJoin}
+import graft.operators.{AsyncLookup, CdcFormats, LookupJoin, Multimodal, TemporalJoin}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -88,6 +88,40 @@ object OperatorQueries {
           Tables.load(s, dir, "supplier")
             .select(col("s_suppkey"), col("s_name"), col("s_nationkey")),
           "s_nationkey", store, outSchema, batchSize = 64)
+        .orderBy(col("s_suppkey"))
+    },
+    Some("""
+      SELECT s_suppkey, s_name, s_nationkey, n_name, r_name
+      FROM supplier
+      LEFT JOIN nation ON s_nationkey = n_nationkey
+      LEFT JOIN region ON n_regionkey = r_regionkey
+      ORDER BY s_suppkey
+    """))
+
+  // ------------------------------------------------------------------
+  // q122 ASYNC lookup join (AsyncWaitOperator / unorderedWait analog):
+  // per-key lookups run concurrently behind a capacity-32 in-flight
+  // window with simulated per-key latency (deterministic, hash-derived
+  // — no RNG) and UNORDERED emission, so completion order differs from
+  // input order; the final ORDER BY restores determinism and the same
+  // left-outer oracle as q46/q98 proves every row enriched exactly
+  // once regardless of completion interleaving.
+  // ------------------------------------------------------------------
+
+  val q122AsyncLookup: QueryDef = QueryDef(
+    "q122_async_lookup",
+    (s, dir) => {
+      val dim = Tables.load(s, dir, "nation")
+        .join(broadcast(Tables.load(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      val (store, outSchema) = AsyncLookup.asyncStoreFrom(
+        dim, k => (k.asInstanceOf[Number].longValue() % 4).toLong)
+      AsyncLookup.enrichAsync(
+          Tables.load(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_name"), col("s_nationkey")),
+          "s_nationkey", store, outSchema, capacity = 32,
+          timeoutMs = 30000, ordered = false)
         .orderBy(col("s_suppkey"))
     },
     Some("""
@@ -411,5 +445,6 @@ object OperatorQueries {
   val all: Seq[QueryDef] = Seq(
     q45AsofJoin, q46LookupJoin, q47DedupKeepLast,
     q48CdcDebezium, q49CdcCanal, q50FlinkSqlTumble, q51Multimodal,
-    q97CdcRetractPipeline, q98LookupBatched, q118BinaryIngest)
+    q97CdcRetractPipeline, q98LookupBatched, q118BinaryIngest,
+    q122AsyncLookup)
 }
