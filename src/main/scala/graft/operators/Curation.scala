@@ -141,6 +141,57 @@ object Curation {
     * start offset so output is deterministic without posexplode.
     * Emits (…, chunk_idx BIGINT, n_chunk_tokens BIGINT, chunk STRING).
     */
+  /** Deterministic per-source mixing weights: replicate (rate > 1,
+    * epoch upsampling) or subsample (rate < 1) each stratum to hit a
+    * target mixture — the data-mixing step that turns per-source
+    * corpora into a training blend (public semantics: the
+    * domain-weight mixtures of Pile/LLaMA-style pretraining recipes).
+    *
+    * Every row gets `floor(rate)` copies plus one more iff its md5
+    * 2-hex-char prefix clears the fractional-part threshold, so the
+    * realized rate is `floor(rate) + round-down-to-1/256(frac)` —
+    * exact in expectation at the 1/256 quantization, and REPRODUCIBLE:
+    * the same key always makes the same draw, across runs and engines
+    * (the [[bernoulliFlag]] contract, extended with integer copies).
+    * Strata absent from `rates` get rate 0 and drop. Emits the input
+    * columns plus `copy` (1..n BIGINT) so downstream shuffles can
+    * spread replicas.
+    *
+    * Scale shape: a pure narrow map — the when-chain threshold lookup
+    * is codegen'd, the replication is one `explode(sequence)`, no
+    * shuffle at all. At 100 TB this re-weights at scan speed; the only
+    * cost is the written output's size, which is the point of the
+    * operator.
+    */
+  def weightedMix(df: DataFrame, keyCol: String, stratumCol: String,
+      rates: Map[String, Double]): DataFrame = {
+    require(rates.values.forall(r => r >= 0 && r <= 64),
+      "rates must be in [0, 64]")
+    val stratum = col(stratumCol)
+    def chain(f: Double => Option[Column]): Column =
+      rates.toSeq.sortBy(_._1).foldLeft(lit(null).cast("string")) {
+        case (acc, (s, r)) =>
+          f(r).map(v => when(stratum === lit(s), v).otherwise(acc))
+            .getOrElse(acc)
+      }
+    val base = chain(r => Some(lit(math.floor(r).toInt.toString)))
+      .cast("int")
+    val fracThr = chain { r =>
+      val n = math.floor((r - math.floor(r)) * 256).toInt
+      if (n <= 0) None else Some(lit(f"${n - 1}%02x"))
+    }
+    val extra = when(
+      fracThr.isNotNull &&
+        substring(sampleOrder(col(keyCol)), 1, 2) <= fracThr,
+      lit(1)).otherwise(lit(0))
+    // filter BEFORE sequence: sequence(1, 0) would infer step -1 and
+    // emit [1, 0] instead of nothing
+    df.withColumn("__n", coalesce(base, lit(0)) + extra)
+      .filter(col("__n") > 0)
+      .withColumn("copy", explode(sequence(lit(1L), col("__n").cast("long"))))
+      .drop("__n")
+  }
+
   def tokenChunks(df: DataFrame, textCol: String, chunkSize: Int,
       stride: Int): DataFrame = {
     require(stride > 0 && chunkSize > 0)

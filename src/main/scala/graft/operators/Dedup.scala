@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication operator family for large-scale training-data
@@ -370,5 +371,95 @@ object Dedup {
     }
     require(converged, s"connectedComponents: no fixpoint in $maxIter rounds")
     labels.select(col("v"), col("component"))
+  }
+
+  // ------------------------------------------------------------------
+  // Block-level exact dedup with document reassembly
+  // ------------------------------------------------------------------
+
+  /** Sub-document exact dedup: split each document into fixed
+    * `blockTokens`-token blocks, keep each distinct block's globally
+    * FIRST occurrence (lexicographic (doc_id, block_idx)), and
+    * reassemble every document from its surviving blocks — the
+    * paragraph/span-level dedup pass of training-data pipelines
+    * (public semantics: Lee et al. '21, "Deduplicating Training Data
+    * Makes Language Models Better" — their exact-substring dedup at a
+    * fixed-block granularity; on corpora with natural structure the
+    * splitter would be `\n\n`, here deterministic token offsets since
+    * the fixture corpus is single-line).
+    *
+    * Emits (doc_id, n_blocks, n_kept, text_deduped), one row per input
+    * document; `text_deduped` is '' when every block was seen earlier.
+    *
+    * Scale shape: two shuffles total — (1) blocks keyed by md5
+    * fingerprint for the keep-first window, (2) survivors keyed by
+    * doc_id for reassembly. Blocks are disjoint spans, so each shuffle
+    * moves ~corpus bytes once, never a cross product. A viral
+    * boilerplate block concentrates its occurrences in one fingerprint
+    * group; the window's per-group work is a spillable O(n log n) sort
+    * (not O(n^2)), so skew degrades locally instead of failing. The
+    * reference itself has no sub-document dedup (SURVEY.md §2.6 stops
+    * at row-level ROW_NUMBER dedup); this is training-pipeline
+    * superset territory like the minhash family above.
+    */
+  def blockDedup(df: DataFrame, idCol: String, textCol: String,
+      blockTokens: Int): DataFrame = {
+    require(blockTokens > 0, "blockTokens must be positive")
+    val blocks = df
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .withColumn("__start",
+        explode(sequence(lit(1), greatest(size(col("__toks")), lit(1)),
+          lit(blockTokens))))
+      .withColumn("block_idx",
+        expr(s"CAST((__start - 1) div $blockTokens AS BIGINT)"))
+      .withColumn("block",
+        concat_ws(" ", slice(col("__toks"), col("__start"), lit(blockTokens))))
+      .select(col("doc_id"), col("block_idx"), col("block"))
+    // global keep-first over the 128-bit fingerprint: only the compact
+    // (doc_id, block_idx) pair decides the winner, deterministically
+    val w = Window.partitionBy(md5(col("block")))
+      .orderBy(col("doc_id"), col("block_idx"))
+    blocks
+      .withColumn("__keep", row_number().over(w) === 1)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("__keep"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        // collect_list drops the nulls from non-kept rows; sort_array on
+        // array<struct> orders by the leading block_idx field, restoring
+        // document order regardless of partitioning
+        array_join(
+          transform(
+            sort_array(collect_list(
+              when(col("__keep"), struct(col("block_idx"), col("block"))))),
+            s => s.getField("block")),
+          " ").as("text_deduped"))
+  }
+
+  /** Near-dup cluster collapse, the step AFTER [[connectedComponents]]:
+    * label every document with its cluster (its component, or itself if
+    * it never appeared in a duplicate pair) and keep exactly one
+    * representative per cluster — the highest-`qualityCol` member, ties
+    * to the smallest id. Emits (doc_id, cluster, kept) for every input
+    * document, so callers can either filter `kept` or audit the drop
+    * set.
+    *
+    * Scale shape: the component labels cover only documents that
+    * appeared in a pair (the duplicate minority), joined back to the
+    * corpus on its id — an equi-join AQE can broadcast when the dup
+    * fraction is small. The representative choice is one window over
+    * `cluster`; near-dup clusters are small, so no group outgrows a
+    * partition.
+    */
+  def clusterRepresentatives(docs: DataFrame, pairs: DataFrame,
+      idCol: String, qualityCol: String): DataFrame = {
+    val comps = connectedComponents(pairs, "doc_a", "doc_b")
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("__q").desc, col("doc_id"))
+    docs.select(col(idCol).as("doc_id"), col(qualityCol).as("__q"))
+      .join(comps, col("doc_id") === col("v"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+      .withColumn("kept", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster"), col("kept"))
   }
 }

@@ -309,8 +309,56 @@ object CurationQueries {
       """))
   }
 
+  // ------------------------------------------------------------------
+  // q124 weighted source mixing (epoch up/down-sampling)
+  // ------------------------------------------------------------------
+
+  /** Domain-weight mixing: each source replicated or subsampled to its
+    * target rate (2.5x, 1x, 0.5x, …; unmapped sources drop). Engine
+    * and oracle derive base copies and the fractional 2-hex-char
+    * threshold from the SAME Scala map, so the realized per-row copy
+    * counts are bit-identical. A pure narrow map — zero shuffle.
+    */
+  val q124WeightedMix: QueryDef = {
+    val rates = Map(
+      "src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.5, "src3" -> 0.25,
+      "src4" -> 2.0, "src5" -> 0.125, "src6" -> 1.75, "src7" -> 0.0625)
+    def baseCase = rates.toSeq.sorted.map { case (s, r) =>
+      s"WHEN '$s' THEN ${math.floor(r).toInt}"
+    }.mkString(" ")
+    def fthrCase = rates.toSeq.sorted.flatMap { case (s, r) =>
+      val n = math.floor((r - math.floor(r)) * 256).toInt
+      if (n <= 0) None else Some(f"WHEN '$s' THEN '${n - 1}%02x'")
+    }.mkString(" ")
+    QueryDef(
+      "q124_weighted_mix",
+      (s, dir) =>
+        Curation.weightedMix(
+            Tables.load(s, dir, "documents").select(col("doc_id"), col("source")),
+            "doc_id", "source", rates)
+          .select(col("doc_id"), col("source"), col("copy"))
+          .orderBy(col("doc_id"), col("copy")),
+      Some(s"""
+        WITH r AS (SELECT doc_id, source,
+                          CASE source $baseCase ELSE NULL END AS base,
+                          CASE source $fthrCase ELSE NULL END AS fthr
+                   FROM documents),
+        n AS (SELECT doc_id, source,
+                     COALESCE(base, 0)
+                       + CASE WHEN fthr IS NOT NULL
+                               AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= fthr
+                              THEN 1 ELSE 0 END AS n
+              FROM r)
+        SELECT doc_id, source,
+               CAST(unnest(generate_series(1, n)) AS BIGINT) AS copy
+        FROM n
+        WHERE n > 0
+        ORDER BY doc_id, copy
+      """))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q109StratifiedSample, q110PiiRedaction, q111SplitLeakage,
       q112VocabTopK, q113TokenChunks, q116CurationE2e,
-      q117RepetitionMetrics, q119Decontamination)
+      q117RepetitionMetrics, q119Decontamination, q124WeightedMix)
 }

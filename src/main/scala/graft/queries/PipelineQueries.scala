@@ -514,9 +514,93 @@ object PipelineQueries {
       """))
   }
 
+  // ------------------------------------------------------------------
+  // q123 block-level exact dedup with document reassembly
+  // ------------------------------------------------------------------
+
+  /** Sub-document dedup (Lee et al. '21 exact-substring dedup at
+    * fixed 12-token blocks): distinct block content survives only at
+    * its globally first (doc_id, block_idx) occurrence, and each
+    * document is reassembled from its survivors. Two shuffles
+    * (fingerprint window, doc_id reassembly); the oracle replays the
+    * identical keep-first rule over the same md5 fingerprints.
+    */
+  val q123BlockDedup: QueryDef = {
+    val B = 12
+    QueryDef(
+      "q123_block_dedup",
+      (s, dir) =>
+        Dedup.blockDedup(Tables.load(s, dir, "documents"), "doc_id", "text",
+            blockTokens = B)
+          .orderBy(col("doc_id")),
+      Some(s"""
+        WITH toks AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS t
+                      FROM documents),
+        st AS (SELECT doc_id, t,
+                      unnest(generate_series(1, greatest(len(t), 1), $B)) AS start
+               FROM toks),
+        blocks AS (SELECT doc_id,
+                          CAST((start - 1) // $B AS BIGINT) AS block_idx,
+                          array_to_string(t[start:least(len(t), start + $B - 1)], ' ') AS block
+                   FROM st),
+        rk AS (SELECT doc_id, block_idx, block,
+                      row_number() OVER (PARTITION BY md5(block)
+                                         ORDER BY doc_id, block_idx) AS rn
+               FROM blocks)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_blocks,
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               COALESCE(array_to_string(
+                 list(block ORDER BY block_idx) FILTER (WHERE rn = 1), ' '), '')
+                 AS text_deduped
+        FROM rk
+        GROUP BY doc_id
+        ORDER BY doc_id
+      """))
+  }
+
+  // ------------------------------------------------------------------
+  // q125 near-dup cluster representatives (keep-best-per-cluster)
+  // ------------------------------------------------------------------
+
+  /** The collapse step after q84's clustering: every document labeled
+    * with its cluster (component, or itself when unpaired), one
+    * representative kept per cluster — longest text wins, ties to the
+    * smallest id. The oracle reuses the same recursive-CTE component
+    * labels as q84 and replays the window choice.
+    */
+  val q125ClusterReps: QueryDef = QueryDef(
+    "q125_cluster_reps",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.minhashDedup(docs, "doc_id", "text",
+        NumHashes, Bands, ShingleN, threshold = 0.8)
+      Dedup.clusterRepresentatives(docs, pairs, "doc_id", "n_chars")
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE $minhashPairCtes,
+      e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+      walk(v, lbl) AS (
+        SELECT DISTINCT src, src FROM e
+        UNION
+        SELECT e.dst, w.lbl FROM e JOIN walk w ON e.src = w.v
+      ),
+      comp AS (SELECT v, MIN(lbl) AS component FROM walk GROUP BY v),
+      lab AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster,
+                     d.n_chars
+              FROM documents d LEFT JOIN comp c ON d.doc_id = c.v)
+      SELECT doc_id, cluster,
+             (row_number() OVER (PARTITION BY cluster
+                                 ORDER BY n_chars DESC, doc_id) = 1) AS kept
+      FROM lab
+      ORDER BY doc_id
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
     q38CurationRollup, q84MinhashClusters, q96QuantizedAnn,
-    q108WinnowFingerprint, q114LshNearDup)
+    q108WinnowFingerprint, q114LshNearDup, q123BlockDedup, q125ClusterReps)
 }

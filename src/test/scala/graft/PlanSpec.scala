@@ -234,4 +234,20 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"chunking must not shuffle:\n$p")
     assert(p.contains("Generate explode"), "one generator per document expected")
   }
+
+  test("q123: block dedup is two keyed shuffles (fingerprint window, doc reassembly)") {
+    val p = plan("q123_block_dedup")
+    val exchanges = "(?m)^\\s*\\+?-?\\s*Exchange".r.findAllIn(p).size
+    // fingerprint window + reassembly groupBy + final orderBy — never a join
+    assert(exchanges <= 3, s"block dedup grew extra shuffles:\n$p")
+    assert(!p.contains("Join"), "keep-first must be a window, not a self-join")
+    assert(p.contains("Generate explode"), "one generator per document expected")
+  }
+
+  test("q124: weighted mix is a pure narrow map — no shuffle before the final sort") {
+    val p = plan("q124_weighted_mix")
+    val exchanges = "(?m)^\\s*\\+?-?\\s*Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"mixing must not shuffle:\n$p")
+    assert(p.contains("Generate explode"), "replication must be explode, not a join")
+  }
 }

@@ -89,4 +89,32 @@ class CurationSpec extends AnyFunSuite {
     assert(rows(0) == "write <EMAIL> today")
     assert(rows(1) == "or <URL> works too")
   }
+
+  test("weightedMix replicates by floor(rate) and tops up by the hex fraction") {
+    val df = spark.range(4000)
+      .select(col("id"), concat(lit("s"), col("id") % 4).as("src"))
+    val rates = Map("s0" -> 2.5, "s1" -> 1.0, "s2" -> 0.25, "s3" -> 0.0)
+    val out = Curation.weightedMix(df, "id", "src", rates).cache()
+    val per = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    // s0: 1000 keys -> 2000 + ~500 fractional; s1 exact 1000; s3 dropped
+    assert(per("s0") > 2350 && per("s0") < 2650, s"s0=${per("s0")}")
+    assert(per("s1") == 1000L)
+    assert(per("s2") > 175 && per("s2") < 325, s"s2=${per("s2")}")
+    assert(!per.contains("s3"))
+    // copies are dense 1..n per key: max(copy) == count per key
+    val bad = out.groupBy("id").agg(max("copy").as("m"), count(lit(1)).as("c"))
+      .filter(col("m") =!= col("c"))
+    assert(bad.isEmpty)
+    // deterministic: a re-run over repartitioned input is identical
+    val again = Curation.weightedMix(df.repartition(11), "id", "src", rates)
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+    out.unpersist()
+  }
+
+  test("weightedMix drops strata absent from the rate map") {
+    val df = Seq((1L, "known"), (2L, "unknown")).toDF("id", "src")
+    val out = Curation.weightedMix(df, "id", "src", Map("known" -> 1.0))
+      .select("id").as[Long].collect().toSeq
+    assert(out == Seq(1L))
+  }
 }
