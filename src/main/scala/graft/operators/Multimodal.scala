@@ -65,32 +65,56 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Hadoop Configuration is not Serializable; this is the standard
+    * write/readFields envelope so executors inherit the SESSION'S
+    * filesystem config (s3a credentials, defaultFS, …) instead of a
+    * blank `new Configuration()`.
+    */
+  private class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit =
+      value.write(out)
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
   /** Executor-side asset writer: one `<id>.bin` file per row, written
     * in parallel from the partitions (no driver collect). The fixture
     * side of the binaryFile ingestion round-trip below; in production
     * the files already exist on object storage.
     *
-    * LOCAL-MODE ONLY: `dir` is created on the driver and written via
-    * bare `java.nio.file` from the executors, so on a multi-node
-    * cluster each executor writes its own local disk and a subsequent
-    * [[ingestBinaryDir]] scan sees only a shard of the corpus. On a
-    * real cluster point `dir` at a shared filesystem and write through
-    * Hadoop's `FileSystem` API (or skip this entirely — production
-    * assets already live on object storage); this helper exists to
-    * build the ingestion fixture, not to be a distributed sink.
+    * Writes through Hadoop's `FileSystem` resolved from `dir`'s scheme
+    * with the session's Hadoop configuration, so the same call is
+    * correct on a real cluster when `dir` is a SHARED filesystem
+    * (hdfs://, s3a://, nfs-mounted file://): every executor writes to
+    * the one namespace a subsequent [[ingestBinaryDir]] scan reads. A
+    * node-local `file://` path still degenerates to per-node shards —
+    * that is a deployment property the API cannot see; local mode
+    * (the test fixture) is trivially shared.
     */
   def writeAssets(df: DataFrame, idCol: String, textCol: String,
       dir: String): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    import org.apache.hadoop.fs.Path
+    val conf = new SerializableHadoopConf(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val root = new Path(dir)
+    root.getFileSystem(conf.value).mkdirs(root)
     // NULL payloads have no file representation — skipped, like the
     // other text consumers (simhash, shingleSets) drop null text
     df.select(col(idCol).cast("long"), col(textCol))
       .filter(col(textCol).isNotNull)
       .foreachPartition { it: Iterator[Row] =>
-        it.foreach { r =>
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(dir, s"${r.getLong(0)}.bin"),
-            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if (it.hasNext) {
+          val fs = new Path(dir).getFileSystem(conf.value)
+          it.foreach { r =>
+            val out = fs.create(new Path(dir, s"${r.getLong(0)}.bin"), true)
+            try out.write(
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+          }
         }
       }
   }
