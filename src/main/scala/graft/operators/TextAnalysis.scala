@@ -178,4 +178,45 @@ object TextAnalysis {
            coalesce(top.top_frac, 0.0) AS top_frac
     FROM base b LEFT JOIN top USING (doc_id)
     ORDER BY doc_id"""
+
+  // ------------------------------------------------------------------
+  // TF-IDF keyword extraction
+  // ------------------------------------------------------------------
+
+  /** Top-k keywords per document by TF-IDF (tf × ln(N / (1 + df)) —
+    * the smoothed textbook form): the classic corpus-statistics
+    * featurization between raw text and retrieval/clustering stages.
+    * Emits (doc_id, tok, tf, df, tfidf, rk) with rk 1..k, ranked by the
+    * ROUNDED score then token so cross-engine float ties break
+    * identically.
+    *
+    * Scale shape: (doc, token) term counts and per-token document
+    * frequencies are both partial-aggregated before their shuffles
+    * (map-side combine bounds each by the partition's distinct terms,
+    * not its length); N is a one-row aggregate broadcast into the plan
+    * (no driver round-trip); the df join keys on token — a viral
+    * stopword's group is AQE-skew territory but bounded by vocabulary
+    * size, not corpus size; the final top-k window partitions by doc.
+    */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val tf = df
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    // tf is already (doc, tok)-distinct, so df = COUNT per tok over it
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(
+        col("tf") * log(col("n_docs").cast("double") / (lit(1.0) + col("df"))),
+        6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        col("tfidf"), col("rk"))
+  }
 }

@@ -598,9 +598,46 @@ object PipelineQueries {
       ORDER BY doc_id
     """))
 
+  // ------------------------------------------------------------------
+  // q126 TF-IDF keyword extraction
+  // ------------------------------------------------------------------
+
+  /** Top-5 TF-IDF keywords per document. Term counts and document
+    * frequencies partial-aggregate before their shuffles; N broadcasts
+    * as a one-row aggregate; ranking uses the rounded score so float
+    * ties break identically across engines.
+    */
+  val q126TfidfTopK: QueryDef = QueryDef(
+    "q126_tfidf_topk",
+    (s, dir) =>
+      TextAnalysis.tfidfTopK(Tables.load(s, dir, "documents"), "doc_id",
+          "text", k = 5)
+        .orderBy(col("doc_id"), col("rk")),
+    Some(s"""
+      WITH toks AS (SELECT doc_id, unnest(${TextOps.tokensSql("text")}) AS tok
+                    FROM documents),
+      tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+      nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+      scored AS (SELECT t.doc_id, t.tok, t.tf, d.df,
+                        round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / (1.0 + d.df)), 6)
+                          AS tfidf
+                 FROM tf t JOIN dfreq d USING (tok) CROSS JOIN nd n),
+      ranked AS (SELECT *,
+                        CAST(row_number() OVER (PARTITION BY doc_id
+                                                ORDER BY tfidf DESC, tok)
+                             AS BIGINT) AS rk
+                 FROM scored)
+      SELECT doc_id, tok, tf, df, tfidf, rk
+      FROM ranked
+      WHERE rk <= 5
+      ORDER BY doc_id, rk
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
     q38CurationRollup, q84MinhashClusters, q96QuantizedAnn,
-    q108WinnowFingerprint, q114LshNearDup, q123BlockDedup, q125ClusterReps)
+    q108WinnowFingerprint, q114LshNearDup, q123BlockDedup, q125ClusterReps,
+    q126TfidfTopK)
 }

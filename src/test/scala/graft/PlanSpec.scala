@@ -244,6 +244,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate explode"), "one generator per document expected")
   }
 
+  test("q126: tf-idf partial-aggregates both counts, N broadcasts, no cartesian") {
+    val p = plan("q126_tfidf_topk")
+    assert(p.contains("partial_count"), "term/doc-freq counts must map-side combine")
+    assert(p.contains("BroadcastNestedLoopJoin"), "the 1-row N must broadcast")
+    assert(!p.contains("CartesianProduct"), "no cartesian for the scalar join")
+  }
+
   test("q124: weighted mix is a pure narrow map — no shuffle before the final sort") {
     val p = plan("q124_weighted_mix")
     val exchanges = "(?m)^\\s*\\+?-?\\s*Exchange".r.findAllIn(p).size

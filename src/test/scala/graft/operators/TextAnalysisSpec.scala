@@ -35,6 +35,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(m(11L)._2 == 0.0 && m(11L)._3 == 0.0)
   }
 
+  test("tfidfTopK: textbook smoothed scores, rank by rounded score then token") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "y y x"),   // tf(y)=2 df(y)=1; tf(x)=1 df(x)=3
+      (2L, "x z"),     // z: df=1
+      (3L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopK(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rk")
+      .select("doc_id", "tok", "tf", "df", "tfidf", "rk")
+      .as[(Long, String, Long, Long, Double, Long)].collect().toSeq
+    val lnYd1 = round6(2.0 * math.log(3.0 / 2.0))   // 0.810930
+    val lnZ = round6(math.log(3.0 / 2.0))           // 0.405465
+    val lnX = round6(math.log(3.0 / 4.0))           // -0.287682 (ubiquitous)
+    assert(out == Seq(
+      (1L, "y", 2L, 1L, lnYd1, 1L),
+      (1L, "x", 1L, 3L, lnX, 2L),
+      (2L, "z", 1L, 1L, lnZ, 1L),
+      (2L, "x", 1L, 3L, lnX, 2L),
+      (3L, "x", 1L, 3L, lnX, 1L)))
+  }
+
   private def round6(d: Double): Double =
     BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
