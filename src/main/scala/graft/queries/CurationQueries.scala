@@ -319,17 +319,27 @@ object CurationQueries {
     * threshold from the SAME Scala map, so the realized per-row copy
     * counts are bit-identical. A pure narrow map — zero shuffle.
     */
+  /** SQL CASE twins of [[graft.operators.Curation.weightedMix]]'s
+    * base-copies and fractional-threshold when-chains, derived from the
+    * same Scala map the engine uses.
+    */
+  private def mixBaseCase(rates: Map[String, Double]): String =
+    rates.toSeq.sorted.map { case (s, r) =>
+      s"WHEN '$s' THEN ${math.floor(r).toInt}"
+    }.mkString(" ")
+
+  private def mixFthrCase(rates: Map[String, Double]): String =
+    rates.toSeq.sorted.flatMap { case (s, r) =>
+      val n = math.floor((r - math.floor(r)) * 256).toInt
+      if (n <= 0) None else Some(f"WHEN '$s' THEN '${n - 1}%02x'")
+    }.mkString(" ")
+
   val q124WeightedMix: QueryDef = {
     val rates = Map(
       "src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.5, "src3" -> 0.25,
       "src4" -> 2.0, "src5" -> 0.125, "src6" -> 1.75, "src7" -> 0.0625)
-    def baseCase = rates.toSeq.sorted.map { case (s, r) =>
-      s"WHEN '$s' THEN ${math.floor(r).toInt}"
-    }.mkString(" ")
-    def fthrCase = rates.toSeq.sorted.flatMap { case (s, r) =>
-      val n = math.floor((r - math.floor(r)) * 256).toInt
-      if (n <= 0) None else Some(f"WHEN '$s' THEN '${n - 1}%02x'")
-    }.mkString(" ")
+    def baseCase = mixBaseCase(rates)
+    def fthrCase = mixFthrCase(rates)
     QueryDef(
       "q124_weighted_mix",
       (s, dir) =>
@@ -357,8 +367,119 @@ object CurationQueries {
       """))
   }
 
+  // ------------------------------------------------------------------
+  // q127 flagship curation pipeline v2: the r6 operators composed
+  // ------------------------------------------------------------------
+
+  /** Second composition proof, over the round-6 operator additions:
+    * block-level exact dedup (drop all-duplicate docs, keep reassembled
+    * text) → minhash near-dup pairs ON THE DEDUPED TEXT → connected
+    * components → keep-best representative per cluster (quality =
+    * deduped length) → weighted source mixing → per-source rollup.
+    * Stage reuse via localCheckpoint (the documented iterate shape —
+    * connected components is driver-looped by design, SURVEY §2.10);
+    * everything else is one declarative plan per stage. The oracle
+    * replays the identical chain: the block-dedup CTEs feed a `docs2`
+    * relation through the PARAMETERIZED minhash-pair CTEs
+    * ([[PipelineQueries.minhashPairCtesFrom]]) into the recursive
+    * component walk, the representative window, and the mix CASEs.
+    */
+  val q127CurationV2: QueryDef = {
+    val rates = Map(
+      "src0" -> 2.0, "src1" -> 1.0, "src2" -> 0.5, "src3" -> 1.5,
+      "src4" -> 0.25, "src5" -> 1.0, "src6" -> 0.75, "src7" -> 2.5)
+    val B = 12
+    QueryDef(
+      "q127_curation_v2",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val deduped = Dedup.blockDedup(docs, "doc_id", "text", blockTokens = B)
+          .filter(col("n_kept") > 0)
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+          .select(col("doc_id"), col("text_deduped").as("text"), col("source"))
+          // referenced by three downstream stages (pairs, labels, keep
+          // join) and CC is action-looped anyway — materialize once
+          .localCheckpoint()
+        val pairs = Dedup.minhashDedup(deduped, "doc_id", "text",
+          PipelineQueries.NumHashes, PipelineQueries.Bands,
+          PipelineQueries.ShingleN, threshold = 0.8)
+        val reps = Dedup.clusterRepresentatives(
+          deduped.withColumn("n_chars", length(col("text")).cast("long")),
+          pairs, "doc_id", "n_chars")
+        val kept = deduped
+          .join(reps.filter(col("kept")).select("doc_id"), "doc_id")
+        Curation.weightedMix(kept, "doc_id", "source", rates)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH RECURSIVE
+        bt AS (SELECT doc_id, ${graft.operators.TextOps.tokensSql("text")} AS t
+               FROM documents),
+        bs AS (SELECT doc_id, t,
+                      unnest(generate_series(1, greatest(len(t), 1), $B)) AS start
+               FROM bt),
+        bb AS (SELECT doc_id, CAST((start - 1) // $B AS BIGINT) AS block_idx,
+                      array_to_string(t[start:least(len(t), start + $B - 1)], ' ') AS block
+               FROM bs),
+        br AS (SELECT doc_id, block_idx, block,
+                      row_number() OVER (PARTITION BY md5(block)
+                                         ORDER BY doc_id, block_idx) AS rn
+               FROM bb),
+        bd AS (SELECT doc_id,
+                      array_to_string(list(block ORDER BY block_idx)
+                                        FILTER (WHERE rn = 1), ' ') AS text,
+                      SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept
+               FROM br GROUP BY doc_id),
+        docs2 AS (SELECT b.doc_id, b.text, d.source
+                  FROM bd b JOIN documents d USING (doc_id)
+                  WHERE b.n_kept > 0),
+        ${PipelineQueries.minhashPairCtesFrom("docs2")},
+        e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+        walk(v, lbl) AS (
+          SELECT DISTINCT src, src FROM e
+          UNION
+          SELECT e.dst, w.lbl FROM e JOIN walk w ON e.src = w.v
+        ),
+        comp AS (SELECT v, MIN(lbl) AS component FROM walk GROUP BY v),
+        lab AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster,
+                       length(d.text) AS q, d.source, d.text
+                FROM docs2 d LEFT JOIN comp c ON d.doc_id = c.v),
+        kept AS (SELECT doc_id, source, text FROM (
+                   SELECT *, row_number() OVER (PARTITION BY cluster
+                                                ORDER BY q DESC, doc_id) AS krn
+                   FROM lab) t
+                 WHERE krn = 1),
+        r AS (SELECT doc_id, source, text,
+                     CASE source ${mixBaseCase(rates)} ELSE NULL END AS base,
+                     CASE source ${mixFthrCase(rates)} ELSE NULL END AS fthr
+              FROM kept),
+        n AS (SELECT doc_id, source, text,
+                     COALESCE(base, 0)
+                       + CASE WHEN fthr IS NOT NULL
+                               AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= fthr
+                              THEN 1 ELSE 0 END AS n
+              FROM r),
+        mixed AS (SELECT doc_id, source, text,
+                         unnest(generate_series(1, n)) AS copy
+                  FROM n WHERE n > 0)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        FROM mixed
+        GROUP BY source
+        ORDER BY source
+      """))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q109StratifiedSample, q110PiiRedaction, q111SplitLeakage,
       q112VocabTopK, q113TokenChunks, q116CurationE2e,
-      q117RepetitionMetrics, q119Decontamination, q124WeightedMix)
+      q117RepetitionMetrics, q119Decontamination, q124WeightedMix,
+      q127CurationV2)
 }

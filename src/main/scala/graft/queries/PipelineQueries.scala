@@ -22,14 +22,18 @@ object PipelineQueries {
   // shared oracle-SQL fragments (CTEs mirroring the operators)
   // ------------------------------------------------------------------
 
-  /** CTEs: toks → sh (shingle lists) → shd (distinct shingles) → hs (hashes). */
-  private val shingleCtes: String = {
+  /** CTEs: toks → sh (shingle lists) → shd (distinct shingles) → hs
+    * (hashes), over any (doc_id, text) relation `rel`.
+    */
+  private def shingleCtesFrom(rel: String): String = {
     val toks = TextOps.tokensSql("text")
-    s"""toks AS (SELECT doc_id, $toks AS t FROM documents),
+    s"""toks AS (SELECT doc_id, $toks AS t FROM $rel),
        sh AS (SELECT doc_id, ${TextOps.shinglesSql("t", ShingleN)} AS shingles FROM toks),
        shd AS (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh),
        hs AS (SELECT doc_id, ${TextOps.hash32Sql("s")} AS h FROM shd)"""
   }
+
+  private val shingleCtes: String = shingleCtesFrom("documents")
 
   // ------------------------------------------------------------------
   // q30 exact dedup
@@ -55,7 +59,7 @@ object PipelineQueries {
   /** CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — the full
     * minhash→LSH→verify pipeline, shared by q31 and q84.
     */
-  private[queries] val minhashPairCtes: String = {
+  private[queries] def minhashPairCtesFrom(rel: String): String = {
     val params = TextOps.hashParams(NumHashes)
     val minExprs = params.zipWithIndex.map { case ((a, b), i) =>
       s"min(${TextOps.universalHashSql("h", a, b)}) AS mh$i"
@@ -65,7 +69,7 @@ object PipelineQueries {
       val cols = (0 until rows).map(r => s"mh${bnd * rows + r}").mkString(", ")
       s"SELECT doc_id, concat_ws('_', $bnd, $cols) AS bk FROM sig"
     }.mkString("\n        UNION ALL ")
-    s"""$shingleCtes,
+    s"""${shingleCtesFrom(rel)},
       sig AS (SELECT doc_id, $minExprs FROM hs GROUP BY doc_id),
       bands AS ($bandSelects),
       capped AS (SELECT doc_id, bk FROM (
@@ -87,6 +91,8 @@ object PipelineQueries {
                 JOIN cnts cb ON cb.doc_id = i.doc_b
                 WHERE round(i.i * 1.0 / (ca.n + cb.n - i.i), 6) >= 0.8)"""
   }
+
+  private[queries] val minhashPairCtes: String = minhashPairCtesFrom("documents")
 
   val q31MinhashDedup: QueryDef = QueryDef(
     "q31_minhash_dedup",
