@@ -190,31 +190,34 @@ object TextAnalysis {
     * ROUNDED score then token so cross-engine float ties break
     * identically.
     *
-    * Scale shape: (doc, token) term counts and per-token document
-    * frequencies are both partial-aggregated before their shuffles
-    * (map-side combine bounds each by the partition's distinct terms,
-    * not its length); N is a one-row aggregate broadcast into the plan
-    * (no driver round-trip); the df join keys on token — a viral
-    * stopword's group is AQE-skew territory but bounded by vocabulary
-    * size, not corpus size; the final top-k window partitions by doc.
+    * Scale shape: ONE corpus pass. (doc, token) term counts
+    * partial-aggregate before their shuffle (map-side combine bounds
+    * the exchange by the partition's distinct terms, not its length);
+    * document frequency is a COUNT window over that same relation
+    * partitioned by token — tf is (doc, tok)-distinct, so the window
+    * count IS df, replacing the naive second corpus scan + vocabulary
+    * join (measured: the self-join form re-scanned and re-exploded the
+    * whole corpus — double work at 100 TB, plus a join a viral-token
+    * skew can stall); N is a one-row aggregate broadcast into the plan
+    * (no driver round-trip); the final top-k window partitions by doc
+    * with Spark's rank-limit pushdown (WindowGroupLimit) bounding the
+    * sort.
     */
   def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    val tf = df
-      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val wTok = org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
+    df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-    // tf is already (doc, tok)-distinct, so df = COUNT per tok over it
-    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val nDocs = df.agg(count(lit(1)).as("n_docs"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
-    tf.join(dfreq, "tok")
       .crossJoin(broadcast(nDocs))
+      .withColumn("df", count(lit(1)).over(wTok))
       .withColumn("tfidf", round(
         col("tf") * log(col("n_docs").cast("double") / (lit(1.0) + col("df"))),
         6))
-      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("rk", row_number().over(wDoc).cast("long"))
       .filter(col("rk") <= k)
       .select(col("doc_id"), col("tok"), col("tf"), col("df"),
         col("tfidf"), col("rk"))

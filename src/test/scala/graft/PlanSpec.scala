@@ -244,9 +244,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate explode"), "one generator per document expected")
   }
 
-  test("q126: tf-idf partial-aggregates both counts, N broadcasts, no cartesian") {
+  test("q126: tf-idf is one corpus pass — df via window, N broadcast, no cartesian") {
     val p = plan("q126_tfidf_topk")
-    assert(p.contains("partial_count"), "term/doc-freq counts must map-side combine")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"corpus must scan once (plus the 1-row N):\n$p")
+    assert(p.contains("partial_count"), "term counts must map-side combine")
+    assert(p.contains("WindowGroupLimit"), "top-k rank must push into the window sort")
     assert(p.contains("BroadcastNestedLoopJoin"), "the 1-row N must broadcast")
     assert(!p.contains("CartesianProduct"), "no cartesian for the scalar join")
   }
