@@ -163,23 +163,35 @@ object Curation {
     * cost is the written output's size, which is the point of the
     * operator.
     */
+  /** The per-stratum quantization behind [[weightedMix]]: base copy
+    * count and the optional fractional-part 2-hex-char threshold
+    * (None when the fractional part quantizes to 0). The SINGLE source
+    * both the engine when-chain and the oracle SQL CASE twins derive
+    * from — the bit-identical cross-engine contract lives here.
+    */
+  def mixThresholds(
+      rates: Map[String, Double]): Seq[(String, Int, Option[String])] =
+    rates.toSeq.sortBy(_._1).map { case (s, r) =>
+      val frac = math.floor((r - math.floor(r)) * 256).toInt
+      (s, math.floor(r).toInt,
+        if (frac <= 0) None else Some(f"${frac - 1}%02x"))
+    }
+
   def weightedMix(df: DataFrame, keyCol: String, stratumCol: String,
       rates: Map[String, Double]): DataFrame = {
     require(rates.values.forall(r => r >= 0 && r <= 64),
       "rates must be in [0, 64]")
     val stratum = col(stratumCol)
-    def chain(f: Double => Option[Column]): Column =
-      rates.toSeq.sortBy(_._1).foldLeft(lit(null).cast("string")) {
-        case (acc, (s, r)) =>
-          f(r).map(v => when(stratum === lit(s), v).otherwise(acc))
+    val thresholds = mixThresholds(rates)
+    def chain(f: ((String, Int, Option[String])) => Option[Column]): Column =
+      thresholds.foldLeft(lit(null).cast("string")) {
+        case (acc, t) =>
+          f(t).map(v => when(stratum === lit(t._1), v).otherwise(acc))
             .getOrElse(acc)
       }
-    val base = chain(r => Some(lit(math.floor(r).toInt.toString)))
+    val base = chain { case (_, b, _) => Some(lit(b.toString)) }
       .cast("int")
-    val fracThr = chain { r =>
-      val n = math.floor((r - math.floor(r)) * 256).toInt
-      if (n <= 0) None else Some(lit(f"${n - 1}%02x"))
-    }
+    val fracThr = chain { case (_, _, thr) => thr.map(lit(_)) }
     val extra = when(
       fracThr.isNotNull &&
         substring(sampleOrder(col(keyCol)), 1, 2) <= fracThr,

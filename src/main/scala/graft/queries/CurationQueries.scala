@@ -319,27 +319,31 @@ object CurationQueries {
     * threshold from the SAME Scala map, so the realized per-row copy
     * counts are bit-identical. A pure narrow map — zero shuffle.
     */
-  /** SQL CASE twins of [[graft.operators.Curation.weightedMix]]'s
-    * base-copies and fractional-threshold when-chains, derived from the
-    * same Scala map the engine uses.
+  /** SQL expression twins of [[graft.operators.Curation.weightedMix]]'s
+    * base-copies and fractional-threshold when-chains, derived from
+    * [[graft.operators.Curation.mixThresholds]] — the ONE place the
+    * quantization lives, so engine and oracle cannot drift.
     */
-  private def mixBaseCase(rates: Map[String, Double]): String =
-    rates.toSeq.sorted.map { case (s, r) =>
-      s"WHEN '$s' THEN ${math.floor(r).toInt}"
-    }.mkString(" ")
+  private def mixBaseExpr(rates: Map[String, Double]): String = {
+    val branches = Curation.mixThresholds(rates)
+      .map { case (s, b, _) => s"WHEN '$s' THEN $b" }
+    if (branches.isEmpty) "NULL"
+    else s"CASE source ${branches.mkString(" ")} ELSE NULL END"
+  }
 
-  private def mixFthrCase(rates: Map[String, Double]): String =
-    rates.toSeq.sorted.flatMap { case (s, r) =>
-      val n = math.floor((r - math.floor(r)) * 256).toInt
-      if (n <= 0) None else Some(f"WHEN '$s' THEN '${n - 1}%02x'")
-    }.mkString(" ")
+  private def mixFthrExpr(rates: Map[String, Double]): String = {
+    // all-integral rates leave zero branches; a bare CASE source ELSE
+    // NULL END is a parse error, so emit the literal instead
+    val branches = Curation.mixThresholds(rates)
+      .flatMap { case (s, _, thr) => thr.map(v => s"WHEN '$s' THEN '$v'") }
+    if (branches.isEmpty) "NULL"
+    else s"CASE source ${branches.mkString(" ")} ELSE NULL END"
+  }
 
   val q124WeightedMix: QueryDef = {
     val rates = Map(
       "src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.5, "src3" -> 0.25,
       "src4" -> 2.0, "src5" -> 0.125, "src6" -> 1.75, "src7" -> 0.0625)
-    def baseCase = mixBaseCase(rates)
-    def fthrCase = mixFthrCase(rates)
     QueryDef(
       "q124_weighted_mix",
       (s, dir) =>
@@ -350,8 +354,8 @@ object CurationQueries {
           .orderBy(col("doc_id"), col("copy")),
       Some(s"""
         WITH r AS (SELECT doc_id, source,
-                          CASE source $baseCase ELSE NULL END AS base,
-                          CASE source $fthrCase ELSE NULL END AS fthr
+                          ${mixBaseExpr(rates)} AS base,
+                          ${mixFthrExpr(rates)} AS fthr
                    FROM documents),
         n AS (SELECT doc_id, source,
                      COALESCE(base, 0)
@@ -417,24 +421,8 @@ object CurationQueries {
       },
       Some(s"""
         WITH RECURSIVE
-        bt AS (SELECT doc_id, ${graft.operators.TextOps.tokensSql("text")} AS t
-               FROM documents),
-        bs AS (SELECT doc_id, t,
-                      unnest(generate_series(1, greatest(len(t), 1), $B)) AS start
-               FROM bt),
-        bb AS (SELECT doc_id, CAST((start - 1) // $B AS BIGINT) AS block_idx,
-                      array_to_string(t[start:least(len(t), start + $B - 1)], ' ') AS block
-               FROM bs),
-        br AS (SELECT doc_id, block_idx, block,
-                      row_number() OVER (PARTITION BY md5(block)
-                                         ORDER BY doc_id, block_idx) AS rn
-               FROM bb),
-        bd AS (SELECT doc_id,
-                      array_to_string(list(block ORDER BY block_idx)
-                                        FILTER (WHERE rn = 1), ' ') AS text,
-                      SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept
-               FROM br GROUP BY doc_id),
-        docs2 AS (SELECT b.doc_id, b.text, d.source
+        ${PipelineQueries.blockDedupCtesFrom("documents", B)},
+        docs2 AS (SELECT b.doc_id, b.text_deduped AS text, d.source
                   FROM bd b JOIN documents d USING (doc_id)
                   WHERE b.n_kept > 0),
         ${PipelineQueries.minhashPairCtesFrom("docs2")},
@@ -455,8 +443,8 @@ object CurationQueries {
                    FROM lab) t
                  WHERE krn = 1),
         r AS (SELECT doc_id, source, text,
-                     CASE source ${mixBaseCase(rates)} ELSE NULL END AS base,
-                     CASE source ${mixFthrCase(rates)} ELSE NULL END AS fthr
+                     ${mixBaseExpr(rates)} AS base,
+                     ${mixFthrExpr(rates)} AS fthr
               FROM kept),
         n AS (SELECT doc_id, source, text,
                      COALESCE(base, 0)

@@ -417,15 +417,34 @@ object OperatorQueries {
       // the cleanup). The PID key keeps CONCURRENT Bench/Verify JVMs
       // apart: without it, one process's clear races the other's lazy
       // binaryFile scan of the same path.
-      val assetDir = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft_assets_q118_" +
-          ProcessHandle.current().pid() + "_" +
-          dir.replaceAll("[^A-Za-z0-9]", "_"))
-      if (java.nio.file.Files.exists(assetDir)) {
-        val s0 = java.nio.file.Files.list(assetDir)
+      val prefix = "graft_assets_q118_"
+      val tmpRoot = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+      val assetDir = tmpRoot.resolve(prefix +
+        ProcessHandle.current().pid() + "_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_"))
+      def clearDir(d: java.nio.file.Path): Unit = {
+        val s0 = java.nio.file.Files.list(d)
         try s0.forEach(p => java.nio.file.Files.delete(p))
         finally s0.close()
       }
+      // sweep siblings left by DEAD JVMs (each run is a fresh PID, so
+      // without this every Bench/Verify run leaks one corpus copy to
+      // /tmp); live PIDs are skipped — their scan may still be lazy
+      val s1 = java.nio.file.Files.list(tmpRoot)
+      try s1.filter(p => p.getFileName.toString.startsWith(prefix))
+        .forEach { p =>
+          val pid = p.getFileName.toString.stripPrefix(prefix)
+            .takeWhile(_.isDigit)
+          val alive = pid.nonEmpty &&
+            ProcessHandle.of(pid.toLong)
+              .map[java.lang.Boolean](h => h.isAlive).orElse(false)
+          if (!alive) {
+            clearDir(p)
+            java.nio.file.Files.delete(p)
+          }
+        }
+      finally s1.close()
+      if (java.nio.file.Files.exists(assetDir)) clearDir(assetDir)
       Multimodal.writeAssets(
         Tables.load(s, dir, "documents"), "doc_id", "text", assetDir.toString)
       Multimodal.featurize(

@@ -35,6 +35,33 @@ object PipelineQueries {
 
   private val shingleCtes: String = shingleCtesFrom("documents")
 
+  /** CTEs bd_toks → bd_st → bd_blocks → bd_rk → bd(doc_id, n_blocks,
+    * n_kept, text_deduped): the [[graft.operators.Dedup.blockDedup]]
+    * oracle chain over any (doc_id, text) relation — shared by q123 and
+    * q127 so the keep-first semantics can never drift between them.
+    */
+  private[queries] def blockDedupCtesFrom(rel: String, b: Int): String =
+    s"""bd_toks AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS t FROM $rel),
+      bd_st AS (SELECT doc_id, t,
+                       unnest(generate_series(1, greatest(len(t), 1), $b)) AS start
+                FROM bd_toks),
+      bd_blocks AS (SELECT doc_id,
+                           CAST((start - 1) // $b AS BIGINT) AS block_idx,
+                           array_to_string(t[start:least(len(t), start + $b - 1)], ' ') AS block
+                    FROM bd_st),
+      bd_rk AS (SELECT doc_id, block_idx, block,
+                       row_number() OVER (PARTITION BY md5(block)
+                                          ORDER BY doc_id, block_idx) AS rn
+                FROM bd_blocks),
+      bd AS (SELECT doc_id,
+                    CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                    CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                    COALESCE(array_to_string(
+                      list(block ORDER BY block_idx) FILTER (WHERE rn = 1), ' '), '')
+                      AS text_deduped
+             FROM bd_rk
+             GROUP BY doc_id)"""
+
   // ------------------------------------------------------------------
   // q30 exact dedup
   // ------------------------------------------------------------------
@@ -540,27 +567,9 @@ object PipelineQueries {
             blockTokens = B)
           .orderBy(col("doc_id")),
       Some(s"""
-        WITH toks AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS t
-                      FROM documents),
-        st AS (SELECT doc_id, t,
-                      unnest(generate_series(1, greatest(len(t), 1), $B)) AS start
-               FROM toks),
-        blocks AS (SELECT doc_id,
-                          CAST((start - 1) // $B AS BIGINT) AS block_idx,
-                          array_to_string(t[start:least(len(t), start + $B - 1)], ' ') AS block
-                   FROM st),
-        rk AS (SELECT doc_id, block_idx, block,
-                      row_number() OVER (PARTITION BY md5(block)
-                                         ORDER BY doc_id, block_idx) AS rn
-               FROM blocks)
-        SELECT doc_id,
-               CAST(COUNT(*) AS BIGINT) AS n_blocks,
-               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-               COALESCE(array_to_string(
-                 list(block ORDER BY block_idx) FILTER (WHERE rn = 1), ' '), '')
-                 AS text_deduped
-        FROM rk
-        GROUP BY doc_id
+        WITH ${blockDedupCtesFrom("documents", B)}
+        SELECT doc_id, n_blocks, n_kept, text_deduped
+        FROM bd
         ORDER BY doc_id
       """))
   }

@@ -111,6 +111,12 @@ class CurationSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("mixThresholds quantizes to n/256 with 2-hex thresholds (the oracle contract)") {
+    assert(Curation.mixThresholds(
+      Map("a" -> 2.5, "b" -> 1.0, "c" -> 0.0625)) ==
+      Seq(("a", 2, Some("7f")), ("b", 1, None), ("c", 0, Some("0f"))))
+  }
+
   test("weightedMix drops strata absent from the rate map") {
     val df = Seq((1L, "known"), (2L, "unknown")).toDF("id", "src")
     val out = Curation.weightedMix(df, "id", "src", Map("known" -> 1.0))
