@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic Lloyd k-means over an embedding column, and the
+  * SemDeDup-style semantic dedup that composes on top of it.
+  *
+  * The reference's ML story lives outside the 1.11 core (FLIP-39 moved
+  * flink-ml out of tree), but clustering is the missing trainer behind
+  * the IVF index this repo already ships ([[Similarity.ivfAssign]]
+  * consumes centroids from *somewhere*) and behind semantic dedup of a
+  * training corpus (SemDeDup: cluster embeddings, drop near-identical
+  * members within each cluster). Both are expressed as plain Spark
+  * plans — no MLlib, no RDDs.
+  *
+  * Cross-engine determinism (the hard part): a centroid mean is a sum
+  * of doubles, and float sums are order-dependent, so a naive
+  * `avg(component)` differs run-to-run AND engine-to-engine; casting
+  * the mean to DECIMAL doesn't help because Spark rounds double→decimal
+  * HALF_UP while DuckDB rounds half-to-EVEN (measured on 2^-19, which
+  * sits exactly on a decimal tie). Instead each component is quantized
+  * FIRST — `floor(x·10⁶)` has no ties and the multiply is IEEE-identical
+  * everywhere — and the quantized longs sum exactly in any order; the
+  * new centroid component is `floor(sum/count)/10⁶`, bit-identical on
+  * both engines. Assignment distances are then doubles computed from
+  * bit-identical centroids with the left-to-right codegen
+  * [[graft.functions.DotProduct]], so argmin (tie-broken on centroid
+  * id) matches exactly.
+  *
+  * 100 TB posture: one corpus pass per Lloyd iteration, which is the
+  * algorithm's lower bound. Per pass: centroids broadcast (K·dim
+  * doubles), the argmin is a narrow projection + window over vec_id
+  * (no corpus shuffle beyond the component aggregation), and the
+  * centroid update partial-aggregates (cid, pos) before its shuffle —
+  * the exchange carries K·dim rows per partition, not the corpus. The
+  * tiny centroid frame is localCheckpoint'ed each round (same pattern
+  * as the connected-components loop in [[Dedup]]) so the plan stays
+  * constant-depth. At >2^53 scaled component-sums the fixed-point mean
+  * would lose exactness (harmless semantically; the oracle contract
+  * only binds at test scale).
+  */
+object Clustering {
+
+  /** Fixed-point scale for centroid quantization: 6 decimal digits,
+    * matching the repo-wide `round(_, 6)` output convention.
+    */
+  private val Scale = 1000000.0
+
+  private def asD(c: Column): Column = c.cast("array<double>")
+
+  /** Nearest-centroid assignment under squared L2 distance
+    * (`|x|² - 2x·c + |c|²`, all three terms via `vec_dot`), tie-broken
+    * on centroid id. `centroids` must be `(cid, centroid)` and small —
+    * it is broadcast; the corpus never shuffles here.
+    * Output: (idCol, v: array&lt;double&gt;, cid, d2).
+    */
+  def assignL2(corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cent = broadcast(centroids
+      .select(col("cid"), asD(col("centroid")).as("centv"))
+      .withColumn("cdot", Similarity.dot(col("centv"), col("centv"))))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("d2").asc, col("cid"))
+    corpus
+      .select(col(idCol), asD(col(vecCol)).as("v"))
+      .withColumn("vdot", Similarity.dot(col("v"), col("v")))
+      .crossJoin(cent)
+      .withColumn("d2",
+        col("vdot") - lit(2.0) * Similarity.dot(col("v"), col("centv"))
+          + col("cdot"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("v"), col("cid"), col("d2"))
+  }
+
+  /** Fixed-point centroid update from an [[assignL2]] output: per
+    * (cid, pos) the quantized components sum exactly as longs (any
+    * order), then `floor(sum/count)/10⁶` rebuilds the component and the
+    * pos-sorted collect rebuilds the array. Clusters that lost all
+    * members simply drop out (both engines agree, since assignments
+    * are bit-identical).
+    */
+  def quantizedCentroids(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cid"), posexplode(col("v")).as(Seq("pos", "comp")))
+      .withColumn("f", floor(col("comp") * lit(Scale)))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(col("f")).as("s"), count(lit(1)).as("n"))
+      .withColumn("cf", floor(col("s") / col("n")))
+      .groupBy(col("cid"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cf")))),
+        x => x.getField("cf") / lit(Scale)).as("centroid"))
+
+  /** `iters` Lloyd rounds from `init` (cid, centroid); returns the
+    * final centroids. Each round's K-row centroid frame is eagerly
+    * localCheckpoint'ed so the lineage (and hence plan depth) stays
+    * constant across iterations.
+    */
+  def lloydCentroids(corpus: DataFrame, init: DataFrame, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    var cent = init.select(col("cid"), asD(col("centroid")).as("centroid"))
+    for (_ <- 1 to iters)
+      cent = quantizedCentroids(assignL2(corpus, cent, idCol, vecCol))
+        .localCheckpoint(true)
+    cent
+  }
+
+  /** k-means end-to-end: `iters` Lloyd rounds then the final
+    * assignment. Output: (idCol, v, cid, d2).
+    */
+  def kmeansAssign(corpus: DataFrame, init: DataFrame, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assignL2(corpus, lloydCentroids(corpus, init, iters, idCol, vecCol),
+      idCol, vecCol)
+
+  /** SemDeDup (Abbas et al. 2023, public): cluster the corpus, then
+    * within each cluster drop every vector that has a near-identical
+    * (cosine ≥ `threshold`) neighbor with a smaller id — the
+    * keep-lowest-id rule makes the prune deterministic without a
+    * second distance pass. The within-cluster pair scan reuses
+    * [[Similarity.cosineNearDupPairs]] (capped, block-local), so the
+    * quadratic is bounded per cluster exactly as in the LSH paths.
+    * Output: one row per vector — (cid, idCol, kept).
+    */
+  def semDedup(corpus: DataFrame, init: DataFrame, iters: Int,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding", maxClusterSize: Int = 10000): DataFrame = {
+    val assigned = kmeansAssign(corpus, init, iters, idCol, vecCol)
+    val removed = Similarity.cosineNearDupPairs(assigned,
+        blockCol = "cid", threshold = threshold, idCol = idCol,
+        vecCol = "v", maxBlockSize = maxClusterSize)
+      .select(col("id_b").as(idCol)).distinct()
+      .withColumn("rm", lit(true))
+    assigned.join(removed, Seq(idCol), "left")
+      .select(col("cid"), col(idCol), col("rm").isNull.as("kept"))
+  }
+}

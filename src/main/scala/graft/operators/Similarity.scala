@@ -52,12 +52,13 @@ object Similarity {
     dot(da, db) / (l2norm(da) * l2norm(db))
   }
 
+  /** DuckDB twin of [[dot]] (same order of operations, double math). */
+  def dotSql(x: String, y: String): String =
+    s"list_sum(list_transform(list_zip(CAST($x AS DOUBLE[]), CAST($y AS DOUBLE[])), p -> p[1] * p[2]))"
+
   /** DuckDB twin of [[cosine]] (same order of operations, double math). */
-  def cosineSql(a: String, b: String): String = {
-    def dot(x: String, y: String) =
-      s"list_sum(list_transform(list_zip(CAST($x AS DOUBLE[]), CAST($y AS DOUBLE[])), p -> p[1] * p[2]))"
-    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
-  }
+  def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
   /** Brute-force top-k: for every query vector, the k most-similar corpus
     * vectors (self excluded), deterministic tie-break on corpus id.

@@ -222,4 +222,46 @@ object TextAnalysis {
       .select(col("doc_id"), col("tok"), col("tf"), col("df"),
         col("tfidf"), col("rk"))
   }
+
+  // ------------------------------------------------------------------
+  // Unigram-LM quality filter (CCNet-style)
+  // ------------------------------------------------------------------
+
+  /** CCNet-style quality scoring: train a unigram LM on the corpus
+    * itself and score each document by its per-token negative
+    * log-likelihood (the unigram stand-in for CCNet's KenLM
+    * perplexity — public recipe, Wenzek et al. 2020). High NLL =
+    * surprising token mix = likely boilerplate/garbage; `kept` flags
+    * docs at or under `nllThreshold`.
+    *
+    * Cross-engine determinism: a document's NLL is a sum of `ln(p)`
+    * doubles, which is order-dependent — so each token's log-prob is
+    * quantized to `floor(10⁶·ln(cnt/total))` (a long; no rounding
+    * ties) and the longs sum exactly in any order. The displayed NLL
+    * divides back and rounds to the repo-wide 6 digits.
+    *
+    * Scale shape mirrors [[tfidfTopK]]: ONE corpus pass — (doc, tok)
+    * term counts partial-aggregate before their shuffle; the global
+    * token count is a SUM window over that relation partitioned by
+    * token (no vocabulary join for a viral token to skew); the corpus
+    * total is a one-row aggregate broadcast into the plan.
+    */
+  def unigramNll(df: DataFrame, idCol: String, textCol: String,
+      nllThreshold: Double): DataFrame = {
+    val wTok = org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val total = tf.agg(sum(col("tf")).as("total_toks"))
+    tf.withColumn("cnt", sum(col("tf")).over(wTok))
+      .crossJoin(broadcast(total))
+      .withColumn("lpf",
+        floor(log(col("cnt").cast("double") / col("total_toks")) * lit(1000000.0)))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("lpf")).as("s"), sum(col("tf")).as("n_tok"))
+      .withColumn("nll", round(-col("s") / (lit(1000000.0) * col("n_tok")), 6))
+      .select(col("doc_id"), col("n_tok"), col("nll"),
+        (col("nll") <= lit(nllThreshold)).as("kept"))
+  }
 }

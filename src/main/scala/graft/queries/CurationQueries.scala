@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.operators.{Curation, Dedup}
+import graft.operators.{Curation, Dedup, TextAnalysis, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Training-data curation surface: deterministic sampling, PII
@@ -465,9 +465,44 @@ object CurationQueries {
       """))
   }
 
+  // ------------------------------------------------------------------
+  // q130 unigram-LM quality filter (CCNet-style)
+  // ------------------------------------------------------------------
+
+  /** Per-document unigram negative log-likelihood against the corpus's
+    * own token distribution, with a keep flag at NLL <= 3.404 (the
+    * corpus median at test scale — both classes populated). Token
+    * log-probs are quantized to longs before the per-doc sum so the
+    * result is order-independent and engine-exact.
+    */
+  val q130UnigramQuality: QueryDef = QueryDef(
+    "q130_unigram_quality",
+    (s, dir) =>
+      TextAnalysis.unigramNll(Tables.load(s, dir, "documents"),
+          "doc_id", "text", nllThreshold = 3.404)
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH toks AS (SELECT doc_id, unnest(${TextOps.tokensSql("text")}) AS tok
+                    FROM documents),
+      tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      tot AS (SELECT SUM(tf) AS total_toks FROM tf),
+      cnts AS (SELECT tok, SUM(tf) AS cnt FROM tf GROUP BY 1),
+      sc AS (SELECT t.doc_id, t.tf,
+                    CAST(FLOOR(ln(CAST(c.cnt AS DOUBLE) / tt.total_toks)
+                               * 1000000.0) AS BIGINT) AS lpf
+             FROM tf t JOIN cnts c USING (tok) CROSS JOIN tot tt),
+      agg AS (SELECT doc_id, SUM(tf * lpf) AS s, SUM(tf) AS n_tok
+              FROM sc GROUP BY 1)
+      SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+             round(-(s) / (1000000.0 * n_tok), 6) AS nll,
+             (round(-(s) / (1000000.0 * n_tok), 6) <= 3.404) AS kept
+      FROM agg
+      ORDER BY doc_id
+    """))
+
   val all: Seq[QueryDef] =
     Seq(q109StratifiedSample, q110PiiRedaction, q111SplitLeakage,
       q112VocabTopK, q113TokenChunks, q116CurationE2e,
       q117RepetitionMetrics, q119Decontamination, q124WeightedMix,
-      q127CurationV2)
+      q127CurationV2, q130UnigramQuality)
 }

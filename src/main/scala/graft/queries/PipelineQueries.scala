@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.operators.{Dedup, Similarity, TextAnalysis, TextOps}
+import graft.operators.{Clustering, Dedup, Similarity, TextAnalysis, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operator surface (BASELINE.json north star):
@@ -649,10 +649,102 @@ object PipelineQueries {
       ORDER BY doc_id, rk
     """))
 
+  // ------------------------------------------------------------------
+  // q128 deterministic Lloyd k-means / q129 SemDeDup
+  // ------------------------------------------------------------------
+
+  /** Oracle CTE prefix reproducing [[Clustering.kmeansAssign]] exactly:
+    * init = first 8 vectors, 2 Lloyd rounds with the fixed-point
+    * centroid update, `a3` = final assignment, `c2` = final centroids.
+    * Shared by the q128 summary and the q129 SemDeDup oracle so the
+    * two can never drift apart.
+    */
+  private def kmeansOracleCtes: String = {
+    def dot(x: String, y: String) = Similarity.dotSql(x, y)
+    def assign(src: String, cent: String) = {
+      val d2 = s"${dot("t.v", "t.v")} - 2.0*${dot("t.v", "c.centroid")} + ${dot("c.centroid", "c.centroid")}"
+      s"""(SELECT vec_id, v, cid, d2 FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid) AS rn FROM (
+            SELECT t.vec_id, t.v, c.cid, $d2 AS d2
+            FROM $src t CROSS JOIN $cent c) z1) z2 WHERE rn = 1)"""
+    }
+    def update(a: String) =
+      s"""(WITH e AS (SELECT cid, v, unnest(generate_series(1, len(v))) AS pos FROM $a),
+          s AS (SELECT cid, pos, SUM(CAST(FLOOR(v[pos] * 1000000.0) AS BIGINT)) AS s,
+                       COUNT(*) AS n
+                FROM e GROUP BY 1, 2)
+          SELECT cid, array_agg(FLOOR(s / n) / 1000000.0 ORDER BY pos) AS centroid
+          FROM s GROUP BY 1)"""
+    s"""corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      c0 AS (SELECT vec_id AS cid, v AS centroid FROM corpus WHERE vec_id < 8),
+      a1 AS ${assign("corpus", "c0")},
+      c1 AS ${update("a1")},
+      a2 AS ${assign("corpus", "c1")},
+      c2 AS ${update("a2")},
+      a3 AS ${assign("corpus", "c2")}"""
+  }
+
+  private def kmeansInit(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "embeddings").filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("centroid"))
+
+  /** Per-cluster summary after 2 deterministic Lloyd rounds: size,
+    * centroid norm, and fixed-point-summed inertia (sum of d2 doubles
+    * would be order-dependent; the quantized longs are not).
+    */
+  val q128Kmeans: QueryDef = QueryDef(
+    "q128_kmeans",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val cent = Clustering.lloydCentroids(emb, kmeansInit(s, dir), iters = 2)
+      Clustering.assignL2(emb, cent)
+        .withColumn("d2f", floor(col("d2") * lit(1000000.0)))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n"), sum(col("d2f")).as("sf"))
+        .join(cent, "cid")
+        .select(col("cid"), col("n"),
+          round(sqrt(Similarity.dot(col("centroid"), col("centroid"))), 6)
+            .as("cnorm"),
+          round(col("sf") / lit(1000000.0), 6).as("inertia"))
+        .orderBy(col("cid"))
+    },
+    Some(s"""
+      WITH $kmeansOracleCtes,
+      stats AS (SELECT cid, COUNT(*) AS n,
+                       SUM(CAST(FLOOR(d2 * 1000000.0) AS BIGINT)) AS sf
+                FROM a3 GROUP BY 1)
+      SELECT s.cid, CAST(s.n AS BIGINT) AS n,
+             round(sqrt(${Similarity.dotSql("c.centroid", "c.centroid")}), 6) AS cnorm,
+             round(s.sf / 1000000.0, 6) AS inertia
+      FROM stats s JOIN c2 c USING (cid)
+      ORDER BY cid
+    """))
+
+  /** SemDeDup over the k-means clusters: within each cluster a vector
+    * is dropped when a smaller-id neighbor sits at cosine >= 0.3.
+    */
+  val q129SemDedup: QueryDef = QueryDef(
+    "q129_semdedup",
+    (s, dir) =>
+      Clustering.semDedup(Tables.load(s, dir, "embeddings"),
+          kmeansInit(s, dir), iters = 2, threshold = 0.3)
+        .orderBy(col("cid"), col("vec_id")), {
+      val cosXY = Similarity.cosineSql("x.v", "y.v")
+      Some(s"""
+      WITH $kmeansOracleCtes,
+      rm AS (SELECT DISTINCT y.vec_id
+             FROM a3 x JOIN a3 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+             WHERE $cosXY >= 0.3)
+      SELECT a.cid, a.vec_id, (r.vec_id IS NULL) AS kept
+      FROM a3 a LEFT JOIN rm r USING (vec_id)
+      ORDER BY cid, vec_id
+    """)
+    })
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
     q38CurationRollup, q84MinhashClusters, q96QuantizedAnn,
     q108WinnowFingerprint, q114LshNearDup, q123BlockDedup, q125ClusterReps,
-    q126TfidfTopK)
+    q126TfidfTopK, q128Kmeans, q129SemDedup)
 }

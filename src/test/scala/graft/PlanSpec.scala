@@ -254,6 +254,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "no cartesian for the scalar join")
   }
 
+  test("q128: k-means assignment broadcasts centroids, update map-side combines") {
+    val p = plan("q128_kmeans")
+    // argmin: centroids broadcast to the corpus (the only cross shape
+    // allowed — K·dim doubles); never a shuffled cartesian
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "centroid argmin must broadcast the centroid side")
+    assert(!p.contains("CartesianProduct"), "no unbroadcast cross product")
+    // centroid update: (cid, pos) component sums partial-aggregate
+    // before their exchange — the shuffle carries K·dim rows per
+    // partition, not the corpus
+    assert(p.contains("partial_sum"), "component sums must map-side combine")
+    assert(p.contains("vec_dot"), "native dot product expected")
+  }
+
   test("q124: weighted mix is a pure narrow map — no shuffle before the final sort") {
     val p = plan("q124_weighted_mix")
     val exchanges = "(?m)^\\s*\\+?-?\\s*Exchange".r.findAllIn(p).size
