@@ -216,4 +216,45 @@ object Curation {
       .withColumn("chunk", concat_ws(" ", col("__piece")))
       .drop("__toks", "__start", "__piece")
   }
+
+  /** Concat-and-cut sequence packing: the GPT-style pretraining step
+    * that concatenates documents (one EOS token between them) into a
+    * token stream and cuts it every `seqLen` tokens. Emits one row per
+    * (document, training sequence it overlaps): `(idCol, shard STRING,
+    * seq_idx BIGINT, n_toks_in_seq BIGINT)` — n_toks_in_seq counts the
+    * document's own tokens inside the sequence (the EOS separators pad
+    * the stream but are nobody's tokens). A document larger than
+    * seqLen spans several sequences; per-doc sums of n_toks_in_seq
+    * always equal its token count.
+    *
+    * Distribution: a single global stream would serialize the packing,
+    * so the corpus is sharded by the first 2 hex chars of md5(id) — 256
+    * independent streams, each packed by one running-sum window in
+    * md5-then-id order (deterministic across runs, engines, and input
+    * partitioning; same cross-engine md5 contract as [[bernoulliFlag]]).
+    * This is how distributed packers actually run: each worker packs
+    * its shard. One hash shuffle on shard, then a sorted window and a
+    * bounded explode — no join, no second corpus pass. Offsets are
+    * integer-`div` longs, not doubles, so the math stays exact past
+    * 2^53 stream positions (a 100 TB shard is ~10^13 tokens).
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val w = Window.partitionBy(col("shard")).orderBy(col("__key"), col(idCol))
+    df.withColumn("__key", md5(col(idCol).cast("string")))
+      .withColumn("shard", substring(col("__key"), 1, 2))
+      .withColumn("__n", size(TextOps.tokens(col(textCol))).cast("long"))
+      // exclusive end of this doc's slot (tokens + its EOS) in the shard stream
+      .withColumn("__end", sum(col("__n") + lit(1L)).over(w))
+      .withColumn("__start", col("__end") - (col("__n") + lit(1L)))
+      .withColumn("seq_idx", explode(sequence(
+        expr(s"__start div $seqLen"),
+        expr(s"(__start + __n - 1) div $seqLen"))))
+      .withColumn("n_toks_in_seq",
+        least(col("__start") + col("__n"), (col("seq_idx") + lit(1L)) * seqLen)
+          - greatest(col("__start"), col("seq_idx") * lit(seqLen.toLong)))
+      .select(col(idCol), col("shard"), col("seq_idx").cast("long").as("seq_idx"),
+        col("n_toks_in_seq").cast("long").as("n_toks_in_seq"))
+  }
 }

@@ -500,9 +500,49 @@ object CurationQueries {
       ORDER BY doc_id
     """))
 
+  // ------------------------------------------------------------------
+  // q131 concat-and-cut sequence packing
+  // ------------------------------------------------------------------
+
+  /** Pack the document stream into 64-token training sequences
+    * (GPT-style concat-and-cut, one EOS between docs), sharded by md5
+    * prefix into 256 independent streams so no single window
+    * serializes the corpus. One row per (doc, sequence it overlaps).
+    * The oracle replays the identical offset arithmetic in DuckDB —
+    * same md5 shard/order, same integer-div cut points.
+    */
+  val q131SeqPack: QueryDef = {
+    import graft.operators.TextOps
+    QueryDef(
+      "q131_seq_pack",
+      (s, dir) =>
+        Curation.packSequences(Tables.load(s, dir, "documents"), "doc_id",
+            "text", seqLen = 64)
+          .orderBy(col("shard"), col("seq_idx"), col("doc_id")),
+      Some(s"""
+        WITH t AS (SELECT doc_id,
+                          md5(CAST(doc_id AS VARCHAR)) AS key,
+                          substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS shard,
+                          CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS n
+                   FROM documents),
+        o AS (SELECT doc_id, shard, n,
+                     CAST(SUM(n + 1) OVER (PARTITION BY shard ORDER BY key, doc_id)
+                       - (n + 1) AS BIGINT) AS s
+              FROM t),
+        e AS (SELECT doc_id, shard, s, n,
+                     unnest(generate_series(s // 64, (s + n - 1) // 64)) AS seq_idx
+              FROM o)
+        SELECT doc_id, shard, CAST(seq_idx AS BIGINT) AS seq_idx,
+               CAST(least(s + n, (seq_idx + 1) * 64)
+                    - greatest(s, seq_idx * 64) AS BIGINT) AS n_toks_in_seq
+        FROM e
+        ORDER BY shard, seq_idx, doc_id
+      """))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q109StratifiedSample, q110PiiRedaction, q111SplitLeakage,
       q112VocabTopK, q113TokenChunks, q116CurationE2e,
       q117RepetitionMetrics, q119Decontamination, q124WeightedMix,
-      q127CurationV2, q130UnigramQuality)
+      q127CurationV2, q130UnigramQuality, q131SeqPack)
 }

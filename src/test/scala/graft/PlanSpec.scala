@@ -244,6 +244,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate explode"), "one generator per document expected")
   }
 
+  test("q131: sequence packing is one shard shuffle — window + explode, no join") {
+    val p = plan("q131_seq_pack")
+    val exchanges = "(?m)^\\s*\\+?-?\\s*Exchange".r.findAllIn(p).size
+    // shard hash-partitioning + the final orderBy range exchange only
+    assert(exchanges <= 2, s"packing grew extra shuffles:\n$p")
+    assert(!p.contains("Join"), "offsets come from one running-sum window, not a join")
+    assert(p.contains("Generate explode"), "sequence spans must explode, not self-join")
+  }
+
   test("q126: tf-idf is one corpus pass — df via window, N broadcast, no cartesian") {
     val p = plan("q126_tfidf_topk")
     val scans = "Scan parquet".r.findAllIn(p).size

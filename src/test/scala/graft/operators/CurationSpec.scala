@@ -123,4 +123,49 @@ class CurationSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSeq
     assert(out == Seq(1L))
   }
+
+  test("packSequences matches a sequential concat-and-cut replay") {
+    // independent reimplementation: imperative per-shard fold over the
+    // md5-ordered doc stream vs the engine's window-arithmetic plan
+    val seqLen = 5
+    val docs = (1L to 40L).map(i => (i, ("tok " * (i % 9 + 1).toInt).trim))
+    val df = docs.toDF("doc_id", "text")
+
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expected = docs
+      .map { case (id, text) => (id, md5hex(id.toString), text.split(" ").length.toLong) }
+      .groupBy(_._2.take(2)).toSeq
+      .flatMap { case (shard, grp) =>
+        var off = 0L
+        grp.sortBy { case (id, key, _) => (key, id) }.flatMap { case (id, _, n) =>
+          val rows = (off / seqLen to (off + n - 1) / seqLen).map { s =>
+            val inSeq = math.min(off + n, (s + 1) * seqLen) - math.max(off, s * seqLen)
+            (id, shard, s, inSeq)
+          }
+          off += n + 1 // the EOS slot
+          rows
+        }
+      }.toSet
+
+    val got = Curation.packSequences(df, "doc_id", "text", seqLen)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == expected)
+
+    // invariants: per-doc token counts are conserved; no sequence holds
+    // more than seqLen doc-tokens; repartitioning changes nothing
+    val out = Curation.packSequences(df, "doc_id", "text", seqLen).cache()
+    val perDoc = out.groupBy("doc_id").agg(sum("n_toks_in_seq").as("tot"))
+      .as[(Long, Long)].collect().toMap
+    docs.foreach { case (id, text) =>
+      assert(perDoc(id) == text.split(" ").length.toLong, s"doc $id")
+    }
+    assert(out.filter(col("n_toks_in_seq") < 1 || col("n_toks_in_seq") > seqLen).isEmpty)
+    assert(out.groupBy("shard", "seq_idx").agg(sum("n_toks_in_seq").as("t"))
+      .filter(col("t") > seqLen).isEmpty)
+    val again = Curation.packSequences(df.repartition(7), "doc_id", "text", seqLen)
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+    out.unpersist()
+  }
 }
