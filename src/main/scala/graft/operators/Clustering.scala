@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic Lloyd k-means over an embedding column, and the
@@ -30,16 +29,20 @@ import org.apache.spark.sql.functions._
   * id) matches exactly.
   *
   * 100 TB posture: one corpus pass per Lloyd iteration, which is the
-  * algorithm's lower bound. Per pass: centroids broadcast (K·dim
-  * doubles), the argmin is a narrow projection + window over vec_id
-  * (no corpus shuffle beyond the component aggregation), and the
-  * centroid update partial-aggregates (cid, pos) before its shuffle —
-  * the exchange carries K·dim rows per partition, not the corpus. The
-  * tiny centroid frame is localCheckpoint'ed each round (same pattern
-  * as the connected-components loop in [[Dedup]]) so the plan stays
-  * constant-depth. At >2^53 scaled component-sums the fixed-point mean
-  * would lose exactness (harmless semantically; the oracle contract
-  * only binds at test scale).
+  * algorithm's lower bound. Per pass: the K-row centroid frame is
+  * collected and embedded as plan literals (bounded by
+  * [[Similarity.MaxLiteralCentroids]] — the same "broadcast-class
+  * dimension" contract, made loud), the argmin is a PURE NARROW
+  * projection on the scan (zero shuffle — the earlier window-over-id
+  * form exchanged K×corpus rows per iteration; PlanSpec pins the
+  * exchange's absence), and the centroid update partial-aggregates
+  * (cid, pos) before its shuffle — the only corpus-wide exchange, and
+  * it carries K·dim rows per partition, not the corpus. The tiny
+  * centroid frame is localCheckpoint'ed each round so the next round's
+  * collect and the caller's centroid join both reuse the materialized
+  * K rows instead of replaying the corpus pass. At >2^53 scaled
+  * component-sums the fixed-point mean would lose exactness (harmless
+  * semantically; the oracle contract only binds at test scale).
   */
 object Clustering {
 
@@ -52,26 +55,40 @@ object Clustering {
 
   /** Nearest-centroid assignment under squared L2 distance
     * (`|x|² - 2x·c + |c|²`, all three terms via `vec_dot`), tie-broken
-    * on centroid id. `centroids` must be `(cid, centroid)` and small —
-    * it is broadcast; the corpus never shuffles here.
+    * on centroid id. ZERO-shuffle: the centroid frame (small by
+    * contract, guarded by [[Similarity.MaxLiteralCentroids]]) is
+    * collected and embedded as literal arrays, and the argmin folds
+    * over them per corpus row as
+    * `array_min(transform(…, struct(d2, cid)))` — struct ordering is
+    * the same Double.compare comparator the former
+    * `row_number over (order by d2, cid)` window used, so assignments
+    * and tie-breaks are bit-identical. The former window formulation
+    * forced an `Exchange hashpartitioning(vec_id)` of K×corpus rows
+    * (each carrying both the document vector and a candidate centroid)
+    * once per Lloyd iteration; this form is a pure narrow projection —
+    * the corpus genuinely never shuffles here.
     * Output: (idCol, v: array&lt;double&gt;, cid, d2).
     */
   def assignL2(corpus: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cent = broadcast(centroids
-      .select(col("cid"), asD(col("centroid")).as("centv"))
-      .withColumn("cdot", Similarity.dot(col("centv"), col("centv"))))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("d2").asc, col("cid"))
+    val cents = Similarity.collectCentroids(centroids, "cid", "centroid")
+    require(cents.nonEmpty, "assignL2: empty centroid set")
+    val cidA = typedLit(cents.map(_._1))
+    val cvA = typedLit(cents.map(_._2))
+    val cdA = typedLit(cents.map(_._3))
+    val best = array_min(transform(
+      sequence(lit(1), lit(cents.length)),
+      i => struct(
+        (col("vdot") - lit(2.0) * Similarity.dot(col("v"), element_at(cvA, i))
+          + element_at(cdA, i)).as("d2"),
+        element_at(cidA, i).as("cid"))))
     corpus
       .select(col(idCol), asD(col(vecCol)).as("v"))
       .withColumn("vdot", Similarity.dot(col("v"), col("v")))
-      .crossJoin(cent)
-      .withColumn("d2",
-        col("vdot") - lit(2.0) * Similarity.dot(col("v"), col("centv"))
-          + col("cdot"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("v"), col("cid"), col("d2"))
+      .withColumn("__best", best)
+      .select(col(idCol), col("v"),
+        col("__best").getField("cid").as("cid"),
+        col("__best").getField("d2").as("d2"))
   }
 
   /** Fixed-point centroid update from an [[assignL2]] output: per

@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
   *    the corpus side never shuffles for brute-force scoring (narrow map
   *    + per-query top-k partial aggregation via window over query key);
   *  - IVF turns global search into a bucket-local join: corpus is
-  *    assigned to its nearest centroid once (broadcast argmin), then
-  *    queries probe only their own bucket — the join is keyed on the
-  *    bucket id, AQE handles residual skew.
+  *    assigned to its nearest centroid once (zero-shuffle literal
+  *    argmin — see [[ivfAssign]]), then queries probe only their own
+  *    bucket — the join is keyed on the bucket id, AQE handles
+  *    residual skew.
   */
 object Similarity {
 
@@ -83,27 +84,74 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** Hard bound on a centroid set embedded as plan literals by
+    * [[ivfAssign]] / [[graft.operators.Clustering.assignL2]] — the same
+    * "small by construction" contract the broadcast form had, made
+    * loud: 64k centroids × dim doubles is a few tens of MB of plan
+    * constants, the practical IVF/k-means K range; beyond it the
+    * centroid set is no longer a broadcast-class dimension and needs a
+    * different index shape (hierarchical / PQ), not a bigger literal.
+    */
+  private[operators] val MaxLiteralCentroids = 65536
+
+  /** Collects a (small-by-contract) centroid frame to driver triples
+    * `(cid, components, selfDot)` for literal embedding. The self dot
+    * product accumulates ascending-index — the identical IEEE sequence
+    * to [[graft.functions.DotProduct]] — so values are bit-equal to the
+    * `vec_dot(centv, centv)` column they replace.
+    */
+  private[operators] def collectCentroids(
+      centroids: DataFrame, cidCol: String, vecCol: String)
+      : Seq[(Long, Seq[Double], Double)] = {
+    val rows = centroids
+      .select(col(cidCol).cast("long"), asD(col(vecCol)))
+      .collect()
+    require(rows.length <= MaxLiteralCentroids,
+      s"centroid set has ${rows.length} rows; the literal-argmin bound is " +
+        s"$MaxLiteralCentroids (a centroid set this large is no longer a " +
+        "broadcast-class dimension)")
+    rows.toSeq.map { r =>
+      val cid = r.getLong(0)
+      val v = r.getSeq[Double](1)
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      (cid, v, s)
+    }
+  }
+
   /** IVF bucket assignment: nearest centroid per vector (max cosine,
-    * tie-break on centroid id). Centroids are broadcast; output carries
-    * the original id, vector, and its bucket.
+    * tie-break on centroid id). ZERO-shuffle: the centroid set is
+    * collected (guarded by [[MaxLiteralCentroids]] — the same bound the
+    * broadcast form implied) and embedded as three literal arrays, and
+    * the argmin folds over them per corpus row as
+    * `array_min(transform(…, struct(-csim, cid)))` — struct ordering is
+    * the same Double.compare comparator the former
+    * `row_number over (order by csim desc, cid)` window used, so picks
+    * and tie-breaks are identical. The former window forced an
+    * `Exchange hashpartitioning(vec_id)` of K×corpus rows carrying both
+    * vectors; this form is a pure narrow projection on the scan.
     */
   def ivfAssign(
       corpus: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
       centroidIdCol: String = "centroid_id"): DataFrame = {
-    val cent = broadcast(centroids
-      .select(col(centroidIdCol).as("cid"), asD(col(vecCol)).as("centv"))
-      .withColumn("centn", l2norm(col("centv"))))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("csim").desc, col("cid"))
+    val cents = collectCentroids(centroids, centroidIdCol, vecCol)
+    require(cents.nonEmpty, "ivfAssign: empty centroid set")
+    val cidA = typedLit(cents.map(_._1))
+    val cvA = typedLit(cents.map(_._2))
+    val cnA = typedLit(cents.map(t => math.sqrt(t._3)))
+    val best = array_min(transform(
+      sequence(lit(1), lit(cents.length)),
+      i => struct(
+        (-(dot(col("__vd"), element_at(cvA, i))
+          / (col("__vn") * element_at(cnA, i)))).as("negsim"),
+        element_at(cidA, i).as("cid"))))
     corpus
       .withColumn("__vd", asD(col(vecCol)))
       .withColumn("__vn", l2norm(col("__vd")))
-      .crossJoin(cent)
-      .withColumn("csim", dot(col("__vd"), col("centv")) / (col("__vn") * col("centn")))
-      .withColumn("crn", row_number().over(w))
-      .filter(col("crn") === 1)
-      .select(col(idCol), col(vecCol), col("cid").as("bucket"))
+      .withColumn("__best", best)
+      .select(col(idCol), col(vecCol), col("__best").getField("cid").as("bucket"))
   }
 
   /** IVF top-k: queries probe only their own bucket (nprobe=1). Recall is

@@ -136,13 +136,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "no unbroadcast cross product")
   }
 
-  test("q35: IVF assigns via broadcast centroids and joins per bucket") {
+  test("q35: IVF assignment is a zero-shuffle literal argmin, scoring joins per bucket") {
     val p = plan("q35_ivf_topk")
-    // centroid assignment: centroids broadcast to the corpus (the only
-    // cross shape allowed — the centroid table is tiny by construction)
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      "centroid argmin must broadcast the centroid side")
-    assert(!p.contains("CartesianProduct"), "no unbroadcast cross product")
+    // centroid assignment: literal-centroid fold, NO join shape at all
+    // (the former broadcast-cross + window form exchanged K×corpus rows)
+    assert(p.contains("array_min"), "literal-centroid argmin fold expected")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "assignment must not cross-join the centroid side")
     // scoring join is keyed on the bucket id, not all-pairs
     assert("HashJoin \\[bucket".r.findFirstIn(p).isDefined,
       s"bucket-keyed equi-join expected:\n$p")
@@ -150,6 +150,23 @@ class PlanSpec extends AnyFunSuite {
     // the shuffle), and the dot product is the native expression
     assert(p.contains("WindowGroupLimit"), "top-k must push group limits")
     assert(p.contains("vec_dot"), "native dot product expected")
+  }
+
+  test("assignL2 / ivfAssign alone plan ZERO exchanges and ZERO joins") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.load(spark, sf, "embeddings")
+    val kmCent = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("centroid"))
+    val pa = graft.operators.Clustering.assignL2(emb, kmCent)
+      .queryExecution.executedPlan.toString
+    assert(!pa.contains("Exchange") && !pa.contains("Join"),
+      s"assignL2 must be a pure narrow projection:\n$pa")
+    val ivfCent = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val pi = graft.operators.Similarity.ivfAssign(emb, ivfCent)
+      .queryExecution.executedPlan.toString
+    assert(!pi.contains("Exchange") && !pi.contains("Join"),
+      s"ivfAssign must be a pure narrow projection:\n$pi")
   }
 
   test("q109: stratified sample is one stratum shuffle with pushed group limit") {
@@ -263,13 +280,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "no cartesian for the scalar join")
   }
 
-  test("q128: k-means assignment broadcasts centroids, update map-side combines") {
+  test("q128: k-means assignment is a zero-shuffle literal argmin, update map-side combines") {
     val p = plan("q128_kmeans")
-    // argmin: centroids broadcast to the corpus (the only cross shape
-    // allowed — K·dim doubles); never a shuffled cartesian
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      "centroid argmin must broadcast the centroid side")
-    assert(!p.contains("CartesianProduct"), "no unbroadcast cross product")
+    // argmin: literal-centroid fold — never a join, and never the old
+    // K×corpus window exchange hash-partitioned on the vector id
+    assert(p.contains("array_min"), "literal-centroid argmin fold expected")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "assignment must not cross-join the centroid side")
+    assert(!"Exchange hashpartitioning\\(vec_id".r.findFirstIn(p).isDefined,
+      s"the K×corpus argmin exchange must stay gone:\n$p")
     // centroid update: (cid, pos) component sums partial-aggregate
     // before their exchange — the shuffle carries K·dim rows per
     // partition, not the corpus
