@@ -140,6 +140,17 @@ object Clustering {
     * [[Similarity.cosineNearDupPairs]] (capped, block-local), so the
     * quadratic is bounded per cluster exactly as in the LSH paths.
     * Output: one row per vector — (cid, idCol, kept).
+    *
+    * CAP SEMANTICS (loud, not silent): a cluster larger than
+    * `maxClusterSize` contributes NO pairs — every one of its members
+    * comes back `kept = true`, un-deduped. That is the deliberate
+    * recall-for-boundedness trade of all the capped candidate
+    * generators here, but for SemDeDup the over-cap clusters are
+    * exactly the most duplicate-prone ones, so size `maxClusterSize`
+    * to your K/corpus ratio (E[cluster] = N/K; the cap should be a
+    * skew guard, several× that, not below it). The q129 oracle mirrors
+    * the cap, so an over-cap cluster at a bigger fixture shows up as
+    * matching kept=true rows on both engines, never silent divergence.
     */
   def semDedup(corpus: DataFrame, init: DataFrame, iters: Int,
       threshold: Double, idCol: String = "vec_id",

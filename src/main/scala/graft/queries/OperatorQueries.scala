@@ -429,7 +429,11 @@ object OperatorQueries {
       }
       // sweep siblings left by DEAD JVMs (each run is a fresh PID, so
       // without this every Bench/Verify run leaks one corpus copy to
-      // /tmp); live PIDs are skipped — their scan may still be lazy
+      // /tmp); live PIDs are skipped — their scan may still be lazy.
+      // Two concurrent JVMs can race on the same dead sibling: the
+      // loser's deletes must be no-ops (deleteIfExists + swallowed
+      // NoSuchFile/DirectoryNotEmpty), because a best-effort sweep
+      // failing must never fail the query build itself.
       val s1 = java.nio.file.Files.list(tmpRoot)
       try s1.filter(p => p.getFileName.toString.startsWith(prefix))
         .forEach { p =>
@@ -438,9 +442,14 @@ object OperatorQueries {
           val alive = pid.nonEmpty &&
             ProcessHandle.of(pid.toLong)
               .map[java.lang.Boolean](h => h.isAlive).orElse(false)
-          if (!alive) {
-            clearDir(p)
-            java.nio.file.Files.delete(p)
+          if (!alive) try {
+            val s0 = java.nio.file.Files.list(p)
+            try s0.forEach(c => java.nio.file.Files.deleteIfExists(c))
+            finally s0.close()
+            java.nio.file.Files.deleteIfExists(p)
+          } catch {
+            case _: java.nio.file.NoSuchFileException => ()
+            case _: java.nio.file.DirectoryNotEmptyException => ()
           }
         }
       finally s1.close()

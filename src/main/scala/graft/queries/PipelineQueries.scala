@@ -722,24 +722,35 @@ object PipelineQueries {
 
   /** SemDeDup over the k-means clusters: within each cluster a vector
     * is dropped when a smaller-id neighbor sits at cosine >= 0.3.
+    * The oracle MIRRORS the engine's cluster-size cap (over-cap
+    * clusters contribute no pairs — all members kept), so the two
+    * stay in lockstep if a fixture ever grows a cluster past the cap
+    * instead of silently diverging.
     */
-  val q129SemDedup: QueryDef = QueryDef(
-    "q129_semdedup",
-    (s, dir) =>
-      Clustering.semDedup(Tables.load(s, dir, "embeddings"),
-          kmeansInit(s, dir), iters = 2, threshold = 0.3)
-        .orderBy(col("cid"), col("vec_id")), {
-      val cosXY = Similarity.cosineSql("x.v", "y.v")
-      Some(s"""
-      WITH $kmeansOracleCtes,
-      rm AS (SELECT DISTINCT y.vec_id
-             FROM a3 x JOIN a3 y ON x.cid = y.cid AND x.vec_id < y.vec_id
-             WHERE $cosXY >= 0.3)
-      SELECT a.cid, a.vec_id, (r.vec_id IS NULL) AS kept
-      FROM a3 a LEFT JOIN rm r USING (vec_id)
-      ORDER BY cid, vec_id
-    """)
-    })
+  val q129SemDedup: QueryDef = {
+    val MaxClusterSize = 10000
+    QueryDef(
+      "q129_semdedup",
+      (s, dir) =>
+        Clustering.semDedup(Tables.load(s, dir, "embeddings"),
+            kmeansInit(s, dir), iters = 2, threshold = 0.3,
+            maxClusterSize = MaxClusterSize)
+          .orderBy(col("cid"), col("vec_id")), {
+        val cosXY = Similarity.cosineSql("x.v", "y.v")
+        Some(s"""
+        WITH $kmeansOracleCtes,
+        csz AS (SELECT cid, COUNT(*) AS cn FROM a3 GROUP BY 1),
+        rm AS (SELECT DISTINCT y.vec_id
+               FROM a3 x
+               JOIN a3 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+               JOIN csz z ON z.cid = x.cid AND z.cn <= $MaxClusterSize
+               WHERE $cosXY >= 0.3)
+        SELECT a.cid, a.vec_id, (r.vec_id IS NULL) AS kept
+        FROM a3 a LEFT JOIN rm r USING (vec_id)
+        ORDER BY cid, vec_id
+      """)
+      })
+  }
 
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,

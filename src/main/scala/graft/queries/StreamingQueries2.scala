@@ -754,10 +754,12 @@ object StreamingQueries2 {
   // the GLOBAL watermark never passes any row — every emitted row was
   // released by a punctuation, which is exactly what the oracle
   // asserts: per key, the rows at or below the key's latest marker, in
-  // rowtime order. (The fixture arrives in one micro-batch, so the
-  // release happens after all of a key's rows are buffered; marker
-  // honesty only matters across batches — see
-  // WatermarkReplayProcessor.punctuationOf.)
+  // rowtime order. The oracle is only engine-equivalent under
+  // ONE-BATCH arrival (a marker firing in an earlier batch would
+  // strand later-arriving sub-marker rows under the 2000h delay while
+  // the batch oracle still counts them), so the runner PINS that
+  // assumption: runToTableSingleBatch fails loudly if the source ever
+  // splits the fixture across data-carrying micro-batches.
   // ------------------------------------------------------------------
 
   val q121PunctuatedSort: QueryDef = QueryDef(
@@ -774,7 +776,7 @@ object StreamingQueries2 {
       val out = graft.streaming.Punctuated.sort(ev, _.id % 50 == 0).toDF()
         .select(col("key").as("user_id"), col("id").as("event_id"),
           col("tsMs").as("ms"), col("seq"))
-      StreamRunner.runToTable(out, "append")
+      StreamRunner.runToTableSingleBatch(out, "append")
         .orderBy(col("user_id"), col("seq"))
     },
     Some("""

@@ -60,7 +60,23 @@ object StreamRunner {
     * whole lifetime. Results are small (aggregates / top-ns), never raw
     * input, so the checkpoint is cheap.
     */
-  def runToTable(stream: DataFrame, outputMode: String): DataFrame = {
+  def runToTable(stream: DataFrame, outputMode: String): DataFrame =
+    runToTableImpl(stream, outputMode, maxDataBatches = None)
+
+  /** [[runToTable]] + a loud pin on single-batch delivery: fails if the
+    * file source split the fixture across more than one data-carrying
+    * micro-batch. For queries whose ORACLE is only equivalent to the
+    * engine under one-batch arrival (q121: rows below an
+    * earlier-than-final punctuation would strand under the long
+    * watermark delay if a marker fired in an earlier batch while the
+    * batch oracle still counts them), a future fixture/source change
+    * must surface HERE as an assertion, not as an oracle mismatch.
+    */
+  def runToTableSingleBatch(stream: DataFrame, outputMode: String): DataFrame =
+    runToTableImpl(stream, outputMode, maxDataBatches = Some(1))
+
+  private def runToTableImpl(stream: DataFrame, outputMode: String,
+      maxDataBatches: Option[Int]): DataFrame = {
     val spark = stream.sparkSession
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
     val query = stream.writeStream
@@ -70,6 +86,13 @@ object StreamRunner {
       .start()
     try query.processAllAvailable()
     finally query.stop()
+    maxDataBatches.foreach { max =>
+      val dataBatches = query.recentProgress.count(_.numInputRows > 0)
+      require(dataBatches <= max,
+        s"source delivered data in $dataBatches micro-batches; this " +
+          s"query's oracle is only engine-equivalent up to $max (fixture " +
+          "or source-trigger configuration changed?)")
+    }
     val out = stream.sparkSession.table(name).localCheckpoint(true)
     spark.catalog.dropTempView(name)
     out

@@ -43,12 +43,29 @@ class OracleLintSpec extends AnyFunSuite {
         try Process(Seq("python3", "tools/lint_oracle_types.py",
           SparkTestSession.sf, f.toString)).!(logger)
         catch { case _: java.io.IOException => cancel("python3 unavailable") }
-      // only the explicit flagged exit (2) is a lint violation; anything
-      // else non-zero (3 = declared infra-skip, 1 = python traceback,
-      // e.g. unreadable parquet at view creation) is the lint's
-      // ENVIRONMENT failing, not the oracles — cancel, don't fail
-      if (code != 0 && code != 2) cancel(s"lint infra unavailable (exit $code):\n$out")
-      assert(code == 0, s"oracle type lint failed:\n$out")
+      // exit 2 = lint violation (fail); exit 3 = the lint DECLARED its
+      // environment unavailable (missing duckdb / unbindable fixtures /
+      // empty input — cancel). Anything else non-zero (1 = python
+      // traceback) is a crash IN the lint itself and must FAIL, or a
+      // future lint regression rots unnoticed behind the cancel path.
+      if (code == 3) cancel(s"lint declared infra unavailable:\n$out")
+      assert(code == 0, s"oracle type lint failed (exit $code):\n$out")
+    } finally java.nio.file.Files.deleteIfExists(f)
+  }
+
+  test("lint exits 3 (declared skip, not pass) on an empty oracle map") {
+    val f = java.nio.file.Files.createTempFile("oracle_sql_empty", ".json")
+    try {
+      java.nio.file.Files.write(f, "{}".getBytes("UTF-8"))
+      val out = new StringBuilder
+      val logger = ProcessLogger(l => { out.append(l).append('\n'); () })
+      val code =
+        try Process(Seq("python3", "tools/lint_oracle_types.py",
+          SparkTestSession.sf, f.toString)).!(logger)
+        catch { case _: java.io.IOException => cancel("python3 unavailable") }
+      // if duckdb/fixtures are absent the lint exits 3 for that reason
+      // instead — still the asserted contract: never exit 0 on nothing
+      assert(code == 3, s"empty oracle map must be a declared skip, got $code:\n$out")
     } finally java.nio.file.Files.deleteIfExists(f)
   }
 }

@@ -30,12 +30,28 @@ def main(sf_dir: str, oracle_json: str) -> int:
     except ImportError:
         print("SKIP: duckdb unavailable")
         return 3
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-    with open(oracle_json) as f:
-        oracles = json.load(f)
+    # environment failures (missing/unreadable fixture parquet, bad input
+    # file) are declared skips (exit 3), so any remaining traceback
+    # (exit 1) is a genuine lint crash the caller should FAIL on
+    try:
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    except Exception as e:  # noqa: BLE001
+        print(f"SKIP: fixture tables not bindable at {sf_dir}: {e}")
+        return 3
+    try:
+        with open(oracle_json) as f:
+            oracles = json.load(f)
+    except (OSError, json.JSONDecodeError) as e:
+        print(f"SKIP: oracle json unreadable: {e}")
+        return 3
+    if not oracles:
+        # checking nothing must not pass: an empty map means the caller
+        # wired the gate wrong, not that the oracles are clean
+        print("SKIP: oracle map is empty — nothing to lint")
+        return 3
     flagged, skipped = [], []
     for name, sql in sorted(oracles.items()):
         try:
@@ -52,7 +68,7 @@ def main(sf_dir: str, oracle_json: str) -> int:
     # every DESCRIBE failing means the environment (sf dir / parquet) is
     # broken, not that the oracles are clean — don't let the gate
     # silently pass exactly when it can't see anything
-    if oracles and len(skipped) == len(oracles):
+    if len(skipped) == len(oracles):
         print("SKIP: no oracle could be described (bad sfDir?)")
         return 3
     if flagged:
