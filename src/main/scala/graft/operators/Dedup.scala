@@ -30,6 +30,50 @@ object Dedup {
 
   import TextOps._
 
+  /** THE bucket-local incremental pair-emission idiom, shared by the
+    * minhash-LSH, inverted-index-jaccard, and hyperplane-LSH candidate
+    * generators (it previously existed as three hand-synced copies;
+    * the r6 self-pair guard had to be patched in triplicate — this is
+    * the single source now).
+    *
+    * From `df` keyed by `keys`: (1) a spillable WINDOW count caps each
+    * group at `maxGroupSize` — a viral group (boilerplate shingle,
+    * degenerate LSH bucket) is counted and dropped without ever
+    * materializing in memory; (2) survivors collect into ONE bounded
+    * sorted list per group (≤ maxGroupSize items — window and groupBy
+    * share the key partitioning, so one exchange total); (3) pairs are
+    * emitted INCREMENTALLY — posexplode each sorted left endpoint
+    * against its tail slice — so the largest single-row buffer is the
+    * O(cap) item list, never the O(cap²) pair array. The strict
+    * `aName < bName` filter is the self-pair guard: tail-slice pairing
+    * is positional, so duplicate items in a group would otherwise emit
+    * (x, x).
+    *
+    * `capCol` names the count column (kept distinct per caller — plan
+    * pins match on it); `carry` lists key columns to keep on the
+    * output rows; `dedupPairs` collapses multi-group collisions (LSH
+    * bands) and must stay false when pair multiplicity IS the signal
+    * (inverted-index intersection counts).
+    */
+  private[operators] def emitSortedPairs(
+      df: DataFrame, keys: Seq[String], item: Column,
+      capCol: String, maxGroupSize: Int,
+      aName: String, bName: String,
+      carry: Seq[String] = Nil, dedupPairs: Boolean): DataFrame = {
+    val keyCols = keys.map(col)
+    val paired = df
+      .withColumn(capCol, count(lit(1)).over(Window.partitionBy(keyCols: _*)))
+      .filter(col(capCol) > 1 && col(capCol) <= maxGroupSize)
+      .groupBy(keyCols: _*)
+      .agg(sort_array(collect_list(item)).as("ds"))
+      .select(carry.map(col) :+ posexplode(col("ds")).as(Seq("i", aName))
+        :+ col("ds"): _*)
+      .select(carry.map(col) :+ col(aName)
+        :+ explode(expr("slice(ds, i + 2, size(ds))")).as(bName): _*)
+      .filter(col(aName) < col(bName))
+    if (dedupPairs) paired.distinct() else paired
+  }
+
   // ------------------------------------------------------------------
   // Exact dedup
   // ------------------------------------------------------------------
@@ -149,32 +193,16 @@ object Dedup {
           lit(bnd) +: (0 until rows).map(r => col(s"mh${bnd * rows + r}")): _*)
       }: _*)).as("bk"))
 
-    // bucket-local pair explosion from ONE keyed pass — the old
-    // capped-window + SELF-JOIN formulation re-ran the signature
-    // mapPartitions per join side (no ReusedExchange across the object
-    // barrier) and shuffled the banded rows twice. The cap stays a
-    // WINDOW count (WindowExec buffers spill to disk, so a viral
-    // over-cap bucket is counted and dropped without materializing in
-    // memory); only the post-cap survivors — at most maxBucketSize ids
-    // — reach the collect_list buffer. Window and groupBy share the bk
-    // partitioning: one exchange total. Pairs are emitted INCREMENTALLY
-    // (posexplode each sorted left endpoint against its tail slice), so
-    // the largest single row buffer is the O(cap) id list — never the
-    // O(cap²) pair array the flatten(transform(transform(…))) form
-    // materialized.
-    val cands = banded
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))))
-      .filter(col("bucket_n") > 1 && col("bucket_n") <= maxBucketSize)
-      .groupBy(col("bk"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .select(posexplode(col("ds")).as(Seq("i", "doc_a")), col("ds"))
-      .select(col("doc_a"),
-        explode(expr("slice(ds, i + 2, size(ds))")).as("doc_b"))
-      // tail-slice pairing is positional: duplicate doc_ids in the input
-      // would emit (a,a) self-pairs the strict `<` restores
-      .filter(col("doc_a") < col("doc_b"))
-      .distinct()
+    // bucket-local pair explosion from ONE keyed pass via the shared
+    // [[emitSortedPairs]] idiom — the old capped-window + SELF-JOIN
+    // formulation re-ran the signature mapPartitions per join side (no
+    // ReusedExchange across the object barrier) and shuffled the
+    // banded rows twice; band collisions dedup (a near-dup pair can
+    // collide in several bands)
+    val cands = emitSortedPairs(banded, keys = Seq("bk"),
+      item = col("doc_id"), capCol = "bucket_n",
+      maxGroupSize = maxBucketSize, aName = "doc_a", bName = "doc_b",
+      dedupPairs = true)
 
     // exact-Jaccard verify with ONE shingle-set pass: melt each pair to
     // (pair, endpoint) rows, join the sets once, fold back per pair —
@@ -290,27 +318,18 @@ object Dedup {
       // self-join formulation had; groupBy would pair NULLs together)
       .filter(col("blk").isNotNull)
     // ONE keyed pass per (blk, shingle) posting list, then bucket-local
-    // pair explosion — a self-join of hd would re-run the whole
-    // shingle/hash pass per side (Spark plans no ReusedExchange across
-    // the object barrier; measured 2x at sf1) and shuffle the postings
-    // twice. The posting cap is a spillable WINDOW count (a corpus-wide
-    // boilerplate shingle drops without ever materializing), bounding
-    // the collect_list buffer to maxPostingSize structs. Pairs are then
-    // emitted INCREMENTALLY: posexplode each left endpoint of the
-    // sorted posting against its tail slice, so the largest single row
-    // buffer is the O(cap) posting — the old flatten(transform(…)) form
-    // built the full O(cap²) pair array (~5e7 structs ≈ GBs at cap
-    // 10000) in one row. Work stays Σ|posting|².
-    hd.withColumn("posting_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("blk"), col("h"))))
-      .filter(col("posting_n") > 1 && col("posting_n") <= maxPostingSize)
-      .groupBy(col("blk"), col("h"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
-      .select(col("blk"), posexplode(col("ds")).as(Seq("i", "a")), col("ds"))
-      .select(col("blk"), col("a"),
-        explode(expr("slice(ds, i + 2, size(ds))")).as("b"))
-      // positional tail-slice would self-pair duplicate doc_ids
-      .filter(col("a.doc_id") < col("b.doc_id"))
+    // pair explosion via the shared [[emitSortedPairs]] idiom — a
+    // self-join of hd would re-run the whole shingle/hash pass per side
+    // (Spark plans no ReusedExchange across the object barrier;
+    // measured 2x at sf1) and shuffle the postings twice. Items are
+    // (doc_id, n) structs; the helper's whole-struct `<` guard is
+    // equivalent to the doc_id comparison (n is a function of doc_id).
+    // dedupPairs stays FALSE: the pair multiplicity across postings IS
+    // the intersection count the groupBy below aggregates.
+    emitSortedPairs(hd, keys = Seq("blk", "h"),
+      item = struct(col("doc_id"), col("n")), capCol = "posting_n",
+      maxGroupSize = maxPostingSize, aName = "a", bName = "b",
+      carry = Seq("blk"), dedupPairs = false)
       .groupBy(col("blk"), col("a.doc_id").as("doc_a"),
         col("b.doc_id").as("doc_b"), col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("i"))

@@ -280,26 +280,14 @@ object Similarity {
           lit(b) +: (0 until rows).map(r => col(s"b${b * rows + r}")): _*)
       }: _*)).as("bk"))
 
-    // bucket-local pair explosion from one keyed pass (same shape and
-    // rationale as minhashDedup): spillable window count as the cap —
-    // a viral bucket drops without materializing — then a bounded
-    // collect_list (<= maxBucketSize ids) feeds incremental pair
-    // emission (posexplode each sorted left endpoint against its tail
-    // slice — no single row ever buffers the O(cap²) pair array); the
-    // 16-dot signature projection runs ONCE instead of per self-join
-    // side
-    val cands = banded
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))))
-      .filter(col("bucket_n") > 1 && col("bucket_n") <= maxBucketSize)
-      .groupBy(col("bk"))
-      .agg(sort_array(collect_list(col("id"))).as("ds"))
-      .select(posexplode(col("ds")).as(Seq("i", "id_a")), col("ds"))
-      .select(col("id_a"),
-        explode(expr("slice(ds, i + 2, size(ds))")).as("id_b"))
-      // positional tail-slice would self-pair duplicate vec_ids
-      .filter(col("id_a") < col("id_b"))
-      .distinct()
+    // bucket-local pair explosion from one keyed pass via the shared
+    // [[Dedup.emitSortedPairs]] idiom (same shape and rationale as
+    // minhashDedup — spillable window cap, bounded collect_list,
+    // incremental tail-slice emission, self-pair guard); the 16-dot
+    // signature projection runs ONCE instead of per self-join side
+    val cands = Dedup.emitSortedPairs(banded, keys = Seq("bk"),
+      item = col("id"), capCol = "bucket_n", maxGroupSize = maxBucketSize,
+      aName = "id_a", bName = "id_b", dedupPairs = true)
 
     cands
       .join(v.select(col("id").as("id_a"), col("v").as("va"), col("vn").as("na")), "id_a")
