@@ -228,22 +228,35 @@ object Curation {
     * always equal its token count.
     *
     * Distribution: a single global stream would serialize the packing,
-    * so the corpus is sharded by the first 2 hex chars of md5(id) — 256
-    * independent streams, each packed by one running-sum window in
-    * md5-then-id order (deterministic across runs, engines, and input
-    * partitioning; same cross-engine md5 contract as [[bernoulliFlag]]).
-    * This is how distributed packers actually run: each worker packs
-    * its shard. One hash shuffle on shard, then a sorted window and a
-    * bounded explode — no join, no second corpus pass. Offsets are
-    * integer-`div` longs, not doubles, so the math stays exact past
-    * 2^53 stream positions (a 100 TB shard is ~10^13 tokens).
+    * so the corpus is sharded by the first `shardHexChars` hex chars
+    * of md5(id) — 16^w independent streams, each packed by one
+    * running-sum window in md5-then-id order (deterministic across
+    * runs, engines, and input partitioning; same cross-engine md5
+    * contract as [[bernoulliFlag]]). This is how distributed packers
+    * actually run: each worker packs its shard. One hash shuffle on
+    * shard, then a sorted window and a bounded explode — no join, no
+    * second corpus pass. Offsets are integer-`div` longs, not doubles,
+    * so the math stays exact past 2^53 stream positions (a 100 TB
+    * shard is ~10^13 tokens).
+    *
+    * PARALLELISM CEILING (explicit): the shard width is a hard cap on
+    * packing parallelism AND a per-shard data bound — at the default
+    * width 2 that is 256 streams, ~400 GB/shard at 100 TB: correct
+    * (the window sort spills) but slow. Size `shardHexChars` so
+    * corpus/16^w fits a comfortable executor share: width 3 = 4096
+    * shards (~25 GB each at 100 TB), width 4 = 65536. Changing the
+    * width changes shard membership and hence sequence numbering —
+    * it is a layout parameter, fixed per corpus, not a tuning knob to
+    * flip between runs of the same dataset.
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-      seqLen: Int): DataFrame = {
+      seqLen: Int, shardHexChars: Int = 2): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    require(shardHexChars >= 1 && shardHexChars <= 8,
+      s"shardHexChars must be in [1, 8], got $shardHexChars")
     val w = Window.partitionBy(col("shard")).orderBy(col("__key"), col(idCol))
     df.withColumn("__key", md5(col(idCol).cast("string")))
-      .withColumn("shard", substring(col("__key"), 1, 2))
+      .withColumn("shard", substring(col("__key"), 1, shardHexChars))
       .withColumn("__n", size(TextOps.tokens(col(textCol))).cast("long"))
       // exclusive end of this doc's slot (tokens + its EOS) in the shard stream
       .withColumn("__end", sum(col("__n") + lit(1L)).over(w))

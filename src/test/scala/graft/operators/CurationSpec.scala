@@ -124,19 +124,17 @@ class CurationSpec extends AnyFunSuite {
     assert(out == Seq(1L))
   }
 
-  test("packSequences matches a sequential concat-and-cut replay") {
-    // independent reimplementation: imperative per-shard fold over the
-    // md5-ordered doc stream vs the engine's window-arithmetic plan
-    val seqLen = 5
-    val docs = (1L to 40L).map(i => (i, ("tok " * (i % 9 + 1).toInt).trim))
-    val df = docs.toDF("doc_id", "text")
-
+  // independent reimplementation of concat-and-cut: imperative
+  // per-shard fold over the md5-ordered doc stream, parameterized by
+  // the shard-hex width exactly like the engine
+  private def packReplay(docs: Seq[(Long, String)], seqLen: Int,
+      width: Int): Set[(Long, String, Long, Long)] = {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
-    val expected = docs
+    docs
       .map { case (id, text) => (id, md5hex(id.toString), text.split(" ").length.toLong) }
-      .groupBy(_._2.take(2)).toSeq
+      .groupBy(_._2.take(width)).toSeq
       .flatMap { case (shard, grp) =>
         var off = 0L
         grp.sortBy { case (id, key, _) => (key, id) }.flatMap { case (id, _, n) =>
@@ -148,10 +146,16 @@ class CurationSpec extends AnyFunSuite {
           rows
         }
       }.toSet
+  }
+
+  test("packSequences matches a sequential concat-and-cut replay") {
+    val seqLen = 5
+    val docs = (1L to 40L).map(i => (i, ("tok " * (i % 9 + 1).toInt).trim))
+    val df = docs.toDF("doc_id", "text")
 
     val got = Curation.packSequences(df, "doc_id", "text", seqLen)
       .as[(Long, String, Long, Long)].collect().toSet
-    assert(got == expected)
+    assert(got == packReplay(docs, seqLen, width = 2))
 
     // invariants: per-doc token counts are conserved; no sequence holds
     // more than seqLen doc-tokens; repartitioning changes nothing
@@ -167,5 +171,23 @@ class CurationSpec extends AnyFunSuite {
     val again = Curation.packSequences(df.repartition(7), "doc_id", "text", seqLen)
     assert(out.except(again).isEmpty && again.except(out).isEmpty)
     out.unpersist()
+  }
+
+  test("packSequences shard width is a layout parameter: width 3 repartitions the streams") {
+    val seqLen = 4
+    val docs = (1L to 60L).map(i => (i, ("w " * (i % 7 + 1).toInt).trim))
+    val df = docs.toDF("doc_id", "text")
+    val got = Curation.packSequences(df, "doc_id", "text", seqLen, shardHexChars = 3)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == packReplay(docs, seqLen, width = 3))
+    // wider shards: every shard id is 3 hex chars, token totals conserved
+    assert(got.forall(_._2.length == 3))
+    val perDoc = got.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    docs.foreach { case (id, text) =>
+      assert(perDoc(id) == text.split(" ").length.toLong, s"doc $id")
+    }
+    assertThrows[IllegalArgumentException] {
+      Curation.packSequences(df, "doc_id", "text", seqLen, shardHexChars = 0)
+    }
   }
 }
