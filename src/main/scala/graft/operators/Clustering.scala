@@ -68,6 +68,13 @@ object Clustering {
     * once per Lloyd iteration; this form is a pure narrow projection —
     * the corpus genuinely never shuffles here.
     * Output: (idCol, v: array&lt;double&gt;, cid, d2).
+    *
+    * CONTRACT (differs from the pre-r7 broadcast-join form in two loud
+    * ways): the output `cid` column is always LONG — the centroid id is
+    * cast to long for the literal fold, so an int/string cid column
+    * does not propagate its type; and the centroid set must be
+    * NON-EMPTY — an empty frame throws (the old cross-join form
+    * returned an empty result, silently dropping the whole corpus).
     */
   def assignL2(corpus: DataFrame, centroids: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -113,7 +120,13 @@ object Clustering {
   /** `iters` Lloyd rounds from `init` (cid, centroid); returns the
     * final centroids. Each round's K-row centroid frame is eagerly
     * localCheckpoint'ed so the lineage (and hence plan depth) stays
-    * constant across iterations.
+    * constant across iterations. NOTE: every iteration pays ONE driver
+    * sync — [[assignL2]] collects the K-row centroid frame to embed it
+    * as plan literals — so total driver round-trips scale as the
+    * iteration count (K rows each, bounded by
+    * [[Similarity.MaxLiteralCentroids]]): negligible per round, but a
+    * 100-iteration trainer should budget 100 collect+job cycles, not
+    * one.
     */
   def lloydCentroids(corpus: DataFrame, init: DataFrame, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

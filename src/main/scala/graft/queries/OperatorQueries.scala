@@ -431,28 +431,41 @@ object OperatorQueries {
       // without this every Bench/Verify run leaks one corpus copy to
       // /tmp); live PIDs are skipped — their scan may still be lazy.
       // Two concurrent JVMs can race on the same dead sibling: the
-      // loser's deletes must be no-ops (deleteIfExists + swallowed
-      // NoSuchFile/DirectoryNotEmpty), because a best-effort sweep
-      // failing must never fail the query build itself.
-      val s1 = java.nio.file.Files.list(tmpRoot)
-      try s1.filter(p => p.getFileName.toString.startsWith(prefix))
-        .forEach { p =>
-          val pid = p.getFileName.toString.stripPrefix(prefix)
-            .takeWhile(_.isDigit)
-          val alive = pid.nonEmpty &&
-            ProcessHandle.of(pid.toLong)
-              .map[java.lang.Boolean](h => h.isAlive).orElse(false)
-          if (!alive) try {
-            val s0 = java.nio.file.Files.list(p)
-            try s0.forEach(c => java.nio.file.Files.deleteIfExists(c))
-            finally s0.close()
-            java.nio.file.Files.deleteIfExists(p)
-          } catch {
-            case _: java.nio.file.NoSuchFileException => ()
-            case _: java.nio.file.DirectoryNotEmptyException => ()
+      // loser's deletes must be no-ops, because a best-effort sweep
+      // failing must never fail the query build itself. The race can
+      // surface as IOException subtypes (NoSuchFile/DirectoryNotEmpty/
+      // NotDirectory from a prefix-matching plain file) OR as the
+      // unchecked wrappers a mid-iteration delete makes Files.list's
+      // stream throw (UncheckedIOException, DirectoryIteratorException)
+      // — the per-sibling catch covers all of them, and the whole
+      // tmpRoot iteration is itself wrapped for the same wrappers
+      // thrown while STREAMING the listing.
+      try {
+        val s1 = java.nio.file.Files.list(tmpRoot)
+        try s1.filter(p => p.getFileName.toString.startsWith(prefix))
+          .forEach { p =>
+            val pid = p.getFileName.toString.stripPrefix(prefix)
+              .takeWhile(_.isDigit)
+            val alive = pid.nonEmpty &&
+              ProcessHandle.of(pid.toLong)
+                .map[java.lang.Boolean](h => h.isAlive).orElse(false)
+            if (!alive) try {
+              val s0 = java.nio.file.Files.list(p)
+              try s0.forEach(c => java.nio.file.Files.deleteIfExists(c))
+              finally s0.close()
+              java.nio.file.Files.deleteIfExists(p)
+            } catch {
+              case _: java.io.IOException => ()
+              case _: java.io.UncheckedIOException => ()
+              case _: java.nio.file.DirectoryIteratorException => ()
+            }
           }
-        }
-      finally s1.close()
+        finally s1.close()
+      } catch {
+        case _: java.io.IOException => ()
+        case _: java.io.UncheckedIOException => ()
+        case _: java.nio.file.DirectoryIteratorException => ()
+      }
       if (java.nio.file.Files.exists(assetDir)) clearDir(assetDir)
       Multimodal.writeAssets(
         Tables.load(s, dir, "documents"), "doc_id", "text", assetDir.toString)

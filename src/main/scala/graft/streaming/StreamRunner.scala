@@ -87,7 +87,21 @@ object StreamRunner {
     try query.processAllAvailable()
     finally query.stop()
     maxDataBatches.foreach { max =>
-      val dataBatches = query.recentProgress.count(_.numInputRows > 0)
+      val progress = query.recentProgress
+      // recentProgress is a RING BUFFER capped by
+      // spark.sql.streaming.numRecentProgressUpdates (default 100): a
+      // run emitting more updates than the cap silently drops the
+      // EARLIEST entries, and a count over the survivors could pass the
+      // pin vacuously. Refuse to adjudicate a saturated buffer instead
+      // of trusting it.
+      val cap = spark.conf
+        .get("spark.sql.streaming.numRecentProgressUpdates", "100").toInt
+      require(progress.length < cap,
+        s"recentProgress holds ${progress.length} entries with ring-buffer " +
+          s"cap $cap — early progress may have been dropped, so the " +
+          "single-batch pin cannot be trusted; raise " +
+          "spark.sql.streaming.numRecentProgressUpdates for this query")
+      val dataBatches = progress.count(_.numInputRows > 0)
       require(dataBatches <= max,
         s"source delivered data in $dataBatches micro-batches; this " +
           s"query's oracle is only engine-equivalent up to $max (fixture " +
