@@ -84,15 +84,25 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
-  /** Hard bound on a centroid set embedded as plan literals by
+  /** Hard bounds on a centroid set embedded as plan literals by
     * [[ivfAssign]] / [[graft.operators.Clustering.assignL2]] — the same
     * "small by construction" contract the broadcast form had, made
-    * loud: 64k centroids × dim doubles is a few tens of MB of plan
-    * constants, the practical IVF/k-means K range; beyond it the
-    * centroid set is no longer a broadcast-class dimension and needs a
-    * different index shape (hierarchical / PQ), not a bigger literal.
+    * loud. The BINDING bound is the payload: total embedded doubles
+    * (rows × dim) capped at 4M ≈ 32 MB of plan constants — past that,
+    * plan serialization and codegen constant-pool pressure bite long
+    * before the row count does (at dim 1024 a bare 64k-row cap would
+    * have admitted ~0.5 GB of literals). The row cap is the secondary
+    * sanity bound: 64k centroids is the practical IVF/k-means K range.
+    * Beyond either, the centroid set is no longer a broadcast-class
+    * dimension and needs a different index shape (hierarchical / PQ),
+    * not a bigger literal.
     */
   private[operators] val MaxLiteralCentroids = 65536
+
+  /** Payload cap for [[collectCentroids]]: rows × dim embedded doubles
+    * (4M ≈ 32 MB as plan literals). See [[MaxLiteralCentroids]].
+    */
+  private[operators] val MaxLiteralCentroidDoubles: Long = 4L << 20
 
   /** Collects a (small-by-contract) centroid frame to driver triples
     * `(cid, components, selfDot)` for literal embedding. The self dot
@@ -110,6 +120,14 @@ object Similarity {
       s"centroid set has ${rows.length} rows; the literal-argmin bound is " +
         s"$MaxLiteralCentroids (a centroid set this large is no longer a " +
         "broadcast-class dimension)")
+    val payload = rows.iterator
+      .map(r => if (r.isNullAt(1)) 0L else r.getSeq[Double](1).length.toLong)
+      .sum
+    require(payload <= MaxLiteralCentroidDoubles,
+      s"centroid set embeds $payload doubles (rows x dim) as plan " +
+        s"literals; the payload bound is $MaxLiteralCentroidDoubles " +
+        "(~32 MB) — past it plan serialization / codegen constant-pool " +
+        "pressure bite; use a hierarchical or PQ index shape instead")
     rows.toSeq.map { r =>
       val cid = r.getLong(0)
       val v = r.getSeq[Double](1)
@@ -131,6 +149,13 @@ object Similarity {
     * and tie-breaks are identical. The former window forced an
     * `Exchange hashpartitioning(vec_id)` of K×corpus rows carrying both
     * vectors; this form is a pure narrow projection on the scan.
+    *
+    * CONTRACT (differs from the pre-r7 broadcast-join form in two loud
+    * ways): the output `bucket` column is always LONG — the centroid id
+    * is cast to long for the literal fold, so an int/string centroid-id
+    * column does not propagate its type; and the centroid set must be
+    * NON-EMPTY — an empty frame throws (the old cross-join form
+    * returned an empty result, silently dropping the whole corpus).
     */
   def ivfAssign(
       corpus: DataFrame, centroids: DataFrame,
@@ -167,6 +192,68 @@ object Similarity {
       .orderBy(col("sim").desc, col("neighbor_id"))
     assigned
       .select(col(idCol).as("neighbor_id"), asD(col(vecCol)).as("cv"), col("bucket"))
+      .withColumn("cn", l2norm(col("cv")))
+      .join(q, "bucket")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** IVF top-k with a recall knob: each query probes its `nprobe`
+    * nearest centroid buckets instead of only its own ([[ivfTopK]] ≡
+    * nprobe=1 — single-probe recall cliffs at bucket boundaries are
+    * the first thing a real ANN user hits, because a query near a
+    * Voronoi edge has true neighbors assigned to the adjacent cell).
+    *
+    * The probe set is computed with the same zero-shuffle
+    * literal-centroid fold as [[ivfAssign]] (collect centroids —
+    * bounded by [[MaxLiteralCentroids]] / payload — then
+    * `slice(array_sort(struct(-csim, cid)), 1, nprobe)` per query
+    * row), so nprobe=1 reproduces [[ivfAssign]]'s own bucket choice
+    * exactly (max cosine, tie-break on centroid id). Each query row
+    * then EXPLODES into its nprobe bucket keys and the candidate join
+    * stays keyed on the bucket id — corpus vectors live in exactly one
+    * bucket, and the probed buckets are distinct, so candidates need
+    * no dedup. 100 TB posture: the query side (small by construction)
+    * is broadcast ×nprobe; the corpus side still never shuffles for
+    * scoring — candidate volume scales linearly in nprobe, the
+    * standard IVF recall/cost trade.
+    *
+    * Same CONTRACT notes as [[ivfAssign]]: bucket/centroid ids compare
+    * as LONG, and the centroid set must be non-empty.
+    */
+  def ivfTopKProbed(
+      assigned: DataFrame, centroids: DataFrame, queryIds: DataFrame,
+      k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroidIdCol: String = "centroid_id"): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val cents = collectCentroids(centroids, centroidIdCol, vecCol)
+    require(cents.nonEmpty, "ivfTopKProbed: empty centroid set")
+    val cidA = typedLit(cents.map(_._1))
+    val cvA = typedLit(cents.map(_._2))
+    val cnA = typedLit(cents.map(t => math.sqrt(t._3)))
+    val probed = slice(
+      array_sort(transform(
+        sequence(lit(1), lit(cents.length)),
+        i => struct(
+          (-(dot(col("qv"), element_at(cvA, i))
+            / (col("qn") * element_at(cnA, i)))).as("negsim"),
+          element_at(cidA, i).as("cid")))),
+      1, nprobe)
+    val q = broadcast(assigned.join(queryIds, idCol)
+      .select(col(idCol).as("query_id"), asD(col(vecCol)).as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+      .withColumn("bucket",
+        explode(transform(probed, p => p.getField("cid")))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    assigned
+      .select(col(idCol).as("neighbor_id"), asD(col(vecCol)).as("cv"),
+        col("bucket"))
       .withColumn("cn", l2norm(col("cv")))
       .join(q, "bucket")
       .filter(col("neighbor_id") =!= col("query_id"))

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.operators.{Clustering, Dedup, Similarity, TextAnalysis, TextOps}
+import graft.operators.{Clustering, Curation, Dedup, Similarity, TextAnalysis, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operator surface (BASELINE.json north star):
@@ -752,10 +752,184 @@ object PipelineQueries {
       })
   }
 
+  // ------------------------------------------------------------------
+  // q133 IVF with nprobe>1 (recall knob vs exact top-k)
+  // ------------------------------------------------------------------
+
+  /** IVF top-3 at nprobe=2 (each query probes its two nearest centroid
+    * buckets), measured against exact brute-force top-3: each returned
+    * row carries `in_exact` (is this neighbor in the exact top-3?) and
+    * the per-query `recall3`. The single-probe q35 form cliffs when a
+    * query sits near a Voronoi boundary and its true neighbors landed
+    * in the adjacent cell — nprobe=2 is the standard recall/cost knob.
+    * The oracle replays probe ranking, bucket-union scoring, and the
+    * exact-top-3 comparison; [[graft.PlanSpec]] pins that the scoring
+    * join stays bucket-keyed with no cartesian.
+    */
+  val q133IvfNprobe: QueryDef = QueryDef(
+    "q133_ivf_nprobe",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      val assigned = Similarity.ivfAssign(emb, centroids)
+      val queries = emb.filter(col("vec_id") < 10)
+      val ivf = Similarity.ivfTopKProbed(assigned, centroids,
+        queries.select("vec_id"), k = 3, nprobe = 2)
+      val exact = Similarity.bruteForceTopK(emb, queries, k = 3)
+        .select(col("query_id"), col("neighbor_id"), lit(true).as("hit"))
+      val w = Window.partitionBy(col("query_id"))
+      ivf.withColumnRenamed("rank", "rnk")
+        .join(exact, Seq("query_id", "neighbor_id"), "left")
+        .withColumn("in_exact", coalesce(col("hit"), lit(false)))
+        .withColumn("recall3", round(
+          sum(when(col("in_exact"), lit(1L)).otherwise(lit(0L))).over(w)
+            / lit(3.0), 6))
+        .select(col("query_id"), col("rnk"), col("neighbor_id"),
+          col("sim"), col("in_exact"), col("recall3"))
+        .orderBy(col("query_id"), col("rnk"))
+    }, {
+      val cosEC = Similarity.cosineSql("e.embedding", "c.centv")
+      val cosQC = Similarity.cosineSql("q.qv", "c.centv")
+      val cosQA = Similarity.cosineSql("p.qv", "a.embedding")
+      val cosQE = Similarity.cosineSql("q.qv", "e.embedding")
+      Some(s"""
+      WITH cent AS (SELECT vec_id AS cid, embedding AS centv FROM embeddings WHERE vec_id % 50 = 0),
+      assign AS (SELECT vec_id, embedding, cid AS bucket FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $cosEC DESC, c.cid) AS crn
+        FROM embeddings e CROSS JOIN cent c) t WHERE crn = 1),
+      q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      probes AS (SELECT query_id, qv, cid AS bucket FROM (
+        SELECT q.query_id, q.qv, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY $cosQC DESC, c.cid) AS prn
+        FROM q CROSS JOIN cent c) t WHERE prn <= 2),
+      sims AS (SELECT p.query_id, a.vec_id AS neighbor_id, $cosQA AS sim
+               FROM assign a JOIN probes p ON a.bucket = p.bucket AND a.vec_id <> p.query_id),
+      r AS (SELECT query_id, neighbor_id, sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+            FROM sims),
+      ivf AS (SELECT query_id, rnk, neighbor_id, sim FROM r WHERE rnk <= 3),
+      xr AS (SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY $cosQE DESC, e.vec_id) AS xrn
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id) z WHERE xrn <= 3)
+      SELECT i.query_id, CAST(i.rnk AS INT) AS rnk, i.neighbor_id,
+             round(i.sim, 6) AS sim,
+             (x.neighbor_id IS NOT NULL) AS in_exact,
+             round(SUM(CASE WHEN x.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY i.query_id) / 3.0, 6) AS recall3
+      FROM ivf i LEFT JOIN xr x ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id
+      ORDER BY i.query_id, i.rnk
+    """)
+    })
+
+  // ------------------------------------------------------------------
+  // q132 flagship pipeline v3: the embedding-side operators composed
+  // ------------------------------------------------------------------
+
+  /** Third composition proof — the embedding-side analog of q127:
+    * deterministic k-means (2 Lloyd rounds) → SemDeDup semantic prune
+    * → unigram-LM quality filter computed ON THE SURVIVORS' OWN token
+    * distribution (the realistic order: dedup first, else duplicate
+    * mass skews the LM) → concat-and-cut sequence packing of the docs
+    * that pass both gates → per-shard rollup. One declarative plan per
+    * stage: the SemDeDup survivors' (doc_id, text) frame is
+    * localCheckpoint'ed ONCE because three downstream consumers read
+    * it (the NLL token stats, the post-filter join, the packing scan) —
+    * without it the documents parquet would re-scan per consumer
+    * (exactly the double-scan q127 caught in q126). Driver round-trips
+    * are only the bounded K-row Lloyd collects inside
+    * [[graft.operators.Clustering.lloydCentroids]]. The NLL threshold
+    * 3.402 is the kept-subset median at test scale, so both quality
+    * classes stay populated at every fixture SF. The oracle replays
+    * the identical chain off the SHARED k-means CTE prefix
+    * ([[kmeansOracleCtes]] — the same text q128/q129 embed, so the
+    * stages can never drift), then the q129 cap-mirrored prune, the
+    * q130 NLL arithmetic, and the q131 offset arithmetic.
+    */
+  val q132CurationV3: QueryDef = {
+    val NllT = 3.402
+    val MaxClusterSize = 10000
+    QueryDef(
+      "q132_curation_v3",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val docs = Tables.load(s, dir, "documents")
+        val sd = Clustering.semDedup(emb, kmeansInit(s, dir), iters = 2,
+          threshold = 0.3, maxClusterSize = MaxClusterSize)
+        val kept = docs
+          .join(sd.filter(col("kept")).select(col("vec_id").as("doc_id")),
+            "doc_id")
+          .select(col("doc_id"), col("text"))
+          .localCheckpoint()
+        val nll = TextAnalysis.unigramNll(kept, "doc_id", "text", NllT)
+        val good = kept.join(nll.filter(col("kept")).select("doc_id"), "doc_id")
+        Curation.packSequences(good, "doc_id", "text", seqLen = 64)
+          .groupBy(col("shard"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            countDistinct(col("seq_idx")).as("n_seqs"),
+            sum(col("n_toks_in_seq")).as("n_toks"))
+          .orderBy(col("shard"))
+      }, {
+        val cosXY = Similarity.cosineSql("x.v", "y.v")
+        val toks = TextOps.tokensSql("text")
+        Some(s"""
+        WITH $kmeansOracleCtes,
+        csz AS (SELECT cid, COUNT(*) AS cn FROM a3 GROUP BY 1),
+        rm AS (SELECT DISTINCT y.vec_id
+               FROM a3 x
+               JOIN a3 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+               JOIN csz z ON z.cid = x.cid AND z.cn <= $MaxClusterSize
+               WHERE $cosXY >= 0.3),
+        keptv AS (SELECT a.vec_id FROM a3 a LEFT JOIN rm r USING (vec_id)
+                  WHERE r.vec_id IS NULL),
+        docs2 AS (SELECT d.doc_id, d.text FROM documents d
+                  JOIN keptv k ON d.doc_id = k.vec_id),
+        tk AS (SELECT doc_id, unnest($toks) AS tok FROM docs2),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+        tot AS (SELECT SUM(tf) AS total_toks FROM tf),
+        cnts AS (SELECT tok, SUM(tf) AS cnt FROM tf GROUP BY 1),
+        sc AS (SELECT t.doc_id, t.tf,
+                      CAST(FLOOR(ln(CAST(c.cnt AS DOUBLE) / tt.total_toks)
+                                 * 1000000.0) AS BIGINT) AS lpf
+               FROM tf t JOIN cnts c USING (tok) CROSS JOIN tot tt),
+        agg AS (SELECT doc_id, SUM(tf * lpf) AS s, SUM(tf) AS n_tok
+                FROM sc GROUP BY 1),
+        goodd AS (SELECT d2.doc_id, d2.text FROM docs2 d2 JOIN agg g USING (doc_id)
+                  WHERE round(-(g.s) / (1000000.0 * g.n_tok), 6) <= $NllT),
+        t AS (SELECT doc_id,
+                     md5(CAST(doc_id AS VARCHAR)) AS key,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS shard,
+                     CAST(len($toks) AS BIGINT) AS n
+              FROM goodd),
+        o AS (SELECT doc_id, shard, n,
+                     CAST(SUM(n + 1) OVER (PARTITION BY shard ORDER BY key, doc_id)
+                       - (n + 1) AS BIGINT) AS s
+              FROM t),
+        e AS (SELECT doc_id, shard, s, n,
+                     unnest(generate_series(s // 64, (s + n - 1) // 64)) AS seq_idx
+              FROM o),
+        pk AS (SELECT doc_id, shard, CAST(seq_idx AS BIGINT) AS seq_idx,
+                      CAST(least(s + n, (seq_idx + 1) * 64)
+                           - greatest(s, seq_idx * 64) AS BIGINT) AS n_toks_in_seq
+               FROM e)
+        SELECT shard,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT seq_idx) AS BIGINT) AS n_seqs,
+               CAST(SUM(n_toks_in_seq) AS BIGINT) AS n_toks
+        FROM pk
+        GROUP BY shard
+        ORDER BY shard
+      """)
+      })
+  }
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
     q38CurationRollup, q84MinhashClusters, q96QuantizedAnn,
     q108WinnowFingerprint, q114LshNearDup, q123BlockDedup, q125ClusterReps,
-    q126TfidfTopK, q128Kmeans, q129SemDedup)
+    q126TfidfTopK, q128Kmeans, q129SemDedup, q132CurationV3, q133IvfNprobe)
 }

@@ -302,4 +302,31 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"mixing must not shuffle:\n$p")
     assert(p.contains("Generate explode"), "replication must be explode, not a join")
   }
+
+  test("q133: probed IVF keeps the bucket-keyed join shape at nprobe=2") {
+    val p = plan("q133_ivf_nprobe")
+    // probe-set + assignment both via the literal-centroid fold
+    assert(p.contains("array_min") || p.contains("array_sort"),
+      "literal-centroid fold expected for probe ranking")
+    assert("HashJoin \\[bucket".r.findFirstIn(p).isDefined,
+      s"candidate join must stay keyed on the bucket id:\n$p")
+    assert(p.contains("WindowGroupLimit"), "top-k must push group limits")
+    assert(p.contains("vec_dot"), "native dot product expected")
+    assert(!p.contains("CartesianProduct"), "no unbroadcast cross product")
+  }
+
+  test("q132: flagship v3 reads every post-SemDeDup stage off the ONE materialized survivor frame") {
+    val p = plan("q132_curation_v3")
+    // the SemDeDup survivors' (doc_id, text) frame is localCheckpoint'ed
+    // once; the NLL stats, the post-filter join, and the packing scan all
+    // read the materialized rows — the final plan must contain ZERO
+    // parquet re-scans (the q127 lesson: composition is where double
+    // scans hide)
+    assert(!p.contains("Scan parquet"),
+      s"post-SemDeDup stages must read the checkpointed survivors, not re-scan parquet:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "token/packing aggregates must map-side combine")
+    assert(p.contains("Generate explode"), "sequence spans must explode, not self-join")
+    assert(!p.contains("CartesianProduct"), "no unbroadcast cross product")
+  }
 }

@@ -41,6 +41,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(repart == out, "hash-derived planes ⇒ partitioning must not matter")
   }
 
+  test("collectCentroids enforces the rows x dim payload bound") {
+    // 5 rows x 1M components = 5,242,880 embedded doubles — over the
+    // 4M (~32 MB) payload cap even though the ROW count (5) is far
+    // under MaxLiteralCentroids; the binding bound must be the payload
+    val bigDim = 1 << 20
+    val cents = (0L until 5L).map(i => (i, Array.fill(bigDim)(0.5)))
+      .toDF("cid", "centroid")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.collectCentroids(cents, "cid", "centroid")
+    }
+    assert(e.getMessage.contains("payload bound"), e.getMessage)
+    // 4 rows x 1M = exactly the cap — admitted
+    val ok = Similarity.collectCentroids(
+      cents.filter(col("cid") < 4), "cid", "centroid")
+    assert(ok.size == 4)
+  }
+
+  test("ivfTopKProbed: nprobe=2 recovers the cross-bucket neighbor nprobe=1 misses") {
+    // two well-separated clusters around orthogonal axes; the query
+    // (id 5) sits BETWEEN them, slightly closer to cluster A — so its
+    // single-probe bucket is A, but its true nearest neighbor (id 10,
+    // the boundary-leaning member of B) lives in bucket B
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val a = Seq(1L -> v(1, 0, 0, 0.1), 2L -> v(1, 0.1, 0, 0),
+      3L -> v(0.9, 0, 0.1, 0))
+    val b = Seq(10L -> v(0.8, 1, 0, 0), 11L -> v(0, 1, 0.1, 0),
+      12L -> v(0.1, 1, 0, 0))
+    val qv = Seq(5L -> v(1, 0.75, 0, 0))
+    val df = (a ++ b ++ qv).toDF("vec_id", "embedding")
+    val cents = Seq(100L -> v(1, 0, 0, 0), 200L -> v(0, 1, 0, 0))
+      .toDF("centroid_id", "embedding")
+    val assigned = Similarity.ivfAssign(df, cents)
+    val qid = Seq(Tuple1(5L)).toDF("vec_id")
+    def ids(nprobe: Int): Seq[Long] =
+      Similarity.ivfTopKProbed(assigned, cents, qid, k = 3, nprobe = nprobe)
+        .orderBy(col("rank")).select("neighbor_id").as[Long].collect().toSeq
+    val one = ids(1)
+    val two = ids(2)
+    assert(!one.contains(10L), s"single probe must miss the B-bucket neighbor: $one")
+    assert(two.head == 10L, s"nprobe=2 must surface the true nearest first: $two")
+    // candidate set is a superset ⇒ at least as many results at same k
+    assert(two.size >= one.size)
+  }
+
   test("lshNearDupPairs respects the bucket cap") {
     // 5 identical vectors: every band bucket has 5 members; cap at 4
     // drops them all before pairing (the minhash-style recall trade)
