@@ -50,6 +50,88 @@ class DedupSpec extends AnyFunSuite {
   // clusterRepresentatives
   // --------------------------------------------------------------
 
+  // --------------------------------------------------------------
+  // emitSortedPairs — the shared bucket-local pair-emission idiom
+  // (property-style: randomized groups checked against a reference
+  // model; a regression here breaks q31/q33/q114 at once)
+  // --------------------------------------------------------------
+
+  /** Reference model of [[Dedup.emitSortedPairs]] semantics: per key
+    * group of size in (1, cap], sort items, emit every positional pair
+    * (i < j) whose values differ (self-pair guard); dedupPairs
+    * collapses to distinct (key, a, b).
+    */
+  private def modelPairs(
+      rows: Seq[(String, Long)], cap: Int, dedup: Boolean): Seq[(String, Long, Long)] = {
+    val all = rows.groupBy(_._1).toSeq.flatMap { case (k, grp) =>
+      if (grp.size <= 1 || grp.size > cap) Nil
+      else {
+        val ds = grp.map(_._2).sorted
+        for {
+          i <- ds.indices; j <- (i + 1) until ds.size
+          if ds(i) < ds(j)
+        } yield (k, ds(i), ds(j))
+      }
+    }
+    val out = if (dedup) all.distinct else all
+    out.sorted
+  }
+
+  private def runEmit(
+      rows: Seq[(String, Long)], cap: Int, dedup: Boolean): Seq[(String, Long, Long)] =
+    Dedup.emitSortedPairs(
+        rows.toDF("k", "item").repartition(5), keys = Seq("k"),
+        item = col("item"), capCol = "grp_n", maxGroupSize = cap,
+        aName = "a", bName = "b", carry = Seq("k"), dedupPairs = dedup)
+      .select("k", "a", "b").as[(String, Long, Long)].collect().toSeq.sorted
+
+  test("emitSortedPairs matches the pair model on randomized groups (20 seeds)") {
+    for (seed <- 1 to 20) {
+      val rnd = new scala.util.Random(seed)
+      // few keys + few item values → dense collisions: duplicate items
+      // within a group, groups straddling the cap, multi-group pairs
+      val rows = Seq.fill(40 + rnd.nextInt(40))(
+        (s"k${rnd.nextInt(6)}", rnd.nextInt(8).toLong))
+      val cap = 2 + rnd.nextInt(12)
+      for (dedup <- Seq(true, false)) {
+        val got = runEmit(rows, cap, dedup)
+        val want = modelPairs(rows, cap, dedup)
+        assert(got == want,
+          s"seed=$seed cap=$cap dedup=$dedup\n got=$got\nwant=$want")
+      }
+    }
+  }
+
+  test("emitSortedPairs: duplicate items never emit self-pairs but DO pair with others") {
+    // one group [x, x, y]: sorted tail-slicing positionally yields
+    // (x,x), (x,y), (x,y) — the guard drops (x,x), keeps multiplicity 2
+    val rows = Seq(("k", 3L), ("k", 3L), ("k", 7L))
+    assert(runEmit(rows, cap = 10, dedup = false) ==
+      Seq(("k", 3L, 7L), ("k", 3L, 7L)))
+    assert(runEmit(rows, cap = 10, dedup = true) == Seq(("k", 3L, 7L)))
+  }
+
+  test("emitSortedPairs: over-cap groups emit nothing, cap-size groups emit fully") {
+    val over = (1L to 5L).map(i => ("k", i))
+    assert(runEmit(over, cap = 4, dedup = false).isEmpty,
+      "a group past the cap must be dropped whole")
+    assert(runEmit(over, cap = 5, dedup = false).size == 10,
+      "a group AT the cap emits all C(5,2) pairs")
+  }
+
+  test("emitSortedPairs: NULL keys group together like any other key value") {
+    // callers key on computed hashes (never null), but the window/groupBy
+    // pair treats null as one group — pin that documented behavior
+    val df = Seq((Some("k"), 1L), (None, 2L), (None, 5L), (None, 9L))
+      .toDF("k", "item")
+    val out = Dedup.emitSortedPairs(df, keys = Seq("k"), item = col("item"),
+        capCol = "grp_n", maxGroupSize = 10, aName = "a", bName = "b",
+        dedupPairs = true)
+      .select("a", "b").as[(Long, Long)].collect().toSeq.sorted
+    assert(out == Seq((2L, 5L), (2L, 9L), (5L, 9L)),
+      s"null-keyed rows must form one pairable group: $out")
+  }
+
   test("clusterRepresentatives keeps best-quality doc per component, singletons survive") {
     val corpus = Seq(
       (0L, 10L), (1L, 30L), (2L, 20L), // component {0,1,2} via pairs
