@@ -9,13 +9,16 @@ import org.apache.spark.sql.SparkSessionExtensions
   *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions …
   * }}}
   *
-  * registers the engine's native expressions (currently `vec_dot`,
-  * [[graft.functions.DotProduct]]) in every session of the application.
-  * Locally the same registration happens lazily per session at the
-  * [[Tables.load]] bootstrap chokepoint, so embedded use needs no
-  * configuration.
+  * registers the engine's native expressions (`vec_dot`,
+  * [[graft.functions.DotProduct]], and `vec_nearest`,
+  * [[graft.functions.NearestCentroids]]) in every session of the
+  * application. Locally the same registration happens lazily per
+  * session at the [[Tables.load]] bootstrap chokepoint, so embedded
+  * use needs no configuration.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(graft.functions.VectorExpressions.dotDescription)
+    ext.injectFunction(graft.functions.VectorExpressions.nearestDescription)
+  }
 }

@@ -54,19 +54,21 @@ object Clustering {
   private def asD(c: Column): Column = c.cast("array<double>")
 
   /** Nearest-centroid assignment under squared L2 distance
-    * (`|x|² - 2x·c + |c|²`, all three terms via `vec_dot`), tie-broken
-    * on centroid id. ZERO-shuffle: the centroid frame (small by
-    * contract, guarded by [[Similarity.MaxLiteralCentroids]]) is
-    * collected and embedded as literal arrays, and the argmin folds
-    * over them per corpus row as
-    * `array_min(transform(…, struct(d2, cid)))` — struct ordering is
-    * the same Double.compare comparator the former
-    * `row_number over (order by d2, cid)` window used, so assignments
-    * and tie-breaks are bit-identical. The former window formulation
-    * forced an `Exchange hashpartitioning(vec_id)` of K×corpus rows
-    * (each carrying both the document vector and a candidate centroid)
-    * once per Lloyd iteration; this form is a pure narrow projection —
-    * the corpus genuinely never shuffles here.
+    * (`|x|² - 2x·c + |c|²`), tie-broken on centroid id. ZERO-shuffle:
+    * the centroid frame (small by contract, guarded by
+    * [[Similarity.MaxLiteralCentroids]]) is collected and embedded as
+    * literal arguments of the native `vec_nearest` expression
+    * ([[Similarity.nearestCentroids]]), whose per-row primitive loop
+    * accumulates each term ascending-index — the identical IEEE
+    * sequence and Double.compare/cid tie-break of the former
+    * `row_number over (order by d2, cid)` window and the r7
+    * `array_min(transform(…))` fold, so assignments and d2 values are
+    * bit-identical (the HOF fold evaluated its lambda interpreted per
+    * (row × centroid) and went super-linear once K scaled with the
+    * corpus). The former window formulation forced an
+    * `Exchange hashpartitioning(vec_id)` of K×corpus rows once per
+    * Lloyd iteration; this form is a pure narrow projection — the
+    * corpus genuinely never shuffles here.
     * Output: (idCol, v: array&lt;double&gt;, cid, d2).
     *
     * CONTRACT (differs from the pre-r7 broadcast-join form in two loud
@@ -80,22 +82,13 @@ object Clustering {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cents = Similarity.collectCentroids(centroids, "cid", "centroid")
     require(cents.nonEmpty, "assignL2: empty centroid set")
-    val cidA = typedLit(cents.map(_._1))
-    val cvA = typedLit(cents.map(_._2))
-    val cdA = typedLit(cents.map(_._3))
-    val best = array_min(transform(
-      sequence(lit(1), lit(cents.length)),
-      i => struct(
-        (col("vdot") - lit(2.0) * Similarity.dot(col("v"), element_at(cvA, i))
-          + element_at(cdA, i)).as("d2"),
-        element_at(cidA, i).as("cid"))))
     corpus
       .select(col(idCol), asD(col(vecCol)).as("v"))
-      .withColumn("vdot", Similarity.dot(col("v"), col("v")))
-      .withColumn("__best", best)
+      .withColumn("__best",
+        Similarity.nearestCentroids(col("v"), cents, 1, "l2"))
       .select(col(idCol), col("v"),
-        col("__best").getField("cid").as("cid"),
-        col("__best").getField("d2").as("d2"))
+        element_at(col("__best"), 1).getField("cid").as("cid"),
+        element_at(col("__best"), 1).getField("score").as("d2"))
   }
 
   /** Fixed-point centroid update from an [[assignL2]] output: per

@@ -138,17 +138,39 @@ object Similarity {
     }
   }
 
+  /** Column of the `n` nearest centroids of `vec` (ascending
+    * (score, cid) structs) against a collected centroid family, via
+    * the native [[graft.functions.NearestCentroids]] expression —
+    * metric "cos" scores −cosine (aux = centroid norms), "l2" scores
+    * squared L2 (aux = centroid self-dots). The expression replaces
+    * the r7 `array_min(transform(…))` HOF fold, which evaluated its
+    * lambda INTERPRETED per (row × centroid): with K scaling as
+    * corpus/50 in the IVF fixture, that fold went super-linear at sf1
+    * (measured 26 s for 20k × 400 × dim 64); the primitive-loop eval
+    * does the same flops bit-identically in well under a second while
+    * keeping the exact zero-shuffle plan shape.
+    */
+  private[operators] def nearestCentroids(
+      vec: Column, cents: Seq[(Long, Seq[Double], Double)],
+      n: Int, metric: String): Column =
+    call_function("vec_nearest", asD(vec),
+      typedLit(cents.map(_._1)), typedLit(cents.map(_._2)),
+      typedLit(if (metric == "cos") cents.map(t => math.sqrt(t._3))
+               else cents.map(_._3)),
+      lit(n), lit(metric))
+
   /** IVF bucket assignment: nearest centroid per vector (max cosine,
     * tie-break on centroid id). ZERO-shuffle: the centroid set is
     * collected (guarded by [[MaxLiteralCentroids]] — the same bound the
-    * broadcast form implied) and embedded as three literal arrays, and
-    * the argmin folds over them per corpus row as
-    * `array_min(transform(…, struct(-csim, cid)))` — struct ordering is
-    * the same Double.compare comparator the former
-    * `row_number over (order by csim desc, cid)` window used, so picks
-    * and tie-breaks are identical. The former window forced an
-    * `Exchange hashpartitioning(vec_id)` of K×corpus rows carrying both
-    * vectors; this form is a pure narrow projection on the scan.
+    * broadcast form implied) and embedded as literal arguments of the
+    * native `vec_nearest` expression ([[nearestCentroids]]), whose
+    * per-row primitive loop scores every centroid with the identical
+    * IEEE accumulation order and Double.compare/cid tie-break the
+    * former `row_number over (order by csim desc, cid)` window and the
+    * r7 `array_min` fold used, so picks are bit-identical. The former
+    * window forced an `Exchange hashpartitioning(vec_id)` of K×corpus
+    * rows carrying both vectors; this form is a pure narrow projection
+    * on the scan.
     *
     * CONTRACT (differs from the pre-r7 broadcast-join form in two loud
     * ways): the output `bucket` column is always LONG — the centroid id
@@ -163,20 +185,10 @@ object Similarity {
       centroidIdCol: String = "centroid_id"): DataFrame = {
     val cents = collectCentroids(centroids, centroidIdCol, vecCol)
     require(cents.nonEmpty, "ivfAssign: empty centroid set")
-    val cidA = typedLit(cents.map(_._1))
-    val cvA = typedLit(cents.map(_._2))
-    val cnA = typedLit(cents.map(t => math.sqrt(t._3)))
-    val best = array_min(transform(
-      sequence(lit(1), lit(cents.length)),
-      i => struct(
-        (-(dot(col("__vd"), element_at(cvA, i))
-          / (col("__vn") * element_at(cnA, i)))).as("negsim"),
-        element_at(cidA, i).as("cid"))))
     corpus
-      .withColumn("__vd", asD(col(vecCol)))
-      .withColumn("__vn", l2norm(col("__vd")))
-      .withColumn("__best", best)
-      .select(col(idCol), col(vecCol), col("__best").getField("cid").as("bucket"))
+      .withColumn("__best", nearestCentroids(col(vecCol), cents, 1, "cos"))
+      .select(col(idCol), col(vecCol),
+        element_at(col("__best"), 1).getField("cid").as("bucket"))
   }
 
   /** IVF top-k: queries probe only their own bucket (nprobe=1). Recall is
@@ -208,12 +220,12 @@ object Similarity {
     * the first thing a real ANN user hits, because a query near a
     * Voronoi edge has true neighbors assigned to the adjacent cell).
     *
-    * The probe set is computed with the same zero-shuffle
-    * literal-centroid fold as [[ivfAssign]] (collect centroids —
-    * bounded by [[MaxLiteralCentroids]] / payload — then
-    * `slice(array_sort(struct(-csim, cid)), 1, nprobe)` per query
-    * row), so nprobe=1 reproduces [[ivfAssign]]'s own bucket choice
-    * exactly (max cosine, tie-break on centroid id). Each query row
+    * The probe set is computed with the same zero-shuffle native
+    * `vec_nearest` ranking as [[ivfAssign]] (collect centroids —
+    * bounded by [[MaxLiteralCentroids]] / payload — then the top
+    * `nprobe` (−csim, cid) structs per query row), so nprobe=1
+    * reproduces [[ivfAssign]]'s own bucket choice exactly (max
+    * cosine, tie-break on centroid id). Each query row
     * then EXPLODES into its nprobe bucket keys and the candidate join
     * stays keyed on the bucket id — corpus vectors live in exactly one
     * bucket, and the probed buckets are distinct, so candidates need
@@ -233,22 +245,13 @@ object Similarity {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val cents = collectCentroids(centroids, centroidIdCol, vecCol)
     require(cents.nonEmpty, "ivfTopKProbed: empty centroid set")
-    val cidA = typedLit(cents.map(_._1))
-    val cvA = typedLit(cents.map(_._2))
-    val cnA = typedLit(cents.map(t => math.sqrt(t._3)))
-    val probed = slice(
-      array_sort(transform(
-        sequence(lit(1), lit(cents.length)),
-        i => struct(
-          (-(dot(col("qv"), element_at(cvA, i))
-            / (col("qn") * element_at(cnA, i)))).as("negsim"),
-          element_at(cidA, i).as("cid")))),
-      1, nprobe)
     val q = broadcast(assigned.join(queryIds, idCol)
       .select(col(idCol).as("query_id"), asD(col(vecCol)).as("qv"))
       .withColumn("qn", l2norm(col("qv")))
       .withColumn("bucket",
-        explode(transform(probed, p => p.getField("cid")))))
+        explode(transform(
+          nearestCentroids(col("qv"), cents, nprobe, "cos"),
+          p => p.getField("cid")))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     assigned

@@ -140,7 +140,7 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q35_ivf_topk")
     // centroid assignment: literal-centroid fold, NO join shape at all
     // (the former broadcast-cross + window form exchanged K×corpus rows)
-    assert(p.contains("array_min"), "literal-centroid argmin fold expected")
+    assert(p.contains("vec_nearest"), "native literal-centroid argmin expected")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "assignment must not cross-join the centroid side")
     // scoring join is keyed on the bucket id, not all-pairs
@@ -282,9 +282,10 @@ class PlanSpec extends AnyFunSuite {
 
   test("q128: k-means assignment is a zero-shuffle literal argmin, update map-side combines") {
     val p = plan("q128_kmeans")
-    // argmin: literal-centroid fold — never a join, and never the old
-    // K×corpus window exchange hash-partitioned on the vector id
-    assert(p.contains("array_min"), "literal-centroid argmin fold expected")
+    // argmin: native literal-centroid expression — never a join, and
+    // never the old K×corpus window exchange hash-partitioned on the
+    // vector id
+    assert(p.contains("vec_nearest"), "native literal-centroid argmin expected")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "assignment must not cross-join the centroid side")
     assert(!"Exchange hashpartitioning\\(vec_id".r.findFirstIn(p).isDefined,
@@ -305,9 +306,9 @@ class PlanSpec extends AnyFunSuite {
 
   test("q133: probed IVF keeps the bucket-keyed join shape at nprobe=2") {
     val p = plan("q133_ivf_nprobe")
-    // probe-set + assignment both via the literal-centroid fold
-    assert(p.contains("array_min") || p.contains("array_sort"),
-      "literal-centroid fold expected for probe ranking")
+    // probe-set + assignment both via the native literal-centroid ranking
+    assert(p.contains("vec_nearest"),
+      "native literal-centroid ranking expected for probe + assignment")
     assert("HashJoin \\[bucket".r.findFirstIn(p).isDefined,
       s"candidate join must stay keyed on the bucket id:\n$p")
     assert(p.contains("WindowGroupLimit"), "top-k must push group limits")
