@@ -267,6 +267,65 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** Materializes an IVF index: an [[ivfAssign]] output written as
+    * parquet PARTITIONED BY the bucket id. This is the 100 TB serving
+    * layout: the corpus pays its assignment scan once at build time,
+    * and every subsequent query batch reads only its probed buckets'
+    * directories — `nprobe/K` of the data — via static partition
+    * pruning ([[ivfTopKIndexed]]), instead of re-scanning and
+    * re-assigning the corpus per batch the way [[ivfTopK]] does.
+    */
+  def ivfWriteIndex(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Serves top-k from a written index ([[ivfWriteIndex]]): probe
+    * buckets are ranked per query with the native `vec_nearest`
+    * expression, then pushed into the index scan as a PARTITION filter
+    * — the scan's `PartitionFilters` prunes to the probed bucket
+    * directories, so a query batch reads ~`nprobe/K` of the corpus
+    * (PlanSpec pins the pruned-scan shape).
+    *
+    * BOUNDED driver sync, by design: the distinct probed bucket ids
+    * (≤ queries × nprobe — the query set is broadcast-class by the
+    * same contract as [[bruteForceTopK]]) are collected to the driver,
+    * because STATIC partition pruning needs literal predicates at plan
+    * time; dynamic pruning would need a join against the partition
+    * column and a shuffle of the query side. Self-matches are
+    * excluded, ties break on neighbor id — identical semantics to
+    * [[ivfTopKProbed]] at the same nprobe (the oracle replays both).
+    */
+  def ivfTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      centroids: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroidIdCol: String = "centroid_id"): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val cents = collectCentroids(centroids, centroidIdCol, vecCol)
+    require(cents.nonEmpty, "ivfTopKIndexed: empty centroid set")
+    val q = queries
+      .select(col(idCol).as("query_id"), asD(col(vecCol)).as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+      .withColumn("bucket",
+        explode(transform(
+          nearestCentroids(col("qv"), cents, nprobe, "cos"),
+          p => p.getField("cid"))))
+    val probed = q.select("bucket").distinct().collect().map(_.getLong(0))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(probed: _*))
+      .select(col(idCol).as("neighbor_id"), asD(col(vecCol)).as("cv"),
+        col("bucket").cast("long").as("bucket"))
+      .withColumn("cn", l2norm(col("cv")))
+      .join(broadcast(q), "bucket")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking column
     * (e.g. a cluster label): pairs with cosine >= threshold. Blocks
     * larger than `maxBlockSize` are dropped before pairing — the same

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{FlinkSql, QueryDef, Tables}
-import graft.operators.{AsyncLookup, CdcFormats, LookupJoin, Multimodal, TemporalJoin}
+import graft.operators.{AsyncLookup, CdcFormats, LookupJoin, Multimodal, TemporalJoin, TmpWorkspaces}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -410,63 +410,9 @@ object OperatorQueries {
   val q118BinaryIngest: QueryDef = QueryDef(
     "q118_binary_ingest",
     (s, dir) => {
-      // fixed per-(JVM, SF) path, cleared before each run: a fresh temp
-      // dir per invocation would leak one corpus copy to /tmp per
-      // Bench/Verify run (the ingest DataFrame is lazy, so the dir
-      // must outlive this builder — bounding it to one copy per JVM is
-      // the cleanup). The PID key keeps CONCURRENT Bench/Verify JVMs
-      // apart: without it, one process's clear races the other's lazy
-      // binaryFile scan of the same path.
-      val prefix = "graft_assets_q118_"
-      val tmpRoot = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
-      val assetDir = tmpRoot.resolve(prefix +
-        ProcessHandle.current().pid() + "_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_"))
-      def clearDir(d: java.nio.file.Path): Unit = {
-        val s0 = java.nio.file.Files.list(d)
-        try s0.forEach(p => java.nio.file.Files.delete(p))
-        finally s0.close()
-      }
-      // sweep siblings left by DEAD JVMs (each run is a fresh PID, so
-      // without this every Bench/Verify run leaks one corpus copy to
-      // /tmp); live PIDs are skipped — their scan may still be lazy.
-      // Two concurrent JVMs can race on the same dead sibling: the
-      // loser's deletes must be no-ops, because a best-effort sweep
-      // failing must never fail the query build itself. The race can
-      // surface as IOException subtypes (NoSuchFile/DirectoryNotEmpty/
-      // NotDirectory from a prefix-matching plain file) OR as the
-      // unchecked wrappers a mid-iteration delete makes Files.list's
-      // stream throw (UncheckedIOException, DirectoryIteratorException)
-      // — the per-sibling catch covers all of them, and the whole
-      // tmpRoot iteration is itself wrapped for the same wrappers
-      // thrown while STREAMING the listing.
-      try {
-        val s1 = java.nio.file.Files.list(tmpRoot)
-        try s1.filter(p => p.getFileName.toString.startsWith(prefix))
-          .forEach { p =>
-            val pid = p.getFileName.toString.stripPrefix(prefix)
-              .takeWhile(_.isDigit)
-            val alive = pid.nonEmpty &&
-              ProcessHandle.of(pid.toLong)
-                .map[java.lang.Boolean](h => h.isAlive).orElse(false)
-            if (!alive) try {
-              val s0 = java.nio.file.Files.list(p)
-              try s0.forEach(c => java.nio.file.Files.deleteIfExists(c))
-              finally s0.close()
-              java.nio.file.Files.deleteIfExists(p)
-            } catch {
-              case _: java.io.IOException => ()
-              case _: java.io.UncheckedIOException => ()
-              case _: java.nio.file.DirectoryIteratorException => ()
-            }
-          }
-        finally s1.close()
-      } catch {
-        case _: java.io.IOException => ()
-        case _: java.io.UncheckedIOException => ()
-        case _: java.nio.file.DirectoryIteratorException => ()
-      }
-      if (java.nio.file.Files.exists(assetDir)) clearDir(assetDir)
+      // PID-scoped fixed workspace — see [[TmpWorkspaces.pidScoped]]
+      // for the leak-bound / concurrent-JVM / dead-PID-sweep contract
+      val assetDir = TmpWorkspaces.pidScoped("graft_assets_q118_", dir)
       Multimodal.writeAssets(
         Tables.load(s, dir, "documents"), "doc_id", "text", assetDir.toString)
       Multimodal.featurize(

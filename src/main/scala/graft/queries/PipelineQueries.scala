@@ -926,10 +926,68 @@ object PipelineQueries {
       })
   }
 
+  // ------------------------------------------------------------------
+  // q134 IVF index serving (bucket-partitioned layout, pruned scan)
+  // ------------------------------------------------------------------
+
+  /** The missing piece of the IVF lifecycle: build once, serve many.
+    * The assigned corpus is written as parquet PARTITIONED BY bucket
+    * (per-JVM workspace — [[graft.operators.TmpWorkspaces]]), then the
+    * query batch is served from the index at nprobe=2 through a
+    * partition-PRUNED scan: only the probed buckets' directories are
+    * read (~nprobe/K of the corpus at 100 TB), vs [[q35IvfTopK]]'s
+    * re-assign-and-scan per batch. Results are semantically identical
+    * to [[q133IvfNprobe]]'s probed top-k (the oracle replays the same
+    * ranking); the write→partition→read round-trip is what this query
+    * gates — a float-precision or partition-value corruption in the
+    * layout hash-fails.
+    */
+  val q134IvfIndex: QueryDef = QueryDef(
+    "q134_ivf_index",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_ivfidx_q134_", dir)
+      Similarity.ivfWriteIndex(Similarity.ivfAssign(emb, centroids),
+        path.toString)
+      Similarity.ivfTopKIndexed(s, path.toString, centroids,
+          emb.filter(col("vec_id") < 10).select(col("vec_id"), col("embedding")),
+          k = 3, nprobe = 2)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }, {
+      val cosEC = Similarity.cosineSql("e.embedding", "c.centv")
+      val cosQC = Similarity.cosineSql("q.qv", "c.centv")
+      val cosQA = Similarity.cosineSql("p.qv", "a.embedding")
+      Some(s"""
+      WITH cent AS (SELECT vec_id AS cid, embedding AS centv FROM embeddings WHERE vec_id % 50 = 0),
+      assign AS (SELECT vec_id, embedding, cid AS bucket FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY $cosEC DESC, c.cid) AS crn
+        FROM embeddings e CROSS JOIN cent c) t WHERE crn = 1),
+      q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      probes AS (SELECT query_id, qv, cid AS bucket FROM (
+        SELECT q.query_id, q.qv, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY $cosQC DESC, c.cid) AS prn
+        FROM q CROSS JOIN cent c) t WHERE prn <= 2),
+      sims AS (SELECT p.query_id, a.vec_id AS neighbor_id, $cosQA AS sim
+               FROM assign a JOIN probes p ON a.bucket = p.bucket AND a.vec_id <> p.query_id),
+      r AS (SELECT query_id, neighbor_id, sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+            FROM sims)
+      SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, round(sim, 6) AS sim
+      FROM r WHERE rnk <= 3
+      ORDER BY query_id, rnk
+    """)
+    })
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
     q38CurationRollup, q84MinhashClusters, q96QuantizedAnn,
     q108WinnowFingerprint, q114LshNearDup, q123BlockDedup, q125ClusterReps,
-    q126TfidfTopK, q128Kmeans, q129SemDedup, q132CurationV3, q133IvfNprobe)
+    q126TfidfTopK, q128Kmeans, q129SemDedup, q132CurationV3, q133IvfNprobe,
+    q134IvfIndex)
 }

@@ -316,6 +316,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "no unbroadcast cross product")
   }
 
+  test("q134: IVF index serving prunes the scan to the probed buckets") {
+    val p = plan("q134_ivf_index")
+    // the probed bucket ids must reach the index scan as PARTITION
+    // filters — the whole point of the bucket-partitioned layout is
+    // that a query batch reads ~nprobe/K of the corpus directories
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(p).isDefined,
+      s"probed buckets must prune as partition filters:\n$p")
+    assert(p.contains("vec_nearest"),
+      "probe ranking must use the native literal-centroid expression")
+    assert("HashJoin \\[bucket".r.findFirstIn(p).isDefined,
+      s"candidate join must stay keyed on the bucket id:\n$p")
+    assert(p.contains("WindowGroupLimit"), "top-k must push group limits")
+    assert(!p.contains("CartesianProduct"), "no unbroadcast cross product")
+  }
+
   test("q132: flagship v3 reads every post-SemDeDup stage off the ONE materialized survivor frame") {
     val p = plan("q132_curation_v3")
     // the SemDeDup survivors' (doc_id, text) frame is localCheckpoint'ed
