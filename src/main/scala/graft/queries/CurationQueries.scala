@@ -324,20 +324,22 @@ object CurationQueries {
     * [[graft.operators.Curation.mixThresholds]] — the ONE place the
     * quantization lives, so engine and oracle cannot drift.
     */
-  private def mixBaseExpr(rates: Map[String, Double]): String = {
+  private def mixBaseExpr(
+      rates: Map[String, Double], stratum: String = "source"): String = {
     val branches = Curation.mixThresholds(rates)
       .map { case (s, b, _) => s"WHEN '$s' THEN $b" }
     if (branches.isEmpty) "NULL"
-    else s"CASE source ${branches.mkString(" ")} ELSE NULL END"
+    else s"CASE $stratum ${branches.mkString(" ")} ELSE NULL END"
   }
 
-  private def mixFthrExpr(rates: Map[String, Double]): String = {
+  private def mixFthrExpr(
+      rates: Map[String, Double], stratum: String = "source"): String = {
     // all-integral rates leave zero branches; a bare CASE source ELSE
     // NULL END is a parse error, so emit the literal instead
     val branches = Curation.mixThresholds(rates)
       .flatMap { case (s, _, thr) => thr.map(v => s"WHEN '$s' THEN '$v'") }
     if (branches.isEmpty) "NULL"
-    else s"CASE source ${branches.mkString(" ")} ELSE NULL END"
+    else s"CASE $stratum ${branches.mkString(" ")} ELSE NULL END"
   }
 
   val q124WeightedMix: QueryDef = {
@@ -540,9 +542,92 @@ object CurationQueries {
       """))
   }
 
+  // ------------------------------------------------------------------
+  // q135 perplexity-bucketed mixing (CCNet-style head/middle/tail)
+  // ------------------------------------------------------------------
+
+  /** CCNet-style quality bucketing composed with domain mixing: score
+    * every document with the unigram-LM NLL (q130's arithmetic), cut
+    * the corpus into head/middle/tail at FIXED NLL thresholds, then
+    * up/down-sample per bucket (head 1.5×, middle 1×, tail 0.25×)
+    * with the deterministic md5-fraction mix. The thresholds are
+    * corpus-tertile constants computed offline — exactly how CCNet
+    * ships per-language perplexity cutoffs — which keeps bucketing a
+    * pure NARROW map (a global ntile/row_number would serialize the
+    * corpus through one sort partition at 100 TB; fixed cutoffs and
+    * the one-pass NLL scorer keep the only corpus-scale shuffles the
+    * q130 token aggregations). Aggregate NLL bounds per bucket are
+    * min/max (order-independent — an avg of replicated doubles would
+    * be partition-order-dependent).
+    */
+  val q135QualityMix: QueryDef = {
+    val rates = Map("head" -> 1.5, "middle" -> 1.0, "tail" -> 0.25)
+    val T1 = 3.3998
+    val T2 = 3.404
+    QueryDef(
+      "q135_quality_mix",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val nll = TextAnalysis.unigramNll(docs, "doc_id", "text",
+            nllThreshold = T2)
+          .select(col("doc_id"), col("nll"))
+          .withColumn("qb",
+            when(col("nll") <= T1, "head")
+              .when(col("nll") <= T2, "middle")
+              .otherwise("tail"))
+        Curation.weightedMix(nll, "doc_id", "qb", rates)
+          .groupBy(col("qb"))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            min(col("nll")).as("min_nll"),
+            max(col("nll")).as("max_nll"))
+          .orderBy(col("qb"))
+      },
+      Some(s"""
+        WITH tk AS (SELECT doc_id, unnest(${TextOps.tokensSql("text")}) AS tok
+                    FROM documents),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+        tot AS (SELECT SUM(tf) AS total_toks FROM tf),
+        cnts AS (SELECT tok, SUM(tf) AS cnt FROM tf GROUP BY 1),
+        sc AS (SELECT t.doc_id, t.tf,
+                      CAST(FLOOR(ln(CAST(c.cnt AS DOUBLE) / tt.total_toks)
+                                 * 1000000.0) AS BIGINT) AS lpf
+               FROM tf t JOIN cnts c USING (tok) CROSS JOIN tot tt),
+        agg AS (SELECT doc_id, round(-(SUM(tf * lpf)) / (1000000.0 * SUM(tf)), 6)
+                         AS nll
+                FROM sc GROUP BY 1),
+        b AS (SELECT doc_id, nll,
+                     CASE WHEN nll <= $T1 THEN 'head'
+                          WHEN nll <= $T2 THEN 'middle'
+                          ELSE 'tail' END AS qb
+              FROM agg),
+        r AS (SELECT doc_id, nll, qb,
+                     ${mixBaseExpr(rates, "qb")} AS base,
+                     ${mixFthrExpr(rates, "qb")} AS fthr
+              FROM b),
+        n AS (SELECT doc_id, nll, qb,
+                     COALESCE(base, 0)
+                       + CASE WHEN fthr IS NOT NULL
+                               AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= fthr
+                              THEN 1 ELSE 0 END AS n
+              FROM r),
+        mixed AS (SELECT doc_id, nll, qb,
+                         unnest(generate_series(1, n)) AS copy
+                  FROM n WHERE n > 0)
+        SELECT qb,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               MIN(nll) AS min_nll,
+               MAX(nll) AS max_nll
+        FROM mixed
+        GROUP BY qb
+        ORDER BY qb
+      """))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q109StratifiedSample, q110PiiRedaction, q111SplitLeakage,
       q112VocabTopK, q113TokenChunks, q116CurationE2e,
       q117RepetitionMetrics, q119Decontamination, q124WeightedMix,
-      q127CurationV2, q130UnigramQuality, q131SeqPack)
+      q127CurationV2, q130UnigramQuality, q131SeqPack, q135QualityMix)
 }

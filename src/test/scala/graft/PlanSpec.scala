@@ -331,6 +331,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "no unbroadcast cross product")
   }
 
+  test("q135: quality bucketing is a narrow map over the NLL pass — no corpus sort") {
+    val p = plan("q135_quality_mix")
+    // fixed NLL cutoffs keep bucketing out of any global window: a
+    // ntile/row_number formulation would rangepartition the whole
+    // corpus through one sort; the only window allowed is q130's
+    // token-keyed vocabulary count
+    assert(!p.contains("ntile"), "bucketing must use fixed cutoffs, not ntile")
+    assert("Window \\[sum".r.findFirstIn(p).isDefined ||
+      p.contains("windowspecdefinition(tok"),
+      s"the vocab count window (token-keyed) is the only window expected:\n$p")
+    assert(p.contains("Generate explode"), "replication must be explode, not a join")
+    assert(!p.contains("CartesianProduct"), "the 1-row total must broadcast")
+  }
+
   test("q132: flagship v3 reads every post-SemDeDup stage off the ONE materialized survivor frame") {
     val p = plan("q132_curation_v3")
     // the SemDeDup survivors' (doc_id, text) frame is localCheckpoint'ed
