@@ -24,23 +24,29 @@ object Tables {
     graft.functions.VectorExpressions.ensureRegistered(spark)
     graft.functions.WinnowExpression.ensureRegistered(spark)
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS); Spark only reads it via the
-      // legacy long passthrough — set it lazily so driver-created
-      // sessions work too.
+      // events.ts has shipped as TIMESTAMP(NANOS) (fixtures ≤ r8) and as
+      // naive timestamp[us] → TIMESTAMP_NTZ (r9 regeneration); the legacy
+      // long passthrough only matters for the nanos shape but is harmless
+      // otherwise — set it lazily so driver-created sessions work too.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       normalizeEventTime(spark.read.parquet(s"$dir/$name.parquet"))
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** events.ts is parquet timestamp[ns]; Spark's native timestamp is µs.
-    * Normalize to µs TimestampType at the scan boundary so every
-    * downstream operator (windows, watermarks, interval joins) sees a
-    * plain event-time column (SURVEY.md §1.2 ns-precision note).
+  /** Normalize events.ts to µs TimestampType at the scan boundary so
+    * every downstream operator (windows, watermarks — which reject NTZ —
+    * interval joins) sees a plain event-time column (SURVEY.md §1.2
+    * ns-precision note). Handles every fixture shape seen so far:
+    * timestamp[ns] (read as Long under nanosAsLong), naive timestamp[us]
+    * (read as TIMESTAMP_NTZ), or native TimestampType. All sessions run
+    * UTC, so the NTZ cast relabels the identical instant DuckDB sees.
     */
   private def normalizeEventTime(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types._
     df.schema("ts").dataType match {
       case TimestampType => df
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case LongType => // read under spark.sql.legacy.parquet.nanosAsLong
         // `div` = exact integer division; `/` is double division whose
         // rounding truncates 1 µs low on ~1.6% of rows (ADVICE.md r01).

@@ -285,20 +285,30 @@ object Similarity {
     * directories, so a query batch reads ~`nprobe/K` of the corpus
     * (PlanSpec pins the pruned-scan shape).
     *
-    * BOUNDED driver sync, by design: the distinct probed bucket ids
+    * BOUNDED driver sync, ENFORCED: the distinct probed bucket ids
     * (≤ queries × nprobe — the query set is broadcast-class by the
     * same contract as [[bruteForceTopK]]) are collected to the driver,
     * because STATIC partition pruning needs literal predicates at plan
     * time; dynamic pruning would need a join against the partition
-    * column and a shuffle of the query side. Self-matches are
-    * excluded, ties break on neighbor id — identical semantics to
-    * [[ivfTopKProbed]] at the same nprobe (the oracle replays both).
+    * column and a shuffle of the query side. The collect is
+    * structurally capped with the `limit(max + 1)` idiom (the
+    * [[LookupJoin]] guard) and then `require`d against
+    * `maxProbedBuckets` (default [[MaxLiteralCentroids]] — probed
+    * buckets ARE centroid ids, so the same broadcast-class bound
+    * applies; today probed ⊆ the already-guarded centroid family, but
+    * the bound must not depend on that transitive argument surviving
+    * refactors). A corpus-sized query frame belongs on the
+    * bucket-keyed join path ([[ivfTopKProbed]]), not static pruning.
+    * Self-matches are excluded, ties break on neighbor id — identical
+    * semantics to [[ivfTopKProbed]] at the same nprobe (the oracle
+    * replays both).
     */
   def ivfTopKIndexed(
       spark: org.apache.spark.sql.SparkSession, path: String,
       centroids: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      centroidIdCol: String = "centroid_id"): DataFrame = {
+      centroidIdCol: String = "centroid_id",
+      maxProbedBuckets: Int = MaxLiteralCentroids): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val cents = collectCentroids(centroids, centroidIdCol, vecCol)
     require(cents.nonEmpty, "ivfTopKIndexed: empty centroid set")
@@ -309,7 +319,14 @@ object Similarity {
         explode(transform(
           nearestCentroids(col("qv"), cents, nprobe, "cos"),
           p => p.getField("cid"))))
-    val probed = q.select("bucket").distinct().collect().map(_.getLong(0))
+    val probed = q.select("bucket").distinct()
+      .limit(maxProbedBuckets + 1).collect().map(_.getLong(0))
+    require(probed.length <= maxProbedBuckets,
+      s"ivfTopKIndexed probed more than $maxProbedBuckets distinct " +
+        "buckets — the query set must stay broadcast-class (probed " +
+        "buckets <= queries x nprobe feed a driver collect and a " +
+        "literal partition filter); serve a corpus-sized query frame " +
+        "through the bucket-keyed join path (ivfTopKProbed) instead")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     spark.read.parquet(path)

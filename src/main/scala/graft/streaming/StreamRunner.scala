@@ -44,9 +44,15 @@ object StreamRunner {
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val raw = tableStream(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => // timestamp[ns] fixture read under nanosAsLong
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // r9 fixture shape: naive timestamp[us]. Watermarks reject NTZ;
+        // sessions run UTC so the cast relabels the identical instant.
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Runs `stream` into a fresh memory sink until all available input is

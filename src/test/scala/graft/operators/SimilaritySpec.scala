@@ -85,6 +85,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(two.size >= one.size)
   }
 
+  test("ivfTopKIndexed enforces the probed-bucket bound (broadcast-class queries)") {
+    // same two-cluster fixture as the nprobe test; the query at the
+    // boundary probes BOTH buckets at nprobe=2, so maxProbedBuckets=1
+    // must trip the guard — and the default bound must serve fine
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val df = Seq(1L -> v(1, 0, 0, 0.1), 2L -> v(1, 0.1, 0, 0),
+      10L -> v(0.8, 1, 0, 0), 11L -> v(0, 1, 0.1, 0),
+      5L -> v(1, 0.75, 0, 0)).toDF("vec_id", "embedding")
+    val cents = Seq(100L -> v(1, 0, 0, 0), 200L -> v(0, 1, 0, 0))
+      .toDF("centroid_id", "embedding")
+    val path = TmpWorkspaces.pidScoped("graft_ivfidx_spec_", "guard").toString
+    Similarity.ivfWriteIndex(Similarity.ivfAssign(df, cents), path)
+    val q = df.filter(col("vec_id") === 5L)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKIndexed(spark, path, cents, q, k = 3, nprobe = 2,
+        maxProbedBuckets = 1)
+    }
+    assert(e.getMessage.contains("broadcast-class"), e.getMessage)
+    val served = Similarity.ivfTopKIndexed(spark, path, cents, q,
+      k = 3, nprobe = 2)
+    assert(served.select("neighbor_id").as[Long].collect().nonEmpty)
+  }
+
   test("lshNearDupPairs respects the bucket cap") {
     // 5 identical vectors: every band bucket has 5 members; cap at 4
     // drops them all before pairing (the minhash-style recall trade)
