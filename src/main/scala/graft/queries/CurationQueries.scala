@@ -552,8 +552,10 @@ object CurationQueries {
     * up/down-sample per bucket (head 1.5×, middle 1×, tail 0.25×)
     * with the deterministic md5-fraction mix. The thresholds are
     * corpus-tertile constants computed offline — exactly how CCNet
-    * ships per-language perplexity cutoffs — which keeps bucketing a
-    * pure NARROW map (a global ntile/row_number would serialize the
+    * ships per-language perplexity cutoffs; the derivation is checked
+    * in as `tools/derive_q135_cutoffs.py` (replays the oracle's NLL
+    * arithmetic in DuckDB, prints the tertiles and the rounding that
+    * yields these constants) — which keeps bucketing a pure NARROW map (a global ntile/row_number would serialize the
     * corpus through one sort partition at 100 TB; fixed cutoffs and
     * the one-pass NLL scorer keep the only corpus-scale shuffles the
     * q130 token aggregations). Aggregate NLL bounds per bucket are
