@@ -219,6 +219,98 @@ case class NearestCentroids(
       aux = newChildren(3), n = newChildren(4), metric = newChildren(5))
 }
 
+/** `pq_adc(codes, lut, stride)`: asymmetric-distance-computation table
+  * lookup for product-quantized vectors — `Σ_j lut[j·stride + codes[j]]`
+  * as one tight primitive loop, fully codegen'd. `codes` is a corpus
+  * row's per-subspace code array (`array<bigint>`, values in
+  * `[0, stride)`), `lut` is a per-QUERY lookup table laid out
+  * subspace-major (`array<double>`, length m·stride — a COLUMN, not a
+  * literal: each query row carries its own table after the broadcast
+  * join), and `stride` is the table width per subspace.
+  *
+  * WHY an expression: the equivalent
+  * `aggregate(zip_with(codes, sequence(…)), …, element_at)` fold
+  * evaluates interpreted per (pair × subspace) — the exact shape that
+  * went super-linear in the r8 q133 argmin — while ADC's entire point
+  * is that scoring a pair costs m table adds instead of dim multiplies.
+  * Out-of-range codes throw (a wrong code is an encoder bug; an unsafe
+  * buffer read would return garbage scores silently).
+  */
+case class PqAdc(codes: Expression, lut: Expression, stride: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = codes
+  override def second: Expression = lut
+  override def third: Expression = stride
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = (codes.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }) && (lut.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }) && stride.dataType == org.apache.spark.sql.types.IntegerType
+    if (!ok) TypeCheckResult.TypeCheckFailure(
+      "pq_adc expects (array<bigint>, array<double>, int), got " +
+        children.map(_.dataType.simpleString).mkString("(", ", ", ")"))
+    else if (!stride.foldable) TypeCheckResult.TypeCheckFailure(
+      "pq_adc stride must be a literal")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  override protected def nullSafeEval(c: Any, l: Any, s: Any): Any = {
+    val codesA = c.asInstanceOf[ArrayData]
+    val lutA = l.asInstanceOf[ArrayData]
+    val st = s.asInstanceOf[Int]
+    val m = codesA.numElements()
+    val len = lutA.numElements()
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      val idx = j * st + codesA.getLong(j).toInt
+      if (idx < 0 || idx >= len) throw new IllegalArgumentException(
+        s"pq_adc: code ${codesA.getLong(j)} in subspace $j indexes past " +
+          s"the $len-entry lut (stride $st) — encoder/codebook mismatch")
+      acc += lutA.getDouble(idx)
+      j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, l, s) => {
+      val m = ctx.freshName("m")
+      val len = ctx.freshName("len")
+      val j = ctx.freshName("j")
+      val idx = ctx.freshName("idx")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $m = $c.numElements();
+         |int $len = $l.numElements();
+         |double $acc = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  int $idx = $j * $s + (int) $c.getLong($j);
+         |  if ($idx < 0 || $idx >= $len) {
+         |    throw new IllegalArgumentException(
+         |      "pq_adc: code " + $c.getLong($j) + " in subspace " + $j +
+         |      " indexes past the " + $len + "-entry lut (stride " + $s +
+         |      ") - encoder/codebook mismatch");
+         |  }
+         |  $acc += $l.getDouble($idx);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(codes = newFirst, lut = newSecond, stride = newThird)
+}
+
 /** Per-session registration of the native vector functions, so
   * `call_function("vec_dot", …)` / SQL `vec_dot(a, b)` resolve on any
   * session the engine runs in (the reference's module/function-catalog
@@ -227,6 +319,7 @@ case class NearestCentroids(
 object VectorExpressions {
   private val DotName = FunctionIdentifier("vec_dot")
   private val NearestName = FunctionIdentifier("vec_nearest")
+  private val PqAdcName = FunctionIdentifier("pq_adc")
 
   private[graft] val dotBuilder: Seq[Expression] => Expression = exprs => {
     require(exprs.length == 2, "vec_dot takes 2 arguments")
@@ -236,6 +329,11 @@ object VectorExpressions {
   private[graft] val nearestBuilder: Seq[Expression] => Expression = exprs => {
     require(exprs.length == 6, "vec_nearest takes 6 arguments")
     NearestCentroids(exprs(0), exprs(1), exprs(2), exprs(3), exprs(4), exprs(5))
+  }
+
+  private[graft] val pqAdcBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 3, "pq_adc takes 3 arguments")
+    PqAdc(exprs(0), exprs(1), exprs(2))
   }
 
   /** FunctionDescription for SparkSessionExtensions#injectFunction. */
@@ -251,6 +349,12 @@ object VectorExpressions {
       classOf[NearestCentroids].getName, "vec_nearest"),
     nearestBuilder)
 
+  private[graft] val pqAdcDescription = (
+    PqAdcName,
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[PqAdc].getName, "pq_adc"),
+    pqAdcBuilder)
+
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(DotName)) {
@@ -258,6 +362,9 @@ object VectorExpressions {
     }
     if (!reg.functionExists(NearestName)) {
       reg.createOrReplaceTempFunction("vec_nearest", nearestBuilder, "built-in")
+    }
+    if (!reg.functionExists(PqAdcName)) {
+      reg.createOrReplaceTempFunction("pq_adc", pqAdcBuilder, "built-in")
     }
   }
 }

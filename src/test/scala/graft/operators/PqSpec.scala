@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PqSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  graft.functions.VectorExpressions.ensureRegistered(spark)
+
+  // 12 vectors in 3 groups along distinct axes of dim 8 (members of a
+  // group are identical up to the shared group noise level); m=2
+  // subspaces of width 4. Group structure survives both subspaces, so
+  // ADC top-k must recover within-group neighbors exactly.
+  private def v(axis: Int, eps: Float): Array[Float] = {
+    val a = Array.fill(8)(0.01f * eps)
+    a(axis) = 1f
+    a(axis + 4) = 1f
+    a
+  }
+
+  private def fixture =
+    Seq.tabulate(12)(i => (i.toLong, v(i % 3, (i % 3 + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+
+  test("pqTrain is deterministic, codes dense per subspace, widths equal") {
+    val df = fixture
+    val a = Pq.pqTrain(df, m = 2, ksub = 4, iters = 2)
+      .orderBy("sub", "code")
+      .as[(Int, Long, Seq[Double])].collect().toSeq
+    val b = Pq.pqTrain(df, m = 2, ksub = 4, iters = 2)
+      .orderBy("sub", "code")
+      .as[(Int, Long, Seq[Double])].collect().toSeq
+    assert(a == b, "two trainings of the same corpus must be bit-identical")
+    assert(a.forall(_._3.length == 4), "subspace width must be dim/m")
+    val bySub = a.groupBy(_._1)
+    assert(bySub.keySet == Set(0, 1))
+    bySub.values.foreach { g =>
+      assert(g.map(_._2).sorted == (0L until g.length.toLong),
+        s"codes must be dense 0..k-1 per subspace, got ${g.map(_._2)}")
+    }
+  }
+
+  test("pqEncode emits in-range codes and identical vectors share codes") {
+    val df = fixture
+    val cb = Pq.pqTrain(df, m = 2, ksub = 4, iters = 2)
+    val k = cb.groupBy("sub").count().as[(Int, Long)].collect().toMap
+    val enc = Pq.pqEncode(df, cb).as[(Long, Seq[Long])].collect().toMap
+    assert(enc.size == 12)
+    enc.values.foreach { codes =>
+      assert(codes.length == 2)
+      codes.zipWithIndex.foreach { case (c, j) =>
+        assert(c >= 0 && c < k(j), s"code $c out of range for sub $j")
+      }
+    }
+    // same-group vectors differ only by epsilon noise: with 4 codes for
+    // 3 groups, each group must land in one bucket per subspace
+    (0 until 3).foreach { g =>
+      val members = (0 until 12).filter(_ % 3 == g).map(i => enc(i.toLong))
+      assert(members.distinct.size == 1,
+        s"group $g spread across codes: $members")
+    }
+  }
+
+  test("ADC sim equals the reconstruction cosine computed by hand") {
+    val df = fixture
+    val cb = Pq.pqTrain(df, m = 2, ksub = 4, iters = 2)
+    val enc = Pq.pqEncode(df, cb)
+    val queries = df.filter(col("vec_id") === 0L)
+    val got = Pq.pqTopK(enc, cb, queries, k = 11)
+      .as[(Long, Int, Long, Double)].collect()
+      .map(r => r._3 -> r._4).toMap
+
+    // hand reconstruction: codes -> concatenated centroids, then plain
+    // cosine(query, reconstruction) with ascending accumulation
+    val cbm = cb.as[(Int, Long, Seq[Double])].collect()
+      .groupBy(_._1).map { case (s, g) => s -> g.map(t => t._2 -> t._3).toMap }
+    val codes = Pq.pqEncode(df, cb).as[(Long, Seq[Long])].collect().toMap
+    val qv = (0 until 8).map(i => if (i == 0 || i == 4) 1.0 else 0.01)
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+    val qn = math.sqrt(dot(qv, qv))
+    (1 until 12).foreach { i =>
+      val rec = cbm(0)(codes(i.toLong)(0)) ++ cbm(1)(codes(i.toLong)(1))
+      val want = BigDecimal(dot(qv, rec) / (qn * math.sqrt(dot(rec, rec))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got(i.toLong) - want) < 2e-6,
+        s"neighbor $i: adc=${got(i.toLong)} hand=$want")
+    }
+  }
+
+  test("ADC top-k ranks within-group neighbors first (recall on structure)") {
+    val df = fixture
+    val cb = Pq.pqTrain(df, m = 2, ksub = 4, iters = 2)
+    val enc = Pq.pqEncode(df, cb)
+    val queries = df.filter(col("vec_id") < 3)
+    val top3 = Pq.pqTopK(enc, cb, queries, k = 3)
+      .as[(Long, Int, Long, Double)].collect()
+    top3.groupBy(_._1).foreach { case (qid, rows) =>
+      val group = qid % 3
+      rows.foreach { case (_, _, nid, _) =>
+        assert(nid % 3 == group,
+          s"query $qid (group $group) pulled cross-group neighbor $nid")
+      }
+    }
+  }
+
+  test("pq_adc throws loudly on an out-of-range code") {
+    val bad = Seq((1L, Seq(7L))).toDF("id", "codes")
+    val e = intercept[Exception] {
+      bad.select(call_function("pq_adc", col("codes"),
+        typedLit(Seq(1.0, 2.0)), lit(2))).collect()
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("encoder/codebook mismatch") ||
+        e.getCause != null &&
+          e.getCause.getMessage.contains("encoder/codebook mismatch")),
+      s"wanted the loud mismatch error, got: ${e.getMessage}")
+  }
+
+  test("training tolerates dead codes: ksub > distinct vectors still serves") {
+    // 3 distinct vectors, ksub=4: at least one cluster dies or
+    // duplicates; remap must stay dense and serving must not index a
+    // dead slot
+    val df = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 1f)),
+      (3L, Array(0f, 0f, 1f, 0f)), (4L, Array(1f, 0f, 0f, 0f)),
+      (5L, Array(0f, 1f, 0f, 1f))).toDF("vec_id", "embedding")
+    val cb = Pq.pqTrain(df, m = 2, ksub = 4, iters = 2)
+    val enc = Pq.pqEncode(df, cb)
+    val out = Pq.pqTopK(enc, cb, df.filter(col("vec_id") === 1L), k = 4)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(out.length == 4)
+    // vec 4 is vec 1's exact duplicate: it must rank first
+    assert(out.head._3 == 4L, s"expected exact dup first, got ${out.toSeq}")
+  }
+}
