@@ -29,6 +29,7 @@ object Tables {
       // long passthrough only matters for the nanos shape but is harmless
       // otherwise — set it lazily so driver-created sessions work too.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      requireUtcSession(spark)
       normalizeEventTime(spark.read.parquet(s"$dir/$name.parquet"))
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
@@ -41,6 +42,15 @@ object Tables {
     * (read as TIMESTAMP_NTZ), or native TimestampType. All sessions run
     * UTC, so the NTZ cast relabels the identical instant DuckDB sees.
     */
+  /** The NTZ→Timestamp relabel below is instant-preserving ONLY under a
+    * UTC session timezone; enforce it at the chokepoint instead of
+    * trusting every session builder to have set it (ADVICE.md r9).
+    */
+  private[graft] def requireUtcSession(spark: SparkSession): Unit = {
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    if (tz != "UTC") spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
   private def normalizeEventTime(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.types._
     df.schema("ts").dataType match {

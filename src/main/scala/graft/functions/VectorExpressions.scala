@@ -270,11 +270,16 @@ case class PqAdc(codes: Expression, lut: Expression, stride: Expression)
     var acc = 0.0
     var j = 0
     while (j < m) {
-      val idx = j * st + codesA.getLong(j).toInt
-      if (idx < 0 || idx >= len) throw new IllegalArgumentException(
-        s"pq_adc: code ${codesA.getLong(j)} in subspace $j indexes past " +
-          s"the $len-entry lut (stride $st) — encoder/codebook mismatch")
-      acc += lutA.getDouble(idx)
+      // bounds-check the LONG code before narrowing: a corrupt code
+      // >= 2^32 would wrap to a small non-negative int and silently
+      // read the wrong lut slot (ADVICE.md r9)
+      val code = codesA.getLong(j)
+      val idx = j.toLong * st + code
+      if (code < 0L || code >= st || idx >= len)
+        throw new IllegalArgumentException(
+          s"pq_adc: code $code in subspace $j indexes past " +
+            s"the $len-entry lut (stride $st) — encoder/codebook mismatch")
+      acc += lutA.getDouble(idx.toInt)
       j += 1
     }
     acc
@@ -287,19 +292,21 @@ case class PqAdc(codes: Expression, lut: Expression, stride: Expression)
       val j = ctx.freshName("j")
       val idx = ctx.freshName("idx")
       val acc = ctx.freshName("acc")
+      val code = ctx.freshName("code")
       s"""
          |int $m = $c.numElements();
          |int $len = $l.numElements();
          |double $acc = 0.0;
          |for (int $j = 0; $j < $m; $j++) {
-         |  int $idx = $j * $s + (int) $c.getLong($j);
-         |  if ($idx < 0 || $idx >= $len) {
+         |  long $code = $c.getLong($j);
+         |  long $idx = (long) $j * $s + $code;
+         |  if ($code < 0L || $code >= $s || $idx >= $len) {
          |    throw new IllegalArgumentException(
-         |      "pq_adc: code " + $c.getLong($j) + " in subspace " + $j +
+         |      "pq_adc: code " + $code + " in subspace " + $j +
          |      " indexes past the " + $len + "-entry lut (stride " + $s +
          |      ") - encoder/codebook mismatch");
          |  }
-         |  $acc += $l.getDouble($idx);
+         |  $acc += $l.getDouble((int) $idx);
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.operators.{Clustering, Curation, Dedup, Similarity, TextAnalysis, TextOps}
+import graft.operators.{Clustering, Curation, Dedup, Pq, Similarity, TextAnalysis, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operator surface (BASELINE.json north star):
@@ -983,11 +983,154 @@ object PipelineQueries {
     """)
     })
 
+  // ------------------------------------------------------------------
+  // q136 product-quantization ADC top-k (recall vs exact top-k)
+  // ------------------------------------------------------------------
+
+  /** The PQ lifecycle end-to-end under the oracle gate: train (m=32
+    * subspaces × ksub=64 codes, two fixed-point Lloyd rounds —
+    * [[graft.operators.Pq.pqTrain]], the exact configuration whose
+    * ADC-vs-exact gap the r9 probe measured at 0.023 on this fixture),
+    * encode the corpus to m codes, serve ADC top-3 per query through
+    * the codegen `pq_adc` expression, and measure against exact
+    * brute-force top-3 (`in_exact` / `recall3` — the q133 pattern).
+    * The oracle replays the ENTIRE training arithmetic in DuckDB —
+    * seed = 64 smallest-id subvectors, squared-L2 assignment with
+    * code-asc tie-break, the fixed-point
+    * `floor(sum(floor(c·10⁶))/n)/10⁶` centroid update ×2, the
+    * order-preserving dense remap — then the encoding and the ADC
+    * score `Σ_j dot(q_j, c_j) / (|q| · √Σ_j |c_j|²)` with the same
+    * left-to-right per-subspace summation order (`list_sum` over an
+    * `ORDER BY sub` aggregation = the `pq_adc` j-ascending fold), so a
+    * regression in the codebook remap, the LUT layout, or the `pq_adc`
+    * indexing hash-fails. Multiply-referenced CTEs carry MATERIALIZED
+    * hints (the training chain would otherwise be re-derived by each
+    * of enc/cn/adc — measured 2.2× on this oracle).
+    * [[graft.PlanSpec]] pins the serving shape: zero corpus shuffle
+    * before the per-query top-k window, query side broadcast with its
+    * LUTs, native `pq_adc` scoring.
+    */
+  val q136PqAdc: QueryDef = {
+    val M = 32 // subspaces (dim 64 → width 2)
+    val Ksub = 64 // codes per subspace
+    val W = 64 / M
+    def sub(v: String, j: String) =
+      s"list_slice($v, ($j)*$W+1, (($j)+1)*$W)"
+    def d2(sv: String, cent: String) =
+      s"${Similarity.dotSql(sv, sv)} - 2.0*${Similarity.dotSql(sv, cent)}" +
+        s" + ${Similarity.dotSql(cent, cent)}"
+    // one Lloyd half-step: nearest-code assignment per (vector, subspace)
+    def assign(svT: String, cbT: String) =
+      s"""(SELECT vec_id, sub, code, sv FROM (
+             SELECT t.vec_id, t.j AS sub, c.code, t.sv,
+                    ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.j
+                      ORDER BY ${d2("t.sv", "c.centroid")} ASC, c.code) AS rn
+             FROM $svT t JOIN $cbT c ON c.sub = t.j) z WHERE rn = 1)"""
+    // the fixed-point centroid update keyed by (sub, code, pos)
+    def update(aT: String) =
+      s"""(SELECT sub, code,
+                  array_agg(FLOOR(s / n) / 1000000.0 ORDER BY pos) AS centroid
+           FROM (SELECT sub, code, pos,
+                        SUM(CAST(FLOOR(sv[pos] * 1000000.0) AS BIGINT)) AS s,
+                        COUNT(*) AS n
+                 FROM (SELECT sub, code, sv,
+                              unnest(generate_series(1, len(sv))) AS pos
+                       FROM $aT) e
+                 GROUP BY 1, 2, 3) st
+           GROUP BY 1, 2)"""
+    QueryDef(
+      "q136_pq_adc",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.load(s, dir, "embeddings")
+        val cb = Pq.pqTrain(emb, m = M, ksub = Ksub, iters = 2)
+        val enc = Pq.pqEncode(emb, cb)
+        val queries = emb.filter(col("vec_id") < 10)
+        val pq = Pq.pqTopK(enc, cb, queries, k = 3)
+        val exact = Similarity.bruteForceTopK(emb, queries, k = 3)
+          .select(col("query_id"), col("neighbor_id"), lit(true).as("hit"))
+        val w = Window.partitionBy(col("query_id"))
+        pq.withColumnRenamed("rank", "rnk")
+          .join(exact, Seq("query_id", "neighbor_id"), "left")
+          .withColumn("in_exact", coalesce(col("hit"), lit(false)))
+          .withColumn("recall3", round(
+            sum(when(col("in_exact"), lit(1L)).otherwise(lit(0L))).over(w)
+              / lit(3.0), 6))
+          .select(col("query_id"), col("rnk"), col("neighbor_id"),
+            col("sim"), col("in_exact"), col("recall3"))
+          .orderBy(col("query_id"), col("rnk"))
+      }, {
+        val cosQE = Similarity.cosineSql("q.qv", "e.v")
+        Some(s"""
+        WITH corpus AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        subs AS (SELECT unnest(generate_series(0, ${M - 1})) AS j),
+        sv AS MATERIALIZED (SELECT c.vec_id, s.j, ${sub("c.v", "s.j")} AS sv
+               FROM corpus c CROSS JOIN subs s),
+        seed AS (SELECT vec_id, v,
+                        CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
+                 FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT $Ksub) t),
+        cb0 AS (SELECT s.j AS sub, d.code, ${sub("d.v", "s.j")} AS centroid
+                FROM seed d CROSS JOIN subs s),
+        a1 AS ${assign("sv", "cb0")},
+        c1 AS ${update("a1")},
+        a2 AS ${assign("sv", "c1")},
+        c2 AS ${update("a2")},
+        cbf AS MATERIALIZED (SELECT sub,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY sub ORDER BY code) - 1
+                            AS BIGINT) AS code,
+                       centroid
+                FROM c2),
+        enc AS MATERIALIZED ${assign("sv", "cbf")},
+        q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv,
+                     sqrt(${Similarity.dotSql("v", "v")}) AS qn
+              FROM corpus WHERE vec_id < 10),
+        cn AS (SELECT e.vec_id AS neighbor_id,
+                      sqrt(list_sum(array_agg(
+                        ${Similarity.dotSql("c.centroid", "c.centroid")}
+                        ORDER BY e.sub))) AS cnorm
+               FROM enc e JOIN cbf c ON c.sub = e.sub AND c.code = e.code
+               GROUP BY 1),
+        adc AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_sum(array_agg(
+                         ${Similarity.dotSql(sub("q.qv", "e.sub"), "c.centroid")}
+                         ORDER BY e.sub)) AS num
+                FROM enc e JOIN cbf c ON c.sub = e.sub AND c.code = e.code
+                CROSS JOIN q
+                WHERE e.vec_id <> q.query_id
+                GROUP BY 1, 2),
+        sims AS (SELECT a.query_id, a.neighbor_id,
+                        a.num / (q.qn * c.cnorm) AS sim
+                 FROM adc a
+                 JOIN q ON q.query_id = a.query_id
+                 JOIN cn c ON c.neighbor_id = a.neighbor_id),
+        r AS (SELECT query_id, neighbor_id, sim,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id) AS rnk
+              FROM sims),
+        pq AS (SELECT query_id, rnk, neighbor_id, sim FROM r WHERE rnk <= 3),
+        xr AS (SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                         ORDER BY $cosQE DESC, e.vec_id) AS xrn
+                FROM corpus e CROSS JOIN q WHERE e.vec_id <> q.query_id) z
+               WHERE xrn <= 3)
+        SELECT p.query_id, CAST(p.rnk AS INT) AS rnk, p.neighbor_id,
+               round(p.sim, 6) AS sim,
+               (x.neighbor_id IS NOT NULL) AS in_exact,
+               round(SUM(CASE WHEN x.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY p.query_id) / 3.0, 6) AS recall3
+        FROM pq p LEFT JOIN xr x
+          ON p.query_id = x.query_id AND p.neighbor_id = x.neighbor_id
+        ORDER BY p.query_id, p.rnk
+      """)
+      })
+  }
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
     q38CurationRollup, q84MinhashClusters, q96QuantizedAnn,
     q108WinnowFingerprint, q114LshNearDup, q123BlockDedup, q125ClusterReps,
     q126TfidfTopK, q128Kmeans, q129SemDedup, q132CurationV3, q133IvfNprobe,
-    q134IvfIndex)
+    q134IvfIndex, q136PqAdc)
 }

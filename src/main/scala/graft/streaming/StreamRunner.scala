@@ -43,6 +43,7 @@ object StreamRunner {
     * normalization as the batch loader ([[graft.Tables.load]]).
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.requireUtcSession(spark)
     val raw = tableStream(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType => // timestamp[ns] fixture read under nanosAsLong

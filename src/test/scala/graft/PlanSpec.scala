@@ -345,6 +345,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "the 1-row total must broadcast")
   }
 
+  test("q136: PQ ADC serving is a narrow corpus scan + broadcast query side, native pq_adc") {
+    val p = plan("q136_pq_adc")
+    // scoring a pair must be the codegen ADC table lookup, and the
+    // dot-LUT build / exact side the native dot product — no lambdas
+    assert(p.contains("pq_adc"), "native ADC table lookup expected")
+    assert(p.contains("vec_dot"), "native dot product expected")
+    assert(!p.toLowerCase.contains("lambdafunction"),
+      "higher-order-function lambdas should be gone from the hot path")
+    // the query batch (with its per-query LUTs) broadcasts; the corpus
+    // codes never shuffle before the per-query top-k window
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "query side must broadcast for corpus-local ADC scoring")
+    assert(!p.contains("CartesianProduct"), "no unbroadcast cross product")
+    assert(p.contains("WindowGroupLimit"), "top-k must push group limits")
+  }
+
   test("q132: flagship v3 reads every post-SemDeDup stage off the ONE materialized survivor frame") {
     val p = plan("q132_curation_v3")
     // the SemDeDup survivors' (doc_id, text) frame is localCheckpoint'ed

@@ -113,9 +113,9 @@ class VectorExpressionsSpec extends AnyFunSuite {
     val aux = auxFor(cents, "l2")
     val got = run(Seq(1.0, 0.0), cids, cents, aux, n = 10, metric = "l2")
     assert(got.length == 3)
-    // the two identical centroids tie at score 0 -> cid 2 before cid 9
-    assert(got.take(2).map(_._2) == Seq(2L, 5L) || got.map(_._2) == Seq(2L, 9L, 5L),
-      s"got $got")
+    // the two identical centroids tie at score 0 -> cid 2 before cid 9;
+    // cid 5 scores strictly worse, so the order is fully determined
+    assert(got.map(_._2) == Seq(2L, 9L, 5L), s"got $got")
     assert(got == model(Seq(1.0, 0.0), cids, cents, aux, 10, "l2"))
   }
 

@@ -120,6 +120,44 @@ class PqSpec extends AnyFunSuite {
       s"wanted the loud mismatch error, got: ${e.getMessage}")
   }
 
+  test("ADC pick quality on the real fixture: exact sim of the top-1 pick within tolerance") {
+    // the asserting successor of the r9 probe (ADVICE.md): at the q136
+    // parameters (m=32, ksub=64, 2 Lloyd rounds) on the sf0.01 fixture,
+    // the EXACT cosine of the ADC top-1 pick must sit within 0.05 of
+    // the exact top-1 (probe-measured max gap 0.023 → gate 2×) — the
+    // quantization-loss budget the q136 recall3 column exposes per
+    // query. ONE fixture SF only (suite-time discipline); q136's
+    // oracle covers the arithmetic end-to-end.
+    val dir = "/root/testdata/sf0.01"
+    val emb = graft.Tables.load(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    val cb = Pq.pqTrain(emb, m = 32, ksub = 64, iters = 2)
+    val enc = Pq.pqEncode(emb, cb)
+    val pick = Pq.pqTopK(enc, cb, queries, k = 1)
+      .select(col("query_id"), col("neighbor_id"))
+    val cv = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("cv"))
+      .withColumn("cn", Similarity.l2norm(col("cv")))
+    val q = queries
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+      .withColumn("qn", Similarity.l2norm(col("qv")))
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 1)
+      .select(col("query_id"), col("sim").as("exact_sim"))
+    val gaps = pick.join(cv, "neighbor_id").join(q, "query_id")
+      .withColumn("pick_sim",
+        Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .join(exact, "query_id")
+      .select(col("query_id"),
+        (col("exact_sim") - col("pick_sim")).as("gap"))
+      .as[(Long, Double)].collect()
+    assert(gaps.length == 10)
+    val worst = gaps.maxBy(_._2)
+    assert(worst._2 < 0.05,
+      s"ADC top-1 pick degraded past the tolerance: query ${worst._1} " +
+        s"gap ${worst._2} (all: ${gaps.sortBy(-_._2).toSeq})")
+  }
+
   test("training tolerates dead codes: ksub > distinct vectors still serves") {
     // 3 distinct vectors, ksub=4: at least one cluster dies or
     // duplicates; remap must stay dense and serving must not index a
