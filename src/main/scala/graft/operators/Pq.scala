@@ -216,6 +216,136 @@ object Pq {
     * pick's EXACT similarity compared under tolerance (the q96
     * pattern).
     */
+  // ------------------------------------------------------------------
+  // IVF-PQ: coarse buckets + PQ-quantized residuals (Jégou et al. §V,
+  // "IVFADC" — the composition [[Pq]]'s scaladoc promises and q134's
+  // partition-pruned layout completes: coarse prune cuts the scan to
+  // ~nprobe/K of the corpus, ADC scans the survivors' codes)
+  // ------------------------------------------------------------------
+
+  /** Residuals of an IVF-assigned corpus against its coarse centroids:
+    * `r = v − c_bucket`, the vectors PQ should quantize — residual
+    * magnitudes are a fraction of the originals, so the same ksub
+    * spends its codes on a tighter distribution. One broadcast join
+    * against the (small-by-contract) centroid frame + an elementwise
+    * subtract; zero corpus shuffle. The `zip_with` lambda is
+    * interpreted per element — acceptable on a once-per-build path
+    * (a native vec_sub expression is the promotion candidate if a
+    * profile ever shows it).
+    */
+  def ivfResiduals(assigned: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroidIdCol: String = "centroid_id"): DataFrame = {
+    val cents = broadcast(centroids.select(
+      col(centroidIdCol).cast("long").as("bucket"),
+      asD(col(vecCol)).as("__centv")))
+    assigned
+      .select(col(idCol), asD(col(vecCol)).as("__v"), col("bucket"))
+      .join(cents, "bucket")
+      .withColumn("resid", zip_with(col("__v"), col("__centv"),
+        (a, b) => a - b))
+      .select(col(idCol), col("bucket"), col("resid"))
+  }
+
+  /** Encodes an IVF-assigned corpus as (id, bucket, codes, cn):
+    * `codes` quantize the RESIDual against `codebook` (trained by
+    * [[pqTrain]] on [[ivfResiduals]] output), and `cn` is the exact
+    * reconstruction norm `|c_bucket + r̂|` computed AT ENCODE TIME and
+    * stored with the row — the published IVFADC design precomputes the
+    * reconstruction-dependent terms at index build so serving never
+    * touches vectors; storing the norm denormalized per row costs one
+    * double against the `dim − m` floats PQ already saved. The
+    * reconstruction `r̂` is a literal-table lookup per subspace
+    * (payload = the codebook itself, corpus-independent), so the whole
+    * encode is one narrow projection + the centroid broadcast join,
+    * zero corpus shuffle.
+    */
+  def ivfPqEncode(assigned: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", centroidIdCol: String = "centroid_id")
+      : DataFrame = {
+    val cb = collectCodebook(codebook)
+    val cents = broadcast(centroids.select(
+      col(centroidIdCol).cast("long").as("bucket"),
+      asD(col(vecCol)).as("__centv")))
+    val recon = concat(cb.indices.map { j =>
+      element_at(typedLit(cb(j).map(_._2)),
+        (element_at(col("codes"), j + 1) + lit(1L)).cast("int"))
+    }: _*)
+    assigned
+      .select(col(idCol), asD(col(vecCol)).as("__v"), col("bucket"))
+      .join(cents, "bucket")
+      .withColumn("resid", zip_with(col("__v"), col("__centv"),
+        (a, b) => a - b))
+      .withColumn("codes", codesCol(col("resid"), cb))
+      .withColumn("__rec", zip_with(col("__centv"), recon, (a, b) => a + b))
+      .withColumn("cn", Similarity.l2norm(col("__rec")))
+      .select(col(idCol), col("bucket"), col("codes"), col("cn"))
+  }
+
+  /** IVF-PQ ADC top-k: queries probe their `nprobe` nearest coarse
+    * buckets, then score ONLY those buckets' code rows as
+    * `(dot(q, c_b) + Σ_j dotLut_q[j][codes_j]) / (|q| · cn)` — the
+    * numerator splits over the reconstruction `c_b + r̂`: a per-(query,
+    * probe) constant plus m codegen table adds against the RESIDUAL
+    * codebook LUT, the denominator reads the encode-time norm.
+    *
+    * Plan shape (the complete 100 TB story): the corpus side reads
+    * (id, bucket, codes, cn) — no vectors — and joins BUCKET-KEYED
+    * against the broadcast query×probe frame (each row carrying its
+    * dot-LUT and its `dot(q, c_b)` constant), so with q134's
+    * bucket-partitioned layout the scan prunes to ~nprobe/K of the
+    * corpus and each surviving row costs m table adds. The only
+    * exchange is the per-query top-k window.
+    */
+  def ivfPqTopK(encoded: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroidIdCol: String = "centroid_id"): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val cb = collectCodebook(codebook)
+    val w = subWidth(cb)
+    val m = cb.length
+    val stride = cb.map(_.length).max
+    val centsSeq = Similarity.collectCentroids(centroids, centroidIdCol, vecCol)
+    require(centsSeq.nonEmpty, "ivfPqTopK: empty centroid set")
+    val dotLut = array((for {
+      j <- 0 until m
+      s <- 0 until stride
+    } yield
+      if (s < cb(j).length)
+        Similarity.dot(slice(col("qv"), j * w + 1, w), typedLit(cb(j)(s)._2))
+      else lit(0.0)): _*)
+    val centFrame = centroids.select(
+      col(centroidIdCol).cast("long").as("bucket"),
+      asD(col(vecCol)).as("__centv"))
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), asD(col(vecCol)).as("qv"))
+      .withColumn("qn", Similarity.l2norm(col("qv")))
+      .withColumn("bucket",
+        explode(transform(
+          Similarity.nearestCentroids(col("qv"), centsSeq, nprobe, "cos"),
+          p => p.getField("cid"))))
+      .join(centFrame, "bucket")
+      .withColumn("qc", Similarity.dot(col("qv"), col("__centv")))
+      .withColumn("dlut", dotLut)
+      .drop("qv", "__centv"))
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    encoded
+      .select(col(idCol).as("neighbor_id"), col("bucket"), col("codes"),
+        col("cn"))
+      .join(q, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim",
+        (col("qc") + call_function("pq_adc", col("codes"), col("dlut"),
+          lit(stride))) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   def pqTopK(encoded: DataFrame, codebook: DataFrame, queries: DataFrame,
       k: Int, idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {

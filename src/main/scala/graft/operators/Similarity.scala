@@ -278,6 +278,30 @@ object Similarity {
   def ivfWriteIndex(assigned: DataFrame, path: String): Unit =
     assigned.write.mode("overwrite").partitionBy("bucket").parquet(path)
 
+  /** Appends a corpus DELTA to an existing index ([[ivfWriteIndex]])
+    * without rebuilding: the delta is assigned against the SAME
+    * centroid family as the base build (per-vector assignment is
+    * independent of every other vector, so
+    * `build(base) ⊎ append(delta) ≡ build(base ∪ delta)` — q137 gates
+    * that equality against the fresh-build oracle), then its rows are
+    * added to the existing `bucket=…` directories.
+    *
+    * Day-2 cost is DELTA-sized: one assignment scan of the delta and
+    * one write — the base corpus is never read or rewritten. Plain
+    * parquet `append` is deliberate (vs dynamic partition OVERWRITE,
+    * which replaces whole touched buckets and would force reading the
+    * base rows back just to rewrite them — re-assignment/compaction
+    * semantics, not append). The delta pre-shuffles on the bucket id
+    * so each touched bucket receives ONE file per append instead of
+    * one per input partition — at 100 TB the small-file growth per
+    * append round is then bounded by touched buckets, and periodic
+    * compaction (a fresh [[ivfWriteIndex]]) stays a rare maintenance
+    * op instead of a correctness need.
+    */
+  def ivfAppendIndex(assignedDelta: DataFrame, path: String): Unit =
+    assignedDelta.repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(path)
+
   /** Serves top-k from a written index ([[ivfWriteIndex]]): probe
     * buckets are ranked per query with the native `vec_nearest`
     * expression, then pushed into the index scan as a PARTITION filter

@@ -942,26 +942,17 @@ object PipelineQueries {
     * gates — a float-precision or partition-value corruption in the
     * layout hash-fails.
     */
-  val q134IvfIndex: QueryDef = QueryDef(
-    "q134_ivf_index",
-    (s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      val centroids = emb.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("centroid_id"), col("embedding"))
-      val path = graft.operators.TmpWorkspaces
-        .pidScoped("graft_ivfidx_q134_", dir)
-      Similarity.ivfWriteIndex(Similarity.ivfAssign(emb, centroids),
-        path.toString)
-      Similarity.ivfTopKIndexed(s, path.toString, centroids,
-          emb.filter(col("vec_id") < 10).select(col("vec_id"), col("embedding")),
-          k = 3, nprobe = 2)
-        .withColumnRenamed("rank", "rnk")
-        .orderBy(col("query_id"), col("rnk"))
-    }, {
-      val cosEC = Similarity.cosineSql("e.embedding", "c.centv")
-      val cosQC = Similarity.cosineSql("q.qv", "c.centv")
-      val cosQA = Similarity.cosineSql("p.qv", "a.embedding")
-      Some(s"""
+  /** Shared fresh-build IVF serving oracle (q134 AND q137): assignment
+    * of the FULL corpus, nprobe=2 probe ranking, bucket-union scoring,
+    * top-3. q137's engine side serves from a base-build + delta-append
+    * layout — hash-equality against this fresh-build replay IS the
+    * proof that append composes to the union build.
+    */
+  private def ivfIndexOracleSql: String = {
+    val cosEC = Similarity.cosineSql("e.embedding", "c.centv")
+    val cosQC = Similarity.cosineSql("q.qv", "c.centv")
+    val cosQA = Similarity.cosineSql("p.qv", "a.embedding")
+    s"""
       WITH cent AS (SELECT vec_id AS cid, embedding AS centv FROM embeddings WHERE vec_id % 50 = 0),
       assign AS (SELECT vec_id, embedding, cid AS bucket FROM (
         SELECT e.vec_id, e.embedding, c.cid,
@@ -980,8 +971,63 @@ object PipelineQueries {
       SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, round(sim, 6) AS sim
       FROM r WHERE rnk <= 3
       ORDER BY query_id, rnk
-    """)
-    })
+    """
+  }
+
+  val q134IvfIndex: QueryDef = QueryDef(
+    "q134_ivf_index",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_ivfidx_q134_", dir)
+      Similarity.ivfWriteIndex(Similarity.ivfAssign(emb, centroids),
+        path.toString)
+      Similarity.ivfTopKIndexed(s, path.toString, centroids,
+          emb.filter(col("vec_id") < 10).select(col("vec_id"), col("embedding")),
+          k = 3, nprobe = 2)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some(ivfIndexOracleSql))
+
+  // ------------------------------------------------------------------
+  // q137 incremental IVF index append (build → append → serve ≡ fresh)
+  // ------------------------------------------------------------------
+
+  /** The day-2 serving operation q134 lacked: an index built from 3/4
+    * of the corpus receives the remaining quarter through
+    * [[graft.operators.Similarity.ivfAppendIndex]] — delta-sized work,
+    * the base is never read back — and the served top-3 must
+    * HASH-EQUAL the fresh-build-on-union oracle ([[ivfIndexOracleSql]],
+    * shared with q134 verbatim). Per-vector assignment is independent
+    * of the rest of the corpus, so append commutes with build; this
+    * query gates that the write path actually preserves it (a
+    * partition-value corruption, a schema drift between write and
+    * append, or an overwrite-instead-of-append all hash-fail).
+    */
+  val q137IvfAppend: QueryDef = QueryDef(
+    "q137_ivf_append",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_ivfidx_q137_", dir)
+      val base = emb.filter(col("vec_id") % 4 =!= 0)
+      val delta = emb.filter(col("vec_id") % 4 === 0)
+      Similarity.ivfWriteIndex(Similarity.ivfAssign(base, centroids),
+        path.toString)
+      Similarity.ivfAppendIndex(Similarity.ivfAssign(delta, centroids),
+        path.toString)
+      Similarity.ivfTopKIndexed(s, path.toString, centroids,
+          emb.filter(col("vec_id") < 10).select(col("vec_id"), col("embedding")),
+          k = 3, nprobe = 2)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some(ivfIndexOracleSql))
 
   // ------------------------------------------------------------------
   // q136 product-quantization ADC top-k (recall vs exact top-k)
@@ -1126,11 +1172,168 @@ object PipelineQueries {
       })
   }
 
+  // ------------------------------------------------------------------
+  // q138 IVF-PQ: coarse buckets + residual PQ codes (IVFADC)
+  // ------------------------------------------------------------------
+
+  /** The composed 100 TB index: coarse IVF assignment (the q134/q137
+    * layout) + PQ codes over the per-bucket RESIDUALS
+    * ([[graft.operators.Pq.ivfResiduals]] → [[graft.operators.Pq.pqTrain]]
+    * → [[graft.operators.Pq.ivfPqEncode]]), served by
+    * [[graft.operators.Pq.ivfPqTopK]]: probe nprobe=2 coarse buckets,
+    * score only their code rows as `(dot(q,c_b) + ADC) / (|q|·cn)`
+    * with the encode-time reconstruction norm. Exact/recall columns
+    * follow the q133/q136 pattern. The oracle replays everything —
+    * coarse cosine assignment, elementwise residuals, one fixed-point
+    * Lloyd round on residual subvectors, dense remap, encoding, the
+    * flattened reconstruction and its norm, and the split-numerator
+    * serving arithmetic — so any drift in the composition (a residual
+    * sign, a bucket/codebook mix-up, the stored norm) hash-fails.
+    */
+  val q138IvfPq: QueryDef = {
+    val M = 8 // residual subspaces (dim 64 → width 8)
+    val Ksub = 16
+    val W = 64 / M
+    def sub(v: String, j: String) =
+      s"list_slice($v, ($j)*$W+1, (($j)+1)*$W)"
+    def d2(sv: String, cent: String) =
+      s"${Similarity.dotSql(sv, sv)} - 2.0*${Similarity.dotSql(sv, cent)}" +
+        s" + ${Similarity.dotSql(cent, cent)}"
+    def assign(svT: String, cbT: String) =
+      s"""(SELECT vec_id, sub, code, sv FROM (
+             SELECT t.vec_id, t.j AS sub, c.code, t.sv,
+                    ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.j
+                      ORDER BY ${d2("t.sv", "c.centroid")} ASC, c.code) AS rn
+             FROM $svT t JOIN $cbT c ON c.sub = t.j) z WHERE rn = 1)"""
+    def update(aT: String) =
+      s"""(SELECT sub, code,
+                  array_agg(FLOOR(s / n) / 1000000.0 ORDER BY pos) AS centroid
+           FROM (SELECT sub, code, pos,
+                        SUM(CAST(FLOOR(sv[pos] * 1000000.0) AS BIGINT)) AS s,
+                        COUNT(*) AS n
+                 FROM (SELECT sub, code, sv,
+                              unnest(generate_series(1, len(sv))) AS pos
+                       FROM $aT) e
+                 GROUP BY 1, 2, 3) st
+           GROUP BY 1, 2)"""
+    QueryDef(
+      "q138_ivfpq_adc",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.load(s, dir, "embeddings")
+        val centroids = emb.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("centroid_id"), col("embedding"))
+        val assigned = Similarity.ivfAssign(emb, centroids)
+        val resid = Pq.ivfResiduals(assigned, centroids)
+        val cb = Pq.pqTrain(resid, m = M, ksub = Ksub, iters = 1,
+          vecCol = "resid")
+        val enc = Pq.ivfPqEncode(assigned, centroids, cb)
+        val queries = emb.filter(col("vec_id") < 10)
+        val ipq = Pq.ivfPqTopK(enc, centroids, cb, queries, k = 3,
+          nprobe = 2)
+        val exact = Similarity.bruteForceTopK(emb, queries, k = 3)
+          .select(col("query_id"), col("neighbor_id"), lit(true).as("hit"))
+        val w = Window.partitionBy(col("query_id"))
+        ipq.withColumnRenamed("rank", "rnk")
+          .join(exact, Seq("query_id", "neighbor_id"), "left")
+          .withColumn("in_exact", coalesce(col("hit"), lit(false)))
+          .withColumn("recall3", round(
+            sum(when(col("in_exact"), lit(1L)).otherwise(lit(0L))).over(w)
+              / lit(3.0), 6))
+          .select(col("query_id"), col("rnk"), col("neighbor_id"),
+            col("sim"), col("in_exact"), col("recall3"))
+          .orderBy(col("query_id"), col("rnk"))
+      }, {
+        val cosEC = Similarity.cosineSql("e.v", "c.centv")
+        val cosQC = Similarity.cosineSql("q.qv", "c.centv")
+        val cosQE = Similarity.cosineSql("q.qv", "e.v")
+        Some(s"""
+        WITH corpus AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cent AS MATERIALIZED (SELECT vec_id AS bucket, CAST(embedding AS DOUBLE[]) AS centv
+                FROM embeddings WHERE vec_id % 50 = 0),
+        coarse AS MATERIALIZED (SELECT vec_id, v, bucket, centv FROM (
+                  SELECT e.vec_id, e.v, c.bucket, c.centv,
+                         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                           ORDER BY $cosEC DESC, c.bucket) AS crn
+                  FROM corpus e CROSS JOIN cent c) t WHERE crn = 1),
+        rs AS MATERIALIZED (SELECT vec_id, bucket, centv,
+                list_transform(list_zip(v, centv), p -> p[1] - p[2]) AS rv
+              FROM coarse),
+        subs AS (SELECT unnest(generate_series(0, ${M - 1})) AS j),
+        sv AS MATERIALIZED (SELECT r.vec_id, s.j, ${sub("r.rv", "s.j")} AS sv
+               FROM rs r CROSS JOIN subs s),
+        seed AS (SELECT vec_id, rv,
+                        CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
+                 FROM (SELECT vec_id, rv FROM rs ORDER BY vec_id LIMIT $Ksub) t),
+        cb0 AS (SELECT s.j AS sub, d.code, ${sub("d.rv", "s.j")} AS centroid
+                FROM seed d CROSS JOIN subs s),
+        a1 AS ${assign("sv", "cb0")},
+        c1 AS ${update("a1")},
+        cbf AS MATERIALIZED (SELECT sub,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY sub ORDER BY code) - 1
+                            AS BIGINT) AS code,
+                       centroid
+                FROM c1),
+        enc AS MATERIALIZED (SELECT a.vec_id, a.sub, a.code, r.bucket
+               FROM ${assign("sv", "cbf")} a
+               JOIN (SELECT vec_id, bucket FROM rs) r USING (vec_id)),
+        rec AS (SELECT e.vec_id, flatten(array_agg(c.centroid ORDER BY e.sub)) AS rrec
+                FROM enc e JOIN cbf c ON c.sub = e.sub AND c.code = e.code
+                GROUP BY 1),
+        cnf AS (SELECT s.vec_id,
+                       list_transform(list_zip(s.centv, r.rrec), p -> p[1] + p[2]) AS fullv
+                FROM rs s JOIN rec r USING (vec_id)),
+        cnrm AS MATERIALIZED (SELECT vec_id,
+                       sqrt(${Similarity.dotSql("fullv", "fullv")}) AS cn
+                FROM cnf),
+        q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv,
+                     sqrt(${Similarity.dotSql("v", "v")}) AS qn
+              FROM corpus WHERE vec_id < 10),
+        probes AS MATERIALIZED (SELECT query_id, qv, qn, bucket,
+                       ${Similarity.dotSql("qv", "centv")} AS qc
+                FROM (SELECT q.query_id, q.qv, q.qn, c.bucket, c.centv,
+                             ROW_NUMBER() OVER (PARTITION BY q.query_id
+                               ORDER BY $cosQC DESC, c.bucket) AS prn
+                      FROM q CROSS JOIN cent c) t WHERE prn <= 2),
+        adc AS (SELECT p.query_id, e.vec_id AS neighbor_id, p.qn, p.qc,
+                       list_sum(array_agg(
+                         ${Similarity.dotSql(sub("p.qv", "e.sub"), "c.centroid")}
+                         ORDER BY e.sub)) AS radc
+                FROM enc e
+                JOIN cbf c ON c.sub = e.sub AND c.code = e.code
+                JOIN probes p ON p.bucket = e.bucket AND e.vec_id <> p.query_id
+                GROUP BY 1, 2, 3, 4),
+        sims AS (SELECT a.query_id, a.neighbor_id,
+                        (a.qc + a.radc) / (a.qn * n.cn) AS sim
+                 FROM adc a JOIN cnrm n ON n.vec_id = a.neighbor_id),
+        r AS (SELECT query_id, neighbor_id, sim,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id) AS rnk
+              FROM sims),
+        ipq AS (SELECT query_id, rnk, neighbor_id, sim FROM r WHERE rnk <= 3),
+        xr AS (SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                         ORDER BY $cosQE DESC, e.vec_id) AS xrn
+                FROM corpus e CROSS JOIN q WHERE e.vec_id <> q.query_id) z
+               WHERE xrn <= 3)
+        SELECT p.query_id, CAST(p.rnk AS INT) AS rnk, p.neighbor_id,
+               round(p.sim, 6) AS sim,
+               (x.neighbor_id IS NOT NULL) AS in_exact,
+               round(SUM(CASE WHEN x.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY p.query_id) / 3.0, 6) AS recall3
+        FROM ipq p LEFT JOIN xr x
+          ON p.query_id = x.query_id AND p.neighbor_id = x.neighbor_id
+        ORDER BY p.query_id, p.rnk
+      """)
+      })
+  }
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
     q38CurationRollup, q84MinhashClusters, q96QuantizedAnn,
     q108WinnowFingerprint, q114LshNearDup, q123BlockDedup, q125ClusterReps,
     q126TfidfTopK, q128Kmeans, q129SemDedup, q132CurationV3, q133IvfNprobe,
-    q134IvfIndex, q136PqAdc)
+    q134IvfIndex, q136PqAdc, q137IvfAppend, q138IvfPq)
 }

@@ -345,6 +345,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "the 1-row total must broadcast")
   }
 
+  test("q137: appended index still serves through a partition-pruned scan") {
+    val p = plan("q137_ivf_append")
+    // the delta append lands inside the same bucket=… directory layout,
+    // so the probed-bucket partition filter must keep pruning the scan
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(p).isDefined,
+      s"probed buckets must prune as partition filters on the appended layout:\n$p")
+    assert("HashJoin \\[bucket".r.findFirstIn(p).isDefined,
+      s"candidate join must stay keyed on the bucket id:\n$p")
+    assert(!p.contains("CartesianProduct"), "no unbroadcast cross product")
+  }
+
   test("q136: PQ ADC serving is a narrow corpus scan + broadcast query side, native pq_adc") {
     val p = plan("q136_pq_adc")
     // scoring a pair must be the codegen ADC table lookup, and the

@@ -108,6 +108,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(served.select("neighbor_id").as[Long].collect().nonEmpty)
   }
 
+  test("ivfAppendIndex: build(base) + append(delta) serves identically to build(union)") {
+    // 20 vectors on 4 axes of dim 4, 2 centroids; split base/delta by
+    // id parity — the served top-k from the appended layout must equal
+    // the fresh union build ROW FOR ROW (q137 gates the same equality
+    // against the DuckDB oracle; this pins it at the engine level with
+    // full control of both layouts)
+    val vecs = Seq.tabulate(20) { i =>
+      val a = Array.fill(4)(0.1f); a(i % 4) = 1f + 0.01f * i; (i.toLong, a)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val centroids = df.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val queries = df.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding"))
+    val freshPath = TmpWorkspaces.pidScoped("graft_ivfidx_fresh_", "spec")
+    val apndPath = TmpWorkspaces.pidScoped("graft_ivfidx_apnd_", "spec")
+    Similarity.ivfWriteIndex(Similarity.ivfAssign(df, centroids),
+      freshPath.toString)
+    Similarity.ivfWriteIndex(
+      Similarity.ivfAssign(df.filter(col("vec_id") % 2 === 0), centroids),
+      apndPath.toString)
+    Similarity.ivfAppendIndex(
+      Similarity.ivfAssign(df.filter(col("vec_id") % 2 =!= 0), centroids),
+      apndPath.toString)
+    def serve(p: String) =
+      Similarity.ivfTopKIndexed(spark, p, centroids, queries, k = 3,
+          nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+        .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(serve(apndPath.toString) == serve(freshPath.toString),
+      "append layout must serve bit-identically to the fresh union build")
+  }
+
   test("lshNearDupPairs respects the bucket cap") {
     // 5 identical vectors: every band bucket has 5 members; cap at 4
     // drops them all before pairing (the minhash-style recall trade)
