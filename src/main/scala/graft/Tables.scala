@@ -45,10 +45,28 @@ object Tables {
   /** The NTZ→Timestamp relabel below is instant-preserving ONLY under a
     * UTC session timezone; enforce it at the chokepoint instead of
     * trusting every session builder to have set it (ADVICE.md r9).
+    * Instant-equivalent zone ids (Etc/UTC, GMT, +00:00, …) are accepted
+    * as-is, and a genuinely non-UTC zone is overwritten LOUDLY — the
+    * override mutates session-global timestamp parsing/rendering, so it
+    * must never happen silently (ADVICE.md r10).
     */
   private[graft] def requireUtcSession(spark: SparkSession): Unit = {
     val tz = spark.conf.get("spark.sql.session.timeZone")
-    if (tz != "UTC") spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val utcEquivalent =
+      try {
+        val rules = java.time.ZoneId.of(tz,
+          java.time.ZoneId.SHORT_IDS).getRules
+        rules.isFixedOffset &&
+          rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
+      } catch { case _: java.time.DateTimeException => false }
+    if (!utcEquivalent) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"graft.Tables: overriding session timezone '$tz' with UTC — " +
+          "event-time normalization (TESTDATA TIMESTAMP_NTZ fixtures) is " +
+          "instant-preserving only under UTC; all timestamp parsing and " +
+          "rendering in this session is affected")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+    }
   }
 
   private def normalizeEventTime(df: DataFrame): DataFrame = {

@@ -297,6 +297,17 @@ object Similarity {
     * append round is then bounded by touched buckets, and periodic
     * compaction (a fresh [[ivfWriteIndex]]) stays a rare maintenance
     * op instead of a correctness need.
+    *
+    * NOT IDEMPOTENT — the caller owns exactly-once (ADVICE.md r10): a
+    * retried or accidentally repeated append lands the SAME delta rows
+    * in the touched buckets twice, and every subsequent serve scores
+    * the duplicates (top-k then repeats neighbor ids — silent result
+    * corruption, not an error). Parquet `append` has no transactional
+    * marker to detect the replay, by design (the alternatives read the
+    * base back). Run appends under an external exactly-once driver
+    * (one writer, no blind retries); if a double-append is suspected,
+    * audit with a `groupBy(idCol).count > 1` over the index and repair
+    * by compacting (fresh [[ivfWriteIndex]] from a deduplicated read).
     */
   def ivfAppendIndex(assignedDelta: DataFrame, path: String): Unit =
     assignedDelta.repartition(col("bucket"))
