@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.operators.{Clustering, Curation, Dedup, Pq, Similarity, TextAnalysis, TextOps}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operator surface (BASELINE.json north star):
@@ -1030,6 +1031,68 @@ object PipelineQueries {
     Some(ivfIndexOracleSql))
 
   // ------------------------------------------------------------------
+  // Shared DuckDB replay of the fixed-point PQ training arithmetic
+  // ------------------------------------------------------------------
+
+  /** Oracle-side builders for the [[graft.operators.Pq]] training
+    * contract — per-(vector, subspace) nearest-code assignment with
+    * code-asc tie-break and the `floor(sum(floor(c·10⁶))/n)/10⁶`
+    * fixed-point centroid update — shared by every PQ oracle (q136,
+    * q138, q139, q140; ADVICE.md r10 flagged the q138 verbatim copy).
+    * Parameterized only by the subspace width `W`; the column
+    * conventions (`vec_id`, `sub`/`j`, `code`, `sv`, `centroid`) are
+    * fixed across the oracles.
+    */
+  private final class PqOracleSql(val W: Int) {
+    def sub(v: String, j: String): String =
+      s"list_slice($v, ($j)*$W+1, (($j)+1)*$W)"
+    def d2(sv: String, cent: String): String =
+      s"${Similarity.dotSql(sv, sv)} - 2.0*${Similarity.dotSql(sv, cent)}" +
+        s" + ${Similarity.dotSql(cent, cent)}"
+    // one Lloyd half-step: nearest-code assignment per (vector, subspace)
+    def assign(svT: String, cbT: String): String =
+      s"""(SELECT vec_id, sub, code, sv FROM (
+             SELECT t.vec_id, t.j AS sub, c.code, t.sv,
+                    ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.j
+                      ORDER BY ${d2("t.sv", "c.centroid")} ASC, c.code) AS rn
+             FROM $svT t JOIN $cbT c ON c.sub = t.j) z WHERE rn = 1)"""
+    // the fixed-point centroid update keyed by (sub, code, pos)
+    def update(aT: String): String =
+      s"""(SELECT sub, code,
+                  array_agg(FLOOR(s / n) / 1000000.0 ORDER BY pos) AS centroid
+           FROM (SELECT sub, code, pos,
+                        SUM(CAST(FLOOR(sv[pos] * 1000000.0) AS BIGINT)) AS s,
+                        COUNT(*) AS n
+                 FROM (SELECT sub, code, sv,
+                              unnest(generate_series(1, len(sv))) AS pos
+                       FROM $aT) e
+                 GROUP BY 1, 2, 3) st
+           GROUP BY 1, 2)"""
+  }
+
+  /** Shared engine tail of the ANN gate queries (q136/q138/q139/q140):
+    * left-join the exact brute-force top-3 and emit the
+    * `in_exact`/`recall3` columns of the q133 pattern. `approx` is a
+    * (query_id, rank, neighbor_id, sim) top-3 frame.
+    */
+  private def withExactRecall3(approx: DataFrame, emb: DataFrame,
+      queries: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 3)
+      .select(col("query_id"), col("neighbor_id"), lit(true).as("hit"))
+    val w = Window.partitionBy(col("query_id"))
+    approx.withColumnRenamed("rank", "rnk")
+      .join(exact, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("in_exact", coalesce(col("hit"), lit(false)))
+      .withColumn("recall3", round(
+        sum(when(col("in_exact"), lit(1L)).otherwise(lit(0L))).over(w)
+          / lit(3.0), 6))
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        col("sim"), col("in_exact"), col("recall3"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  // ------------------------------------------------------------------
   // q136 product-quantization ADC top-k (recall vs exact top-k)
   // ------------------------------------------------------------------
 
@@ -1059,52 +1122,16 @@ object PipelineQueries {
   val q136PqAdc: QueryDef = {
     val M = 32 // subspaces (dim 64 → width 2)
     val Ksub = 64 // codes per subspace
-    val W = 64 / M
-    def sub(v: String, j: String) =
-      s"list_slice($v, ($j)*$W+1, (($j)+1)*$W)"
-    def d2(sv: String, cent: String) =
-      s"${Similarity.dotSql(sv, sv)} - 2.0*${Similarity.dotSql(sv, cent)}" +
-        s" + ${Similarity.dotSql(cent, cent)}"
-    // one Lloyd half-step: nearest-code assignment per (vector, subspace)
-    def assign(svT: String, cbT: String) =
-      s"""(SELECT vec_id, sub, code, sv FROM (
-             SELECT t.vec_id, t.j AS sub, c.code, t.sv,
-                    ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.j
-                      ORDER BY ${d2("t.sv", "c.centroid")} ASC, c.code) AS rn
-             FROM $svT t JOIN $cbT c ON c.sub = t.j) z WHERE rn = 1)"""
-    // the fixed-point centroid update keyed by (sub, code, pos)
-    def update(aT: String) =
-      s"""(SELECT sub, code,
-                  array_agg(FLOOR(s / n) / 1000000.0 ORDER BY pos) AS centroid
-           FROM (SELECT sub, code, pos,
-                        SUM(CAST(FLOOR(sv[pos] * 1000000.0) AS BIGINT)) AS s,
-                        COUNT(*) AS n
-                 FROM (SELECT sub, code, sv,
-                              unnest(generate_series(1, len(sv))) AS pos
-                       FROM $aT) e
-                 GROUP BY 1, 2, 3) st
-           GROUP BY 1, 2)"""
+    val h = new PqOracleSql(64 / M)
+    import h.{sub, assign, update}
     QueryDef(
       "q136_pq_adc",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val emb = Tables.load(s, dir, "embeddings")
         val cb = Pq.pqTrain(emb, m = M, ksub = Ksub, iters = 2)
         val enc = Pq.pqEncode(emb, cb)
         val queries = emb.filter(col("vec_id") < 10)
-        val pq = Pq.pqTopK(enc, cb, queries, k = 3)
-        val exact = Similarity.bruteForceTopK(emb, queries, k = 3)
-          .select(col("query_id"), col("neighbor_id"), lit(true).as("hit"))
-        val w = Window.partitionBy(col("query_id"))
-        pq.withColumnRenamed("rank", "rnk")
-          .join(exact, Seq("query_id", "neighbor_id"), "left")
-          .withColumn("in_exact", coalesce(col("hit"), lit(false)))
-          .withColumn("recall3", round(
-            sum(when(col("in_exact"), lit(1L)).otherwise(lit(0L))).over(w)
-              / lit(3.0), 6))
-          .select(col("query_id"), col("rnk"), col("neighbor_id"),
-            col("sim"), col("in_exact"), col("recall3"))
-          .orderBy(col("query_id"), col("rnk"))
+        withExactRecall3(Pq.pqTopK(enc, cb, queries, k = 3), emb, queries)
       }, {
         val cosQE = Similarity.cosineSql("q.qv", "e.v")
         Some(s"""
@@ -1173,81 +1200,53 @@ object PipelineQueries {
   }
 
   // ------------------------------------------------------------------
-  // q138 IVF-PQ: coarse buckets + residual PQ codes (IVFADC)
+  // q138–q140 IVF-PQ: coarse buckets + residual PQ codes (IVFADC)
   // ------------------------------------------------------------------
 
-  /** The composed 100 TB index: coarse IVF assignment (the q134/q137
-    * layout) + PQ codes over the per-bucket RESIDUALS
-    * ([[graft.operators.Pq.ivfResiduals]] → [[graft.operators.Pq.pqTrain]]
-    * → [[graft.operators.Pq.ivfPqEncode]]), served by
-    * [[graft.operators.Pq.ivfPqTopK]]: probe nprobe=2 coarse buckets,
-    * score only their code rows as `(dot(q,c_b) + ADC) / (|q|·cn)`
-    * with the encode-time reconstruction norm. Exact/recall columns
-    * follow the q133/q136 pattern. The oracle replays everything —
-    * coarse cosine assignment, elementwise residuals, one fixed-point
-    * Lloyd round on residual subvectors, dense remap, encoding, the
-    * flattened reconstruction and its norm, and the split-numerator
-    * serving arithmetic — so any drift in the composition (a residual
-    * sign, a bucket/codebook mix-up, the stored norm) hash-fails.
+  /** Shared IVF-PQ fixture config for q138/q139/q140: 8 residual
+    * subspaces of width 8 over the dim-64 fixture, 16 codes each, one
+    * fixed-point Lloyd round, coarse family = every 50th vector.
     */
-  val q138IvfPq: QueryDef = {
-    val M = 8 // residual subspaces (dim 64 → width 8)
-    val Ksub = 16
-    val W = 64 / M
-    def sub(v: String, j: String) =
-      s"list_slice($v, ($j)*$W+1, (($j)+1)*$W)"
-    def d2(sv: String, cent: String) =
-      s"${Similarity.dotSql(sv, sv)} - 2.0*${Similarity.dotSql(sv, cent)}" +
-        s" + ${Similarity.dotSql(cent, cent)}"
-    def assign(svT: String, cbT: String) =
-      s"""(SELECT vec_id, sub, code, sv FROM (
-             SELECT t.vec_id, t.j AS sub, c.code, t.sv,
-                    ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.j
-                      ORDER BY ${d2("t.sv", "c.centroid")} ASC, c.code) AS rn
-             FROM $svT t JOIN $cbT c ON c.sub = t.j) z WHERE rn = 1)"""
-    def update(aT: String) =
-      s"""(SELECT sub, code,
-                  array_agg(FLOOR(s / n) / 1000000.0 ORDER BY pos) AS centroid
-           FROM (SELECT sub, code, pos,
-                        SUM(CAST(FLOOR(sv[pos] * 1000000.0) AS BIGINT)) AS s,
-                        COUNT(*) AS n
-                 FROM (SELECT sub, code, sv,
-                              unnest(generate_series(1, len(sv))) AS pos
-                       FROM $aT) e
-                 GROUP BY 1, 2, 3) st
-           GROUP BY 1, 2)"""
-    QueryDef(
-      "q138_ivfpq_adc",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val emb = Tables.load(s, dir, "embeddings")
-        val centroids = emb.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("centroid_id"), col("embedding"))
-        val assigned = Similarity.ivfAssign(emb, centroids)
-        val resid = Pq.ivfResiduals(assigned, centroids)
-        val cb = Pq.pqTrain(resid, m = M, ksub = Ksub, iters = 1,
-          vecCol = "resid")
-        val enc = Pq.ivfPqEncode(assigned, centroids, cb)
-        val queries = emb.filter(col("vec_id") < 10)
-        val ipq = Pq.ivfPqTopK(enc, centroids, cb, queries, k = 3,
-          nprobe = 2)
-        val exact = Similarity.bruteForceTopK(emb, queries, k = 3)
-          .select(col("query_id"), col("neighbor_id"), lit(true).as("hit"))
-        val w = Window.partitionBy(col("query_id"))
-        ipq.withColumnRenamed("rank", "rnk")
-          .join(exact, Seq("query_id", "neighbor_id"), "left")
-          .withColumn("in_exact", coalesce(col("hit"), lit(false)))
-          .withColumn("recall3", round(
-            sum(when(col("in_exact"), lit(1L)).otherwise(lit(0L))).over(w)
-              / lit(3.0), 6))
-          .select(col("query_id"), col("rnk"), col("neighbor_id"),
-            col("sim"), col("in_exact"), col("recall3"))
-          .orderBy(col("query_id"), col("rnk"))
-      }, {
-        val cosEC = Similarity.cosineSql("e.v", "c.centv")
-        val cosQC = Similarity.cosineSql("q.qv", "c.centv")
-        val cosQE = Similarity.cosineSql("q.qv", "e.v")
-        Some(s"""
+  private val IvfPqM = 8
+  private val IvfPqKsub = 16
+
+  /** Shared engine build of the IVF-PQ index inputs at the fixture
+    * config: (coarse-assigned corpus, centroid frame, residual-trained
+    * codebook). `trainFilter` restricts the codebook's TRAINING corpus
+    * (q140 trains on the base split only — the frozen-codebook append
+    * semantic); assignment/encoding always cover the caller's corpus.
+    */
+  private def ivfPqBuild(emb: DataFrame, trainFilter: Column)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val centroids = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val assigned = Similarity.ivfAssign(emb, centroids)
+    val resid = Pq.ivfResiduals(assigned.filter(trainFilter), centroids)
+    val cb = Pq.pqTrain(resid, m = IvfPqM, ksub = IvfPqKsub, iters = 1,
+      vecCol = "resid")
+    (assigned, centroids, cb)
+  }
+
+  /** Shared DuckDB replay of the ENTIRE IVF-PQ composition (q138/q139
+    * serve it in-session/from-disk; q140 appends): coarse cosine
+    * assignment, elementwise residuals, one fixed-point Lloyd round on
+    * residual subvectors (training corpus restricted by `trainPred` —
+    * "TRUE" for whole-corpus training, the base predicate for q140's
+    * frozen-codebook append gate), dense remap, whole-corpus encoding,
+    * the flattened reconstruction and its norm, and the
+    * split-numerator serving arithmetic — so any drift in the
+    * composition (a residual sign, a bucket/codebook mix-up, the
+    * stored norm, an append that re-trained) hash-fails.
+    */
+  private def ivfPqOracleSql(trainPred: String): String = {
+    val M = IvfPqM
+    val Ksub = IvfPqKsub
+    val h = new PqOracleSql(64 / M)
+    import h.{sub, assign, update}
+    val cosEC = Similarity.cosineSql("e.v", "c.centv")
+    val cosQC = Similarity.cosineSql("q.qv", "c.centv")
+    val cosQE = Similarity.cosineSql("q.qv", "e.v")
+    s"""
         WITH corpus AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         cent AS MATERIALIZED (SELECT vec_id AS bucket, CAST(embedding AS DOUBLE[]) AS centv
                 FROM embeddings WHERE vec_id % 50 = 0),
@@ -1262,12 +1261,14 @@ object PipelineQueries {
         subs AS (SELECT unnest(generate_series(0, ${M - 1})) AS j),
         sv AS MATERIALIZED (SELECT r.vec_id, s.j, ${sub("r.rv", "s.j")} AS sv
                FROM rs r CROSS JOIN subs s),
+        svt AS MATERIALIZED (SELECT * FROM sv WHERE $trainPred),
         seed AS (SELECT vec_id, rv,
                         CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
-                 FROM (SELECT vec_id, rv FROM rs ORDER BY vec_id LIMIT $Ksub) t),
+                 FROM (SELECT vec_id, rv FROM rs WHERE $trainPred
+                       ORDER BY vec_id LIMIT $Ksub) t),
         cb0 AS (SELECT s.j AS sub, d.code, ${sub("d.rv", "s.j")} AS centroid
                 FROM seed d CROSS JOIN subs s),
-        a1 AS ${assign("sv", "cb0")},
+        a1 AS ${assign("svt", "cb0")},
         c1 AS ${update("a1")},
         cbf AS MATERIALIZED (SELECT sub,
                        CAST(ROW_NUMBER() OVER (PARTITION BY sub ORDER BY code) - 1
@@ -1325,9 +1326,94 @@ object PipelineQueries {
         FROM ipq p LEFT JOIN xr x
           ON p.query_id = x.query_id AND p.neighbor_id = x.neighbor_id
         ORDER BY p.query_id, p.rnk
-      """)
-      })
+      """
   }
+
+  /** The composed 100 TB index, served IN-SESSION: coarse IVF
+    * assignment (the q134/q137 layout) + PQ codes over the per-bucket
+    * RESIDUALS ([[graft.operators.Pq.ivfResiduals]] →
+    * [[graft.operators.Pq.pqTrain]] →
+    * [[graft.operators.Pq.ivfPqEncode]]), served by
+    * [[graft.operators.Pq.ivfPqTopK]]: probe nprobe=2 coarse buckets,
+    * score only their code rows as `(dot(q,c_b) + ADC) / (|q|·cn)`
+    * with the encode-time reconstruction norm. Exact/recall columns
+    * follow the q133/q136 pattern; the oracle is the full-composition
+    * replay [[ivfPqOracleSql]].
+    */
+  val q138IvfPq: QueryDef = QueryDef(
+    "q138_ivfpq_adc",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val (assigned, centroids, cb) = ivfPqBuild(emb, lit(true))
+      val enc = Pq.ivfPqEncode(assigned, centroids, cb)
+      val queries = emb.filter(col("vec_id") < 10)
+      withExactRecall3(
+        Pq.ivfPqTopK(enc, centroids, cb, queries, k = 3, nprobe = 2),
+        emb, queries)
+    },
+    Some(ivfPqOracleSql("TRUE")))
+
+  /** q138's arithmetic served from the WRITTEN index: the encoded
+    * (id, bucket, codes, cn) rows persist bucket-partitioned
+    * ([[graft.operators.Pq.ivfPqWriteIndex]]) and the query batch is
+    * served by [[graft.operators.Pq.ivfPqTopKIndexed]] through a
+    * partition-PRUNED scan of the probed bucket directories — the
+    * coarse prune now cuts the SCAN, not just the join, completing
+    * the 100 TB story (VERDICT r10 #2). Hash-equality against the
+    * same full-composition oracle as q138 gates the
+    * write→partition→read round-trip of codes and stored norms (a
+    * partition-value corruption, a codes/norm precision drift, or a
+    * layout that fails to prune all hash-fail or pin-fail).
+    */
+  val q139IvfPqIndex: QueryDef = QueryDef(
+    "q139_ivfpq_index",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val (assigned, centroids, cb) = ivfPqBuild(emb, lit(true))
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_ivfpqidx_q139_", dir)
+      Pq.ivfPqWriteIndex(Pq.ivfPqEncode(assigned, centroids, cb),
+        path.toString)
+      val queries = emb.filter(col("vec_id") < 10)
+      withExactRecall3(
+        Pq.ivfPqTopKIndexed(s, path.toString, centroids, cb, queries,
+          k = 3, nprobe = 2),
+        emb, queries)
+    },
+    Some(ivfPqOracleSql("TRUE")))
+
+  /** Incremental append for the PQ-coded layout (q137's day-2 op
+    * composed with q139's index): the codebook trains on the BASE
+    * 3/4 of the corpus only, the base encodes and writes, then the
+    * remaining quarter is encoded against the FROZEN codebook and
+    * bucket-appended ([[graft.operators.Pq.ivfPqAppendIndex]] — no
+    * retrain, the codebook-drift semantic documented there). The
+    * served top-3 must hash-equal the frozen-codebook
+    * fresh-encode-on-union oracle ([[ivfPqOracleSql]] with the base
+    * training predicate) — an append that re-trained, dropped the
+    * stored norms, or corrupted a bucket directory hash-fails.
+    */
+  val q140IvfPqAppend: QueryDef = QueryDef(
+    "q140_ivfpq_append",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val basePred = col("vec_id") % 4 =!= 0
+      val (assigned, centroids, cb) = ivfPqBuild(emb, basePred)
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_ivfpqidx_q140_", dir)
+      Pq.ivfPqWriteIndex(
+        Pq.ivfPqEncode(assigned.filter(basePred), centroids, cb),
+        path.toString)
+      Pq.ivfPqAppendIndex(
+        Pq.ivfPqEncode(assigned.filter(!basePred), centroids, cb),
+        path.toString)
+      val queries = emb.filter(col("vec_id") < 10)
+      withExactRecall3(
+        Pq.ivfPqTopKIndexed(s, path.toString, centroids, cb, queries,
+          k = 3, nprobe = 2),
+        emb, queries)
+    },
+    Some(ivfPqOracleSql("vec_id % 4 <> 0")))
 
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
@@ -1335,5 +1421,6 @@ object PipelineQueries {
     q38CurationRollup, q84MinhashClusters, q96QuantizedAnn,
     q108WinnowFingerprint, q114LshNearDup, q123BlockDedup, q125ClusterReps,
     q126TfidfTopK, q128Kmeans, q129SemDedup, q132CurationV3, q133IvfNprobe,
-    q134IvfIndex, q136PqAdc, q137IvfAppend, q138IvfPq)
+    q134IvfIndex, q136PqAdc, q137IvfAppend, q138IvfPq, q139IvfPqIndex,
+    q140IvfPqAppend)
 }

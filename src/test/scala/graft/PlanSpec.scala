@@ -358,9 +358,11 @@ class PlanSpec extends AnyFunSuite {
 
   test("q136: PQ ADC serving is a narrow corpus scan + broadcast query side, native pq_adc") {
     val p = plan("q136_pq_adc")
-    // scoring a pair must be the codegen ADC table lookup, and the
-    // dot-LUT build / exact side the native dot product — no lambdas
+    // scoring a pair must be the codegen ADC table lookup, the query
+    // LUT the single native pq_lut pass (not 2,048 vec_dot columns),
+    // and the exact side the native dot product — no lambdas
     assert(p.contains("pq_adc"), "native ADC table lookup expected")
+    assert(p.contains("pq_lut"), "query LUT must be the one-pass native builder")
     assert(p.contains("vec_dot"), "native dot product expected")
     assert(!p.toLowerCase.contains("lambdafunction"),
       "higher-order-function lambdas should be gone from the hot path")
@@ -370,6 +372,49 @@ class PlanSpec extends AnyFunSuite {
       "query side must broadcast for corpus-local ADC scoring")
     assert(!p.contains("CartesianProduct"), "no unbroadcast cross product")
     assert(p.contains("WindowGroupLimit"), "top-k must push group limits")
+  }
+
+  test("q138: IVF-PQ serving joins codes bucket-keyed, scores native pq_adc, no cartesian") {
+    val p = plan("q138_ivfpq_adc")
+    // scoring must be the codegen ADC table lookup against the residual
+    // codebook LUT, probe/assignment the native literal-centroid ranking
+    assert(p.contains("pq_adc"), "native ADC table lookup expected")
+    assert(p.contains("vec_nearest"),
+      "probe ranking must use the native literal-centroid expression")
+    // the candidate join stays keyed on the coarse bucket id (the
+    // query×probe side broadcasts with its LUTs) — never an all-pairs
+    // scan of the code rows
+    assert("HashJoin \\[bucket".r.findFirstIn(p).isDefined,
+      s"candidate join must stay keyed on the bucket id:\n$p")
+    assert(p.contains("WindowGroupLimit"), "top-k must push group limits")
+    assert(!p.contains("CartesianProduct"), "no unbroadcast cross product")
+  }
+
+  test("q139: written IVF-PQ index serves through a partition-pruned code scan") {
+    val p = plan("q139_ivfpq_index")
+    // the whole point of the written layout: probed buckets prune the
+    // SCAN (q134's PartitionFilters shape), and the rows read are
+    // codes+norm — never the embedding vectors
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(p).isDefined,
+      s"probed buckets must prune as partition filters:\n$p")
+    assert(p.contains("pq_adc"), "native ADC table lookup expected")
+    assert(p.contains("pq_lut"), "query LUT must be the one-pass native builder")
+    assert("HashJoin \\[bucket".r.findFirstIn(p).isDefined,
+      s"candidate join must stay keyed on the bucket id:\n$p")
+    assert(p.contains("WindowGroupLimit"), "top-k must push group limits")
+    assert(!p.contains("CartesianProduct"), "no unbroadcast cross product")
+  }
+
+  test("q140: appended IVF-PQ layout still serves through a partition-pruned scan") {
+    val p = plan("q140_ivfpq_append")
+    // delta appends land inside the same bucket=… directories, so the
+    // probed-bucket partition filter must keep pruning the scan
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(p).isDefined,
+      s"probed buckets must prune as partition filters on the appended layout:\n$p")
+    assert(p.contains("pq_adc"), "native ADC table lookup expected")
+    assert("HashJoin \\[bucket".r.findFirstIn(p).isDefined,
+      s"candidate join must stay keyed on the bucket id:\n$p")
+    assert(!p.contains("CartesianProduct"), "no unbroadcast cross product")
   }
 
   test("q132: flagship v3 reads every post-SemDeDup stage off the ONE materialized survivor frame") {

@@ -107,6 +107,36 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("pq_lut emits the bit-identical table to the column-per-slot vec_dot builder") {
+    // 2 subspaces of width 4, stride 3, slot (1, 2) dead (empty entry —
+    // a Lloyd-dropped code): pq_lut must reproduce the exact doubles of
+    // the array(vec_dot(slice(…))) builder it replaced, including the
+    // 0.0 padding and the clamp-to-shorter-input dot semantics
+    val flat: Seq[Seq[Double]] = Seq(
+      Seq(1.0, 0.5, -0.25, 2.0), Seq(0.0, 1.0, 0.0, -1.0),
+      Seq(0.125, 0.125, 3.0, 0.75),
+      Seq(-2.0, 0.0, 1.5, 0.5), Seq(1.0, 1.0, 1.0, 1.0), Seq.empty[Double])
+    val stride = 3
+    val w = 4
+    val df = Seq(
+      (1L, Array(0.1, -0.2, 0.3, 0.7, 1.1, -1.3, 0.0, 2.5)),
+      (2L, Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0)),
+      (3L, Array(1e-7, 1e7, -1e-7, -1e7, 0.3333333, 3.0, -0.5, 0.25)))
+      .toDF("vec_id", "qv")
+    val viaLut = df.select(col("vec_id"),
+        call_function("pq_lut", col("qv"), typedLit(flat), lit(stride)).as("t"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val viaCols = df.select(col("vec_id"),
+        array((for { j <- 0 until 2; s <- 0 until stride } yield
+          if (flat(j * stride + s).nonEmpty)
+            Similarity.dot(slice(col("qv"), j * w + 1, w),
+              typedLit(flat(j * stride + s)))
+          else lit(0.0)): _*).as("t"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(viaLut == viaCols,
+      s"pq_lut drifted from the vec_dot builder:\n$viaLut\nvs\n$viaCols")
+  }
+
   test("pq_adc throws loudly on an out-of-range code") {
     val bad = Seq((1L, Seq(7L))).toDF("id", "codes")
     val e = intercept[Exception] {
@@ -156,6 +186,64 @@ class PqSpec extends AnyFunSuite {
     assert(worst._2 < 0.05,
       s"ADC top-1 pick degraded past the tolerance: query ${worst._1} " +
         s"gap ${worst._2} (all: ${gaps.sortBy(-_._2).toSeq})")
+  }
+
+  test("IVF-PQ written index serves bit-identically to the in-session serve") {
+    // the q139 equality at the engine level: write→partition→read of
+    // (id, bucket, codes, cn) must not perturb a single double
+    val df = fixture
+    val centroids = df.filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val assigned = Similarity.ivfAssign(df, centroids)
+    val cb = Pq.pqTrain(Pq.ivfResiduals(assigned, centroids),
+      m = 2, ksub = 4, iters = 1, vecCol = "resid")
+    val enc = Pq.ivfPqEncode(assigned, centroids, cb)
+    val queries = df.filter(col("vec_id") < 3)
+    val inSession = Pq.ivfPqTopK(enc, centroids, cb, queries,
+        k = 3, nprobe = 2)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val path = TmpWorkspaces.pidScoped("graft_ivfpqidx_spec_", "roundtrip")
+    Pq.ivfPqWriteIndex(enc, path.toString)
+    val served = Pq.ivfPqTopKIndexed(spark, path.toString, centroids, cb,
+        queries, k = 3, nprobe = 2)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(inSession.nonEmpty && served == inSession,
+      s"indexed serve drifted from the in-session serve:\n$served\nvs\n$inSession")
+  }
+
+  test("IVF-PQ append: frozen-codebook base+delta serves like the fresh union encode") {
+    // the q140 equality at the engine level: the codebook trains on the
+    // base split only, the delta encodes against it FROZEN, and the
+    // appended layout must serve exactly like encoding the union with
+    // that same codebook (append never retrains — the drift semantic
+    // is documented on ivfPqAppendIndex)
+    val df = fixture
+    val centroids = df.filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val basePred = col("vec_id") % 4 =!= 0
+    val assigned = Similarity.ivfAssign(df, centroids)
+    val cb = Pq.pqTrain(Pq.ivfResiduals(assigned.filter(basePred), centroids),
+      m = 2, ksub = 4, iters = 1, vecCol = "resid")
+    val path = TmpWorkspaces.pidScoped("graft_ivfpqidx_spec_", "apnd")
+    Pq.ivfPqWriteIndex(
+      Pq.ivfPqEncode(assigned.filter(basePred), centroids, cb),
+      path.toString)
+    Pq.ivfPqAppendIndex(
+      Pq.ivfPqEncode(assigned.filter(!basePred), centroids, cb),
+      path.toString)
+    val queries = df.filter(col("vec_id") < 3)
+    val served = Pq.ivfPqTopKIndexed(spark, path.toString, centroids, cb,
+        queries, k = 3, nprobe = 2)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val fresh = Pq.ivfPqTopK(Pq.ivfPqEncode(assigned, centroids, cb),
+        centroids, cb, queries, k = 3, nprobe = 2)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(fresh.nonEmpty && served == fresh,
+      s"appended layout drifted from the fresh union encode:\n$served\nvs\n$fresh")
   }
 
   test("training tolerates dead codes: ksub > distinct vectors still serves") {
