@@ -467,6 +467,97 @@ object Pq {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** Writes a SELF-CONTAINED IVF-PQ index: the encoded code rows
+    * ([[ivfPqWriteIndex]]'s bucket-partitioned layout under `codes/`)
+    * PLUS the serving metadata — coarse centroids under
+    * `meta/centroids/`, the trained codebook under `meta/codebook/` —
+    * so a FRESH session serves with nothing but the path
+    * ([[ivfPqTopKFromIndex]]). Without this, q139's layout still
+    * depended on the builder's in-session centroid/codebook frames:
+    * an index a new reader cannot open is a cache, not an index. The
+    * metadata is broadcast-class by contract (K×dim + m·ksub×w
+    * doubles, corpus-independent), so `coalesce(1)` keeps each a
+    * single file; parquet doubles round-trip exactly, which q141
+    * gates by hash-equality against the same oracle as q139.
+    */
+  def ivfPqWriteIndexFull(encoded: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, path: String, idCol: String = "vec_id",
+      vecCol: String = "embedding", centroidIdCol: String = "centroid_id")
+      : Unit = {
+    ivfPqWriteIndex(encoded, s"$path/codes")
+    centroids
+      .select(col(centroidIdCol).cast("long").as("centroid_id"),
+        asD(col(vecCol)).as("embedding"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta/centroids")
+    codebook
+      .select(col("sub").cast("int"), col("code").cast("long"),
+        asD(col("centroid")).as("centroid"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta/codebook")
+  }
+
+  /** Serves ADC top-k from a [[ivfPqWriteIndexFull]] index with ALL
+    * inputs read from the path — codes, centroids, codebook — the
+    * "open a 100 TB index cold" path: a serving session needs no
+    * handle to the build session's frames, only the directory.
+    * Delegates to [[ivfPqTopKIndexed]], so the partition-pruned scan
+    * shape and the bounded probed-bucket collect are identical.
+    */
+  def ivfPqTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int, nprobe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxProbedBuckets: Int = Similarity.MaxLiteralCentroids): DataFrame =
+    ivfPqTopKIndexed(spark, s"$path/codes",
+      // metadata persists under canonical names; align to the caller's
+      // query-side vecCol (ivfPqTopKIndexed reads one vecCol for both)
+      spark.read.parquet(s"$path/meta/centroids")
+        .withColumnRenamed("embedding", vecCol),
+      spark.read.parquet(s"$path/meta/codebook"),
+      queries, k, nprobe, idCol, vecCol, "centroid_id", maxProbedBuckets)
+
+  /** IVF-PQ serving with EXACT re-ranking (the standard two-stage ANN
+    * serve, Jégou et al. §V.C): ADC ranks a `shortlist` of R ≥ k
+    * candidates per query from the code rows — cheap, approximate —
+    * then ONLY those R rows' real vectors are fetched and the final
+    * top-k is ordered by exact cosine. Recall approaches the probed
+    * buckets' ceiling while the expensive exact math touches R rows
+    * per query instead of the bucket contents.
+    *
+    * Plan shape at 100 TB: the shortlist (queries × R — broadcast-class
+    * by the query-side contract) BROADCASTS against the corpus scan,
+    * so fetching the candidate vectors is a broadcast semi-join
+    * projection — the corpus never shuffles and only the matched rows
+    * reach the exact-cosine projection; the only exchange stays the
+    * per-query top-k window.
+    */
+  def ivfPqTopKReranked(encoded: DataFrame, centroids: DataFrame,
+      codebook: DataFrame, corpus: DataFrame, queries: DataFrame, k: Int,
+      shortlist: Int, nprobe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding", centroidIdCol: String = "centroid_id")
+      : DataFrame = {
+    require(shortlist >= k,
+      s"rerank shortlist ($shortlist) must be >= k ($k)")
+    val cand = ivfPqTopK(encoded, centroids, codebook, queries, shortlist,
+      nprobe, idCol, vecCol, centroidIdCol)
+    val qv = broadcast(queries
+      .select(col(idCol).as("query_id"), asD(col(vecCol)).as("qv"))
+      .withColumn("qn", Similarity.l2norm(col("qv"))))
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    corpus
+      .select(col(idCol).as("neighbor_id"), asD(col(vecCol)).as("cv"))
+      .withColumn("cn", Similarity.l2norm(col("cv")))
+      .join(broadcast(cand.select(col("query_id"), col("neighbor_id"))),
+        "neighbor_id")
+      .join(qv, "query_id")
+      .withColumn("sim",
+        Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   def pqTopK(encoded: DataFrame, codebook: DataFrame, queries: DataFrame,
       k: Int, idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {

@@ -1238,7 +1238,8 @@ object PipelineQueries {
     * composition (a residual sign, a bucket/codebook mix-up, the
     * stored norm, an append that re-trained) hash-fails.
     */
-  private def ivfPqOracleSql(trainPred: String): String = {
+  private def ivfPqOracleSql(trainPred: String,
+      rerank: Option[Int] = None): String = {
     val M = IvfPqM
     val Ksub = IvfPqKsub
     val h = new PqOracleSql(64 / M)
@@ -1246,6 +1247,23 @@ object PipelineQueries {
     val cosEC = Similarity.cosineSql("e.v", "c.centv")
     val cosQC = Similarity.cosineSql("q.qv", "c.centv")
     val cosQE = Similarity.cosineSql("q.qv", "e.v")
+    // final candidate frame: ADC top-3 directly, or (q142) ADC top-R
+    // shortlist re-ranked by EXACT cosine — the two-stage serve
+    val servingTail = rerank match {
+      case None =>
+        "ipq AS (SELECT query_id, rnk, neighbor_id, sim FROM r WHERE rnk <= 3)"
+      case Some(rr) =>
+        s"""short AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= $rr),
+        ex AS (SELECT s.query_id, s.neighbor_id, $cosQE AS sim
+               FROM short s
+               JOIN corpus e ON e.vec_id = s.neighbor_id
+               JOIN q ON q.query_id = s.query_id),
+        ipq AS (SELECT query_id, rnk, neighbor_id, sim FROM (
+                 SELECT query_id, neighbor_id, sim,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, neighbor_id) AS rnk
+                 FROM ex) t2 WHERE rnk <= 3)"""
+    }
     s"""
         WITH corpus AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         cent AS MATERIALIZED (SELECT vec_id AS bucket, CAST(embedding AS DOUBLE[]) AS centv
@@ -1311,7 +1329,7 @@ object PipelineQueries {
                      ROW_NUMBER() OVER (PARTITION BY query_id
                        ORDER BY sim DESC, neighbor_id) AS rnk
               FROM sims),
-        ipq AS (SELECT query_id, rnk, neighbor_id, sim FROM r WHERE rnk <= 3),
+        $servingTail,
         xr AS (SELECT query_id, neighbor_id FROM (
                 SELECT q.query_id, e.vec_id AS neighbor_id,
                        ROW_NUMBER() OVER (PARTITION BY q.query_id
@@ -1415,6 +1433,55 @@ object PipelineQueries {
     },
     Some(ivfPqOracleSql("vec_id % 4 <> 0")))
 
+  /** The q139 layout made SELF-CONTAINED: codes, coarse centroids, and
+    * the trained codebook all persist under one path
+    * ([[graft.operators.Pq.ivfPqWriteIndexFull]]) and serving reads
+    * every input from disk ([[graft.operators.Pq.ivfPqTopKFromIndex]])
+    * — the "open a 100 TB index cold" path a fresh session needs.
+    * Hash-equality against q139's oracle gates the metadata round-trip
+    * (centroid/codebook doubles through parquet, the codes layout, and
+    * the reload plumbing).
+    */
+  val q141IvfPqSelfIndex: QueryDef = QueryDef(
+    "q141_ivfpq_selfindex",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val (assigned, centroids, cb) = ivfPqBuild(emb, lit(true))
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_ivfpqidx_q141_", dir)
+      Pq.ivfPqWriteIndexFull(Pq.ivfPqEncode(assigned, centroids, cb),
+        centroids, cb, path.toString)
+      val queries = emb.filter(col("vec_id") < 10)
+      withExactRecall3(
+        Pq.ivfPqTopKFromIndex(s, path.toString, queries, k = 3, nprobe = 2),
+        emb, queries)
+    },
+    Some(ivfPqOracleSql("TRUE")))
+
+  /** Two-stage IVF-PQ serve ([[graft.operators.Pq.ivfPqTopKReranked]]):
+    * ADC ranks a 10-candidate shortlist per query, then the final
+    * top-3 is ordered by EXACT cosine over only those rows — recall
+    * recovers toward the probed buckets' ceiling while exact math
+    * touches 10 rows per query. The oracle replays the ADC shortlist
+    * AND the exact re-rank, so a shortlist off-by-one, a rounding
+    * mixup between the two stages, or a rerank that re-scored the
+    * wrong vectors hash-fails; the recall3 column measures the
+    * improvement over q138's pure-ADC serve on the same buckets.
+    */
+  val q142IvfPqRerank: QueryDef = QueryDef(
+    "q142_ivfpq_rerank",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val (assigned, centroids, cb) = ivfPqBuild(emb, lit(true))
+      val enc = Pq.ivfPqEncode(assigned, centroids, cb)
+      val queries = emb.filter(col("vec_id") < 10)
+      withExactRecall3(
+        Pq.ivfPqTopKReranked(enc, centroids, cb, emb, queries, k = 3,
+          shortlist = 10, nprobe = 2),
+        emb, queries)
+    },
+    Some(ivfPqOracleSql("TRUE", rerank = Some(10))))
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
@@ -1422,5 +1489,5 @@ object PipelineQueries {
     q108WinnowFingerprint, q114LshNearDup, q123BlockDedup, q125ClusterReps,
     q126TfidfTopK, q128Kmeans, q129SemDedup, q132CurationV3, q133IvfNprobe,
     q134IvfIndex, q136PqAdc, q137IvfAppend, q138IvfPq, q139IvfPqIndex,
-    q140IvfPqAppend)
+    q140IvfPqAppend, q141IvfPqSelfIndex, q142IvfPqRerank)
 }

@@ -417,6 +417,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "no unbroadcast cross product")
   }
 
+  test("q141: self-contained index serves from disk through the same pruned-scan shape") {
+    val p = plan("q141_ivfpq_selfindex")
+    // reloading centroids/codebook from the meta layout must not cost
+    // the serving plan its shape: probed buckets still prune the codes
+    // scan, the LUT is still the one-pass native builder
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(p).isDefined,
+      s"probed buckets must prune as partition filters:\n$p")
+    assert(p.contains("pq_adc"), "native ADC table lookup expected")
+    assert(p.contains("pq_lut"), "query LUT must be the one-pass native builder")
+    assert("HashJoin \\[bucket".r.findFirstIn(p).isDefined,
+      s"candidate join must stay keyed on the bucket id:\n$p")
+    assert(!p.contains("CartesianProduct"), "no unbroadcast cross product")
+  }
+
+  test("q142: rerank fetches shortlist vectors via broadcast — corpus never shuffles") {
+    val p = plan("q142_ivfpq_rerank")
+    // stage 1 must stay the ADC scorer; stage 2's vector fetch must be
+    // the broadcast-class shortlist joined INTO the corpus scan on the
+    // neighbor id — an exchange of the corpus for the rerank would
+    // defeat the two-stage design at 100 TB
+    assert(p.contains("pq_adc"), "ADC shortlist stage expected")
+    assert("BroadcastHashJoin \\[neighbor_id".r.findFirstIn(p).isDefined,
+      s"shortlist fetch must broadcast-join the corpus on neighbor_id:\n$p")
+    assert(p.contains("WindowGroupLimit"), "top-k must push group limits")
+    assert(!p.contains("CartesianProduct"), "no unbroadcast cross product")
+  }
+
   test("q132: flagship v3 reads every post-SemDeDup stage off the ONE materialized survivor frame") {
     val p = plan("q132_curation_v3")
     // the SemDeDup survivors' (doc_id, text) frame is localCheckpoint'ed

@@ -246,6 +246,57 @@ class PqSpec extends AnyFunSuite {
       s"appended layout drifted from the fresh union encode:\n$served\nvs\n$fresh")
   }
 
+  test("self-contained index: serve-from-path equals the in-session serve") {
+    // q141 at the engine level: codes + centroids + codebook all
+    // round-trip through the meta layout and a serve that reads ONLY
+    // the path must match the in-session frames bit for bit
+    val df = fixture
+    val centroids = df.filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val assigned = Similarity.ivfAssign(df, centroids)
+    val cb = Pq.pqTrain(Pq.ivfResiduals(assigned, centroids),
+      m = 2, ksub = 4, iters = 1, vecCol = "resid")
+    val enc = Pq.ivfPqEncode(assigned, centroids, cb)
+    val queries = df.filter(col("vec_id") < 3)
+    val inSession = Pq.ivfPqTopK(enc, centroids, cb, queries,
+        k = 3, nprobe = 2)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val path = TmpWorkspaces.pidScoped("graft_ivfpqidx_spec_", "selfidx")
+    Pq.ivfPqWriteIndexFull(enc, centroids, cb, path.toString)
+    val served = Pq.ivfPqTopKFromIndex(spark, path.toString, queries,
+        k = 3, nprobe = 2)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(inSession.nonEmpty && served == inSession,
+      s"self-contained serve drifted from the in-session serve:\n$served\nvs\n$inSession")
+  }
+
+  test("rerank with a full-width shortlist equals the exact probed-bucket top-k") {
+    // with shortlist >= every candidate set, the ADC stage filters
+    // nothing and the exact re-rank must reproduce ivfTopKProbed (same
+    // probed buckets, same exact cosine, same tie-break) row for row —
+    // pinning that stage 2 scores the right vectors with the right math
+    val df = fixture
+    val centroids = df.filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val assigned = Similarity.ivfAssign(df, centroids)
+    val cb = Pq.pqTrain(Pq.ivfResiduals(assigned, centroids),
+      m = 2, ksub = 4, iters = 1, vecCol = "resid")
+    val enc = Pq.ivfPqEncode(assigned, centroids, cb)
+    val queries = df.filter(col("vec_id") < 3)
+    val reranked = Pq.ivfPqTopKReranked(enc, centroids, cb, df, queries,
+        k = 3, shortlist = 12, nprobe = 2)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val exactProbed = Similarity.ivfTopKProbed(assigned, centroids,
+        queries.select("vec_id"), k = 3, nprobe = 2)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(reranked.nonEmpty && reranked == exactProbed,
+      s"full-width rerank drifted from exact probed top-k:\n$reranked\nvs\n$exactProbed")
+  }
+
   test("training tolerates dead codes: ksub > distinct vectors still serves") {
     // 3 distinct vectors, ksub=4: at least one cluster dies or
     // duplicates; remap must stay dense and serving must not index a
