@@ -515,6 +515,32 @@ object Pq {
       spark.read.parquet(s"$path/meta/codebook"),
       queries, k, nprobe, idCol, vecCol, "centroid_id", maxProbedBuckets)
 
+  /** Appends a RAW-vector delta to a self-contained index
+    * ([[ivfPqWriteIndexFull]]) using ONLY the path: coarse centroids
+    * and the frozen codebook are read from `meta/`, the delta is
+    * assigned, residual-encoded, and bucket-appended under `codes/` —
+    * the day-2 op with no handle to the build session (q140's append
+    * still required the builder's in-session frames). Same frozen-
+    * codebook drift semantic and NOT-IDEMPOTENT contract as
+    * [[ivfPqAppendIndex]]; the metadata is never rewritten (append
+    * must not retrain — a metadata rewrite here would be rebuild
+    * semantics wearing append's name).
+    */
+  def ivfPqAppendToIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      delta: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val centroids = spark.read.parquet(s"$path/meta/centroids")
+      .withColumnRenamed("embedding", vecCol)
+    val codebook = spark.read.parquet(s"$path/meta/codebook")
+    val assigned = Similarity.ivfAssign(delta, centroids, idCol, vecCol,
+      "centroid_id")
+    ivfPqAppendIndex(
+      ivfPqEncode(assigned, centroids, codebook, idCol, vecCol,
+        "centroid_id"),
+      s"$path/codes")
+  }
+
   /** IVF-PQ serving with EXACT re-ranking (the standard two-stage ANN
     * serve, Jégou et al. §V.C): ADC ranks a `shortlist` of R ≥ k
     * candidates per query from the code rows — cheap, approximate —

@@ -264,4 +264,54 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tok"), col("nll"),
         (col("nll") <= lit(nllThreshold)).as("kept"))
   }
+
+  /** Top-k adjacent character pairs over the corpus's normalized words
+    * — the FIRST MERGE iteration of a BPE tokenizer trainer (Sennrich
+    * et al. 2016, "Neural Machine Translation of Rare Words with
+    * Subword Units" — public): BPE training is rounds of "count all
+    * adjacent symbol pairs, merge the most frequent", and this is that
+    * count at the character stage, the tokenizer-prep pass a training
+    * pipeline runs over its own corpus. Words come from
+    * [[TextOps.tokens]] (the repo-wide normalize+split convention, so
+    * the oracle twin shares the text arithmetic); pairs are
+    * `substr(word, i, 2)` for i in 1..len−1.
+    *
+    * 100 TB posture: the pair explode is corpus-linear and narrow on
+    * the scan; the pair alphabet is BOUNDED by construction ([a-z0-9]²
+    * = 1,296 keys after normalization), so the groupBy partial-
+    * aggregates to ≤1,296 rows per map partition before a trivial
+    * shuffle, and the final global rank orders ≤1,296 rows — the
+    * unpartitioned window is over the pair VOCABULARY, never the
+    * corpus. Deterministic tie-break (cnt desc, pair asc).
+    */
+  def bpePairCounts(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("pair"))
+    df.select(explode(TextOps.tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("tok")) - 1),
+        i => col("tok").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** DuckDB twin of [[bpePairCounts]] (same normalization, same
+    * substr pairing, same tie-break).
+    */
+  def bpePairCountsSql(table: String, textCol: String, k: Int): String =
+    s"""
+      WITH toks AS (SELECT unnest(${TextOps.tokensSql(textCol)}) AS tok
+                    FROM $table),
+      p AS (SELECT substr(tok, CAST(i AS INT), 2) AS pair
+            FROM (SELECT tok, unnest(generate_series(1, len(tok) - 1)) AS i
+                  FROM toks WHERE len(tok) >= 2) t),
+      c AS (SELECT pair, COUNT(*) AS cnt FROM p GROUP BY 1)
+      SELECT pair, CAST(cnt AS BIGINT) AS cnt, CAST(rk AS BIGINT) AS rk
+      FROM (SELECT pair, cnt,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rk
+            FROM c) z
+      WHERE rk <= $k
+      ORDER BY rk
+    """
 }

@@ -1482,6 +1482,50 @@ object PipelineQueries {
     },
     Some(ivfPqOracleSql("TRUE", rerank = Some(10))))
 
+  /** The COMPLETE cold lifecycle on one path (q140 × q141): the base
+    * 3/4 builds a self-contained index (codebook trained on base
+    * only), then the remaining quarter is appended with
+    * [[graft.operators.Pq.ivfPqAppendToIndex]] — centroids and the
+    * frozen codebook read from `meta/`, no handle to the build
+    * session — and serving reads everything from the path. Oracle:
+    * the same frozen-codebook fresh-encode-on-union replay as q140,
+    * so a cold append that retrained, re-derived different metadata,
+    * or wrote through the wrong layout hash-fails.
+    */
+  val q143IvfPqColdAppend: QueryDef = QueryDef(
+    "q143_ivfpq_cold_append",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val basePred = col("vec_id") % 4 =!= 0
+      val (assigned, centroids, cb) = ivfPqBuild(emb, basePred)
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_ivfpqidx_q143_", dir)
+      Pq.ivfPqWriteIndexFull(
+        Pq.ivfPqEncode(assigned.filter(basePred), centroids, cb),
+        centroids, cb, path.toString)
+      // day-2: append the delta with ONLY the path in hand
+      Pq.ivfPqAppendToIndex(s, path.toString, emb.filter(!basePred))
+      val queries = emb.filter(col("vec_id") < 10)
+      withExactRecall3(
+        Pq.ivfPqTopKFromIndex(s, path.toString, queries, k = 3, nprobe = 2),
+        emb, queries)
+    },
+    Some(ivfPqOracleSql("vec_id % 4 <> 0")))
+
+  /** Tokenizer-prep over the corpus
+    * ([[graft.operators.TextAnalysis.bpePairCounts]]): the top-20
+    * adjacent character pairs of the normalized words — the first
+    * merge iteration of a BPE trainer, counted corpus-wide with the
+    * pair alphabet bounded at 1,296 keys so the rank window never
+    * touches corpus-sized data.
+    */
+  val q144BpePairs: QueryDef = QueryDef(
+    "q144_bpe_pairs",
+    (s, dir) =>
+      TextAnalysis.bpePairCounts(Tables.load(s, dir, "documents"),
+        "text", 20).orderBy(col("rk")),
+    Some(TextAnalysis.bpePairCountsSql("documents", "text", 20)))
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
@@ -1489,5 +1533,6 @@ object PipelineQueries {
     q108WinnowFingerprint, q114LshNearDup, q123BlockDedup, q125ClusterReps,
     q126TfidfTopK, q128Kmeans, q129SemDedup, q132CurationV3, q133IvfNprobe,
     q134IvfIndex, q136PqAdc, q137IvfAppend, q138IvfPq, q139IvfPqIndex,
-    q140IvfPqAppend, q141IvfPqSelfIndex, q142IvfPqRerank)
+    q140IvfPqAppend, q141IvfPqSelfIndex, q142IvfPqRerank,
+    q143IvfPqColdAppend, q144BpePairs)
 }

@@ -444,6 +444,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "no unbroadcast cross product")
   }
 
+  test("q143: cold-appended self-contained index serves through a pruned scan") {
+    val p = plan("q143_ivfpq_cold_append")
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(p).isDefined,
+      s"probed buckets must prune as partition filters after the cold append:\n$p")
+    assert(p.contains("pq_adc"), "native ADC table lookup expected")
+    assert("HashJoin \\[bucket".r.findFirstIn(p).isDefined,
+      s"candidate join must stay keyed on the bucket id:\n$p")
+    assert(!p.contains("CartesianProduct"), "no unbroadcast cross product")
+  }
+
+  test("q144: BPE pair counts partial-aggregate before the bounded-vocab rank") {
+    val p = plan("q144_bpe_pairs")
+    // the corpus-sized work is the two generators on the scan; the
+    // shuffle carries the <=1296-key pair vocabulary (map-side combine)
+    // and the unpartitioned rank window orders only that vocabulary
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"pair counts must map-side combine:\n$p")
+    assert(p.contains("Generate explode"), "token/pair explode expected")
+    // the unpartitioned rank pushes as a GLOBAL top-k below the window
+    // (TakeOrderedAndProject — even stronger than a WindowGroupLimit)
+    assert(p.contains("TakeOrderedAndProject") || p.contains("WindowGroupLimit"),
+      s"the rk <= k filter must push into the sort:\n$p")
+    assert(!p.contains("Join"), "pairing must be explode-only, never a join")
+  }
+
   test("q132: flagship v3 reads every post-SemDeDup stage off the ONE materialized survivor frame") {
     val p = plan("q132_curation_v3")
     // the SemDeDup survivors' (doc_id, text) frame is localCheckpoint'ed

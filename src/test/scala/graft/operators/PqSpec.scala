@@ -297,6 +297,37 @@ class PqSpec extends AnyFunSuite {
       s"full-width rerank drifted from exact probed top-k:\n$reranked\nvs\n$exactProbed")
   }
 
+  test("cold append from the path alone equals the frozen-codebook union encode") {
+    // q143 at the engine level: ivfPqAppendToIndex reads centroids and
+    // the frozen codebook from meta/ (no build-session frames) and the
+    // appended layout must serve exactly like encoding the union with
+    // the same codebook in-session
+    val df = fixture
+    val centroids = df.filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val basePred = col("vec_id") % 4 =!= 0
+    val assigned = Similarity.ivfAssign(df, centroids)
+    val cb = Pq.pqTrain(Pq.ivfResiduals(assigned.filter(basePred), centroids),
+      m = 2, ksub = 4, iters = 1, vecCol = "resid")
+    val path = TmpWorkspaces.pidScoped("graft_ivfpqidx_spec_", "coldapnd")
+    Pq.ivfPqWriteIndexFull(
+      Pq.ivfPqEncode(assigned.filter(basePred), centroids, cb),
+      centroids, cb, path.toString)
+    Pq.ivfPqAppendToIndex(spark, path.toString,
+      df.filter(col("vec_id") % 4 === 0))
+    val queries = df.filter(col("vec_id") < 3)
+    val served = Pq.ivfPqTopKFromIndex(spark, path.toString, queries,
+        k = 3, nprobe = 2)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val fresh = Pq.ivfPqTopK(Pq.ivfPqEncode(assigned, centroids, cb),
+        centroids, cb, queries, k = 3, nprobe = 2)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(fresh.nonEmpty && served == fresh,
+      s"cold append drifted from the frozen-codebook union encode:\n$served\nvs\n$fresh")
+  }
+
   test("training tolerates dead codes: ksub > distinct vectors still serves") {
     // 3 distinct vectors, ksub=4: at least one cluster dies or
     // duplicates; remap must stay dense and serving must not index a

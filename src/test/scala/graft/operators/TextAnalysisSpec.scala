@@ -56,6 +56,21 @@ class TextAnalysisSpec extends AnyFunSuite {
       (3L, "x", 1L, 3L, lnX, 1L)))
   }
 
+  test("bpePairCounts: hand-counted adjacent char pairs, normalized, tie-broken") {
+    // "Ab-ab!" normalizes to "ab ab" -> words [ab, ab] -> pair ab x2;
+    // "banana" -> ba, an, na, an, na; "x" has no pair (len 1);
+    // expected counts: an 2, na 2, ab 2, ba 1 -> tie-break pair asc
+    val docs = Seq(
+      (1L, "Ab-ab!"),
+      (2L, "banana"),
+      (3L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpePairCounts(docs, "text", k = 10)
+      .orderBy("rk")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("ab", 2L, 1L), ("an", 2L, 2L), ("na", 2L, 3L), ("ba", 1L, 4L)))
+  }
+
   private def round6(d: Double): Double =
     BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
