@@ -541,6 +541,33 @@ object Pq {
       s"$path/codes")
   }
 
+  /** Per-bucket occupancy and norm-range stats of a written IVF-PQ
+    * index (`codes/` of [[ivfPqWriteIndexFull]] or the bare
+    * [[ivfPqWriteIndex]] layout) — the operational surface a served
+    * index needs: bucket SKEW is what drives probe-cost variance (a
+    * hot bucket makes every query probing it pay its size), `n_vecs`
+    * distribution is the re-balance / re-train signal, and the row
+    * counts double as a layout-integrity audit (a dropped or
+    * double-appended bucket shows immediately — the
+    * [[ivfPqAppendIndex]] idempotency audit, cheaper than the full
+    * groupBy-id scan its scaladoc describes when per-bucket counts
+    * are enough to localize damage).
+    *
+    * Reads only (bucket, codes, cn) — never vectors; one narrow scan,
+    * partial-aggregated to ≤K rows per partition before a K-row
+    * shuffle. Min/max are order-independent, so the doubles are
+    * deterministic under any partitioning (an avg would not be — the
+    * parallel sum order varies); counts are exact.
+    */
+  def ivfPqIndexStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(size(col("codes")).cast("long")).as("n_codes"),
+        round(min(col("cn")), 6).as("min_cn"),
+        round(max(col("cn")), 6).as("max_cn"))
+
   /** IVF-PQ serving with EXACT re-ranking (the standard two-stage ANN
     * serve, Jégou et al. §V.C): ADC ranks a `shortlist` of R ≥ k
     * candidates per query from the code rows — cheap, approximate —

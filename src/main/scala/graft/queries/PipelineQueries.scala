@@ -1238,34 +1238,20 @@ object PipelineQueries {
     * composition (a residual sign, a bucket/codebook mix-up, the
     * stored norm, an append that re-trained) hash-fails.
     */
-  private def ivfPqOracleSql(trainPred: String,
-      rerank: Option[Int] = None): String = {
+  /** The build-side CTE chain shared by EVERY IVF-PQ oracle — coarse
+    * assignment through the encode-time reconstruction norms (`cnrm`).
+    * The serving oracles ([[ivfPqOracleSql]]) append the probe/ADC/
+    * rank tail; the stats oracle (q145) aggregates `rs`/`cnrm`
+    * directly. One text, so the replayed training arithmetic cannot
+    * drift between gates.
+    */
+  private def ivfPqOracleCtes(trainPred: String): String = {
     val M = IvfPqM
     val Ksub = IvfPqKsub
     val h = new PqOracleSql(64 / M)
     import h.{sub, assign, update}
     val cosEC = Similarity.cosineSql("e.v", "c.centv")
-    val cosQC = Similarity.cosineSql("q.qv", "c.centv")
-    val cosQE = Similarity.cosineSql("q.qv", "e.v")
-    // final candidate frame: ADC top-3 directly, or (q142) ADC top-R
-    // shortlist re-ranked by EXACT cosine — the two-stage serve
-    val servingTail = rerank match {
-      case None =>
-        "ipq AS (SELECT query_id, rnk, neighbor_id, sim FROM r WHERE rnk <= 3)"
-      case Some(rr) =>
-        s"""short AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= $rr),
-        ex AS (SELECT s.query_id, s.neighbor_id, $cosQE AS sim
-               FROM short s
-               JOIN corpus e ON e.vec_id = s.neighbor_id
-               JOIN q ON q.query_id = s.query_id),
-        ipq AS (SELECT query_id, rnk, neighbor_id, sim FROM (
-                 SELECT query_id, neighbor_id, sim,
-                        ROW_NUMBER() OVER (PARTITION BY query_id
-                          ORDER BY sim DESC, neighbor_id) AS rnk
-                 FROM ex) t2 WHERE rnk <= 3)"""
-    }
-    s"""
-        WITH corpus AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""corpus AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         cent AS MATERIALIZED (SELECT vec_id AS bucket, CAST(embedding AS DOUBLE[]) AS centv
                 FROM embeddings WHERE vec_id % 50 = 0),
         coarse AS MATERIALIZED (SELECT vec_id, v, bucket, centv FROM (
@@ -1304,7 +1290,34 @@ object PipelineQueries {
                 FROM rs s JOIN rec r USING (vec_id)),
         cnrm AS MATERIALIZED (SELECT vec_id,
                        sqrt(${Similarity.dotSql("fullv", "fullv")}) AS cn
-                FROM cnf),
+                FROM cnf)"""
+  }
+
+  private def ivfPqOracleSql(trainPred: String,
+      rerank: Option[Int] = None): String = {
+    val cosQC = Similarity.cosineSql("q.qv", "c.centv")
+    val cosQE = Similarity.cosineSql("q.qv", "e.v")
+    val h = new PqOracleSql(64 / IvfPqM)
+    import h.sub
+    // final candidate frame: ADC top-3 directly, or (q142) ADC top-R
+    // shortlist re-ranked by EXACT cosine — the two-stage serve
+    val servingTail = rerank match {
+      case None =>
+        "ipq AS (SELECT query_id, rnk, neighbor_id, sim FROM r WHERE rnk <= 3)"
+      case Some(rr) =>
+        s"""short AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= $rr),
+        ex AS (SELECT s.query_id, s.neighbor_id, $cosQE AS sim
+               FROM short s
+               JOIN corpus e ON e.vec_id = s.neighbor_id
+               JOIN q ON q.query_id = s.query_id),
+        ipq AS (SELECT query_id, rnk, neighbor_id, sim FROM (
+                 SELECT query_id, neighbor_id, sim,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY sim DESC, neighbor_id) AS rnk
+                 FROM ex) t2 WHERE rnk <= 3)"""
+    }
+    s"""
+        WITH ${ivfPqOracleCtes(trainPred)},
         q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv,
                      sqrt(${Similarity.dotSql("v", "v")}) AS qn
               FROM corpus WHERE vec_id < 10),
@@ -1512,6 +1525,38 @@ object PipelineQueries {
     },
     Some(ivfPqOracleSql("vec_id % 4 <> 0")))
 
+  /** The index's operational surface
+    * ([[graft.operators.Pq.ivfPqIndexStats]]): per-bucket occupancy,
+    * code counts, and reconstruction-norm ranges read from the written
+    * layout — the skew-monitoring / integrity-audit pass. The oracle
+    * re-derives every row from the full build replay (assignment
+    * counts × m codes, min/max of the encode-time norms per bucket),
+    * so a bucket directory that lost or duplicated rows, or a norm
+    * that drifted through the write, hash-fails.
+    */
+  val q145IvfPqStats: QueryDef = QueryDef(
+    "q145_ivfpq_stats",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val (assigned, centroids, cb) = ivfPqBuild(emb, lit(true))
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_ivfpqidx_q145_", dir)
+      Pq.ivfPqWriteIndexFull(Pq.ivfPqEncode(assigned, centroids, cb),
+        centroids, cb, path.toString)
+      Pq.ivfPqIndexStats(s, s"${path.toString}/codes").orderBy(col("bucket"))
+    },
+    Some(s"""
+        WITH ${ivfPqOracleCtes("TRUE")}
+        SELECT r.bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(COUNT(*) * $IvfPqM AS BIGINT) AS n_codes,
+               round(min(n.cn), 6) AS min_cn,
+               round(max(n.cn), 6) AS max_cn
+        FROM cnrm n JOIN rs r USING (vec_id)
+        GROUP BY r.bucket
+        ORDER BY r.bucket
+    """))
+
   /** Tokenizer-prep over the corpus
     * ([[graft.operators.TextAnalysis.bpePairCounts]]): the top-20
     * adjacent character pairs of the normalized words — the first
@@ -1534,5 +1579,5 @@ object PipelineQueries {
     q126TfidfTopK, q128Kmeans, q129SemDedup, q132CurationV3, q133IvfNprobe,
     q134IvfIndex, q136PqAdc, q137IvfAppend, q138IvfPq, q139IvfPqIndex,
     q140IvfPqAppend, q141IvfPqSelfIndex, q142IvfPqRerank,
-    q143IvfPqColdAppend, q144BpePairs)
+    q143IvfPqColdAppend, q144BpePairs, q145IvfPqStats)
 }

@@ -469,6 +469,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "pairing must be explode-only, never a join")
   }
 
+  test("q145: index stats read codes+norms only and partial-aggregate to bucket rows") {
+    val p = plan("q145_ivfpq_stats")
+    // the audit must never touch vectors: the scan reads the narrow
+    // (bucket, codes, cn) projection and combines map-side, so the
+    // shuffle carries <=K bucket rows, not the index
+    assert(p.contains("partial_count"), s"stats must map-side combine:\n$p")
+    assert(!p.contains("Join"), "stats is one grouped scan, never a join")
+    assert("ReadSchema: struct<vec_id:[^,]*,codes:".r.findFirstIn(p).isDefined ||
+      !p.contains("embedding"),
+      s"the stats scan must not read embedding vectors:\n$p")
+  }
+
   test("q132: flagship v3 reads every post-SemDeDup stage off the ONE materialized survivor frame") {
     val p = plan("q132_curation_v3")
     // the SemDeDup survivors' (doc_id, text) frame is localCheckpoint'ed
