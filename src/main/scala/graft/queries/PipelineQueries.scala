@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.operators.{Clustering, Curation, Dedup, Pq, Similarity, TextAnalysis, TextOps}
+import graft.operators.{Clustering, Curation, Dedup, Pq, Retrieval, Similarity, TextAnalysis, TextOps}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -1571,6 +1571,72 @@ object PipelineQueries {
         "text", 20).orderBy(col("rk")),
     Some(TextAnalysis.bpePairCountsSql("documents", "text", 20)))
 
+  /** BM25 top-10 keyword retrieval ([[graft.operators.Retrieval
+    * .bm25TopK]]): 8 query documents rank the corpus by the standard
+    * Lucene-idf BM25 (k1=1.2, b=0.75 as exact rationals), computed
+    * entirely in fixed point so the DuckDB replay of the inverted
+    * index, df counts, and per-term floored contributions hash-matches
+    * exactly. The retrieval counterpart of the curation family —
+    * decontamination probes and eval-set mining run exactly this
+    * query shape over a training corpus.
+    */
+  val q146Bm25: QueryDef = QueryDef(
+    "q146_bm25_topk",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Retrieval.bm25TopK(docs, docs.filter(col("doc_id") < 8), k = 10)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some(s"""
+      WITH ${Retrieval.bm25CtesSql("documents", "doc_id", "text", "doc_id < 8", 10)}
+      SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id,
+             round(score_fp / ${Retrieval.ScoreScale}, 6) AS score
+      FROM bm25
+      ORDER BY query_id, rnk
+    """))
+
+  /** Hybrid retrieval ([[graft.operators.Retrieval.rrfFuse]]): BM25's
+    * top-20 lexical shortlist and brute-force cosine's top-20 semantic
+    * shortlist (the same 8 query ids on the paired documents /
+    * embeddings tables) fuse by reciprocal-rank fusion into one top-10
+    * — the standard two-tower retrieval stack. Scores are
+    * fixed-point floor(1e6/(60+rank)) sums, so the fused ordering is
+    * exact; the oracle replays BOTH rankers and the fusion.
+    */
+  val q147HybridRrf: QueryDef = QueryDef(
+    "q147_hybrid_rrf",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val lex = Retrieval
+        .bm25TopK(docs, docs.filter(col("doc_id") < 8), k = 20)
+        .select(col("query_id"), col("doc_id").as("neighbor_id"), col("rnk"))
+      val sem = Similarity
+        .bruteForceTopK(emb, emb.filter(col("vec_id") < 8), k = 20)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rnk"))
+      Retrieval.rrfFuse(Seq(lex, sem), k = 10)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some(s"""
+      WITH ${Retrieval.bm25CtesSql("documents", "doc_id", "text", "doc_id < 8", 20)},
+      lex AS (SELECT query_id, doc_id AS neighbor_id, rnk FROM bm25),
+      cq AS (SELECT vec_id AS query_id, embedding AS qv
+             FROM embeddings WHERE vec_id < 8),
+      cc AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      sims AS (SELECT query_id, neighbor_id, ${Similarity.cosineSql("cq.qv", "cc.cv")} AS sim
+               FROM cc JOIN cq ON neighbor_id <> query_id),
+      sem AS (SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id) AS rnk
+              FROM sims QUALIFY rnk <= 20),
+      ${Retrieval.rrfFuseSql(Seq("lex", "sem"), 10)}
+      SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+             CAST(rrf_fp AS BIGINT) AS rrf_fp
+      FROM fused
+      ORDER BY query_id, rnk
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
@@ -1579,5 +1645,6 @@ object PipelineQueries {
     q126TfidfTopK, q128Kmeans, q129SemDedup, q132CurationV3, q133IvfNprobe,
     q134IvfIndex, q136PqAdc, q137IvfAppend, q138IvfPq, q139IvfPqIndex,
     q140IvfPqAppend, q141IvfPqSelfIndex, q142IvfPqRerank,
-    q143IvfPqColdAppend, q144BpePairs, q145IvfPqStats)
+    q143IvfPqColdAppend, q144BpePairs, q145IvfPqStats,
+    q146Bm25, q147HybridRrf)
 }

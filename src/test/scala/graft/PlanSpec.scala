@@ -481,6 +481,33 @@ class PlanSpec extends AnyFunSuite {
       s"the stats scan must not read embedding vectors:\n$p")
   }
 
+  test("q146: BM25 stats all read the ONE materialized inverted index; only pruned query scans touch parquet") {
+    val p = plan("q146_bm25_topk")
+    // the corpus tokenize+tf aggregation materializes once
+    // (localCheckpoint); dl, df, and the posting join read it back —
+    // any parquet scan left must carry the query-side doc_id<8 prune
+    assert(p.contains("Scan ExistingRDD"),
+      s"the inverted index must be the materialized frame:\n$p")
+    val unpruned = "FileScan parquet [^\\n]*".r.findAllIn(p)
+      .filterNot(_.contains("LessThan(doc_id,8)")).toSeq
+    assert(unpruned.isEmpty,
+      s"every remaining parquet scan must be the pruned query side:\n$unpruned")
+    assert(p.contains("BroadcastHashJoin"), "query-term joins must broadcast")
+    assert(p.contains("partial_sum"), "score sums must map-side combine")
+    assert(p.contains("WindowGroupLimit"), "per-query top-k must push into the sort")
+    assert(!p.contains("CartesianProduct"), "the 1-row stats join must broadcast")
+  }
+
+  test("q147: hybrid fusion unions two pushed-top-k shortlists, semantic side native vec_dot") {
+    val p = plan("q147_hybrid_rrf")
+    assert(p.contains("Union"), "rankers must union, not join")
+    assert(p.contains("vec_dot"), "semantic shortlist must use the native dot")
+    // both shortlists AND the fused rank push their k into the sort
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 4,
+      s"shortlist and fusion top-k must all push:\n$p")
+    assert(!p.contains("CartesianProduct"), "no unbroadcast cross product")
+  }
+
   test("q132: flagship v3 reads every post-SemDeDup stage off the ONE materialized survivor frame") {
     val p = plan("q132_curation_v3")
     // the SemDeDup survivors' (doc_id, text) frame is localCheckpoint'ed
