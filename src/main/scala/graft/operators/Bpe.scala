@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer training and application (Sennrich et
+  * al. 2016, "Neural Machine Translation of Rare Words with Subword
+  * Units" — public; the algorithm GPT-2/LLaMA-family tokenizers build
+  * on). Training is rounds of "count all adjacent symbol pairs over
+  * the word-frequency table, merge the most frequent everywhere";
+  * application replays the learned merges over a corpus and counts the
+  * resulting subword tokens — the tokenizer-prep + token-accounting
+  * passes a training pipeline runs over its own data.
+  *
+  * Segmentation encoding: a word's current symbol sequence is a single
+  * string — symbols joined by TWO spaces, the whole wrapped in single
+  * spaces (`"hello"` → `" h  e  l  l  o "`). Symbols are `[a-z0-9]+`
+  * (the repo-wide [[TextOps.normalize]] alphabet), so `" l  r "` can
+  * only match symbol boundaries, and a literal left-to-right
+  * non-overlapping `replace(seq, " l  r ", " lr ")` implements exactly
+  * the greedy leftmost BPE merge — including the `"aaa"` overlap case
+  * — because consuming the pair's trailing space leaves the next
+  * separator's other space in place. Both engines' `replace` share
+  * that contract, so the DuckDB oracle replays training bit-for-bit
+  * with no regex (RE2 has no lookarounds) and no UDF.
+  *
+  * 100 TB posture: the corpus is scanned ONCE (word counts — the same
+  * partial-aggregated explode as every text operator); the train loop
+  * then runs entirely on the VOCABULARY-sized word-frequency table
+  * (localCheckpoint'd, re-checkpointed each merge so lineage stays
+  * flat), with one bounded-key pair aggregation and a single-row
+  * collect per merge. Application is one narrow corpus pass — the
+  * merge chain is N nested literal replaces inside codegen — plus a
+  * per-doc sum.
+  */
+object Bpe {
+
+  /** `"hello"` → `" h  e  l  l  o "` (see the encoding contract above). */
+  private def charSeq(word: Column): Column =
+    concat(lit(" "),
+      array_join(transform(sequence(lit(1), length(word)),
+        i => word.substr(i, lit(1))), "  "),
+      lit(" "))
+
+  /** DuckDB twin of [[charSeq]]. */
+  private def charSeqSql(word: String): String =
+    s"' ' || array_to_string([$word[j] for j in generate_series(1, len($word))], '  ') || ' '"
+
+  /** One learned merge: at `step`, symbols (`lft`,`rgt`) — the pair
+    * with the highest frequency-weighted count, ties broken by
+    * (lft, rgt) — fused everywhere; `cnt` is that winning count.
+    */
+  final case class Merge(step: Int, lft: String, rgt: String, cnt: Long)
+
+  /** The corpus word-frequency table: (word, cnt), one scan. */
+  def wordFreq(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** Adjacent symbol pairs of the current segmentation, weighted by
+    * word frequency: (lft, rgt, pc). All adjacent POSITIONS count
+    * (`"a a a"` has (a,a) twice), per the reference algorithm.
+    */
+  private def pairCounts(words: DataFrame): DataFrame = {
+    val syms = split(trim(col("seq")), "  ")
+    words.select(col("cnt"), syms.as("syms"))
+      .filter(size(col("syms")) >= 2)
+      .select(col("cnt"), explode(transform(
+        sequence(lit(1), size(col("syms")) - 1),
+        i => struct(element_at(col("syms"), i).as("lft"),
+          element_at(col("syms"), i + 1).as("rgt")))).as("p"))
+      .groupBy(col("p.lft").as("lft"), col("p.rgt").as("rgt"))
+      .agg(sum(col("cnt")).as("pc"))
+  }
+
+  /** Train `nMerges` BPE merges over the corpus. Returns the merge
+    * list in order; stops early if the pair supply dries up. The
+    * single-row collect per merge is the algorithm's sequential
+    * dependency (merge i+1's counts depend on merge i's rewrite), not
+    * an implementation shortcut.
+    */
+  def trainMerges(
+      df: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
+    var words = wordFreq(df, textCol)
+      .select(col("cnt"), charSeq(col("word")).as("seq"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[Merge]
+    var step = 1
+    var dry = false
+    while (step <= nMerges && !dry) {
+      val best = pairCounts(words)
+        .orderBy(col("pc").desc, col("lft"), col("rgt"))
+        .limit(1).collect()
+      if (best.isEmpty) dry = true
+      else {
+        val (l, r, pc) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += Merge(step, l, r, pc)
+        words = words
+          .withColumn("seq", call_function("replace",
+            col("seq"), lit(s" $l  $r "), lit(s" $l$r ")))
+          .localCheckpoint()
+        step += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** The learned merges as a (step, lft, rgt, cnt) frame. */
+  def mergesDf(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.toDF("step", "lft", "rgt", "cnt")
+      .select(col("step").cast("long"), col("lft"), col("rgt"), col("cnt"))
+  }
+
+  /** Apply learned merges to a corpus and count the resulting subword
+    * tokens per document: (id, n_words, n_bpe). One narrow corpus pass
+    * (the merge chain is nested literal replaces) + one keyed sum;
+    * zero merges means n_bpe = character count.
+    */
+  def encodeTokenCounts(
+      df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val seqN = merges.foldLeft(charSeq(col("word"))) { (s, m) =>
+      call_function("replace", s,
+        lit(s" ${m.lft}  ${m.rgt} "), lit(s" ${m.lft}${m.rgt} "))
+    }
+    df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .withColumn("n", size(split(trim(seqN), "  ")).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n")).as("n_bpe"))
+  }
+
+  // ------------------------------------------------------------------
+  // DuckDB oracle builders: unrolled training replay
+  // ------------------------------------------------------------------
+
+  /** CTE chain replaying [[trainMerges]]: `wc` (word counts), `w0`
+    * (initial segmentations), then per merge i: `c{i}` (pair counts),
+    * `b{i}` (the winner), `w{i}` (the rewrite). Callers append a tail
+    * over `b1..bN` ([[trainOracleTailSql]]) or over `wN`/the merge
+    * scalars ([[encodeOracleSql]]).
+    */
+  def trainOracleCtes(table: String, textCol: String, nMerges: Int): String = {
+    val base = s"""
+      wc AS (SELECT word, COUNT(*) AS cnt
+             FROM (SELECT unnest(${TextOps.tokensSql(textCol)}) AS word
+                   FROM $table) t
+             WHERE word <> '' GROUP BY 1),
+      w0 AS (SELECT cnt, ${charSeqSql("word")} AS seq FROM wc)"""
+    val steps = (1 to nMerges).map { i =>
+      s"""
+      c$i AS (SELECT syms[j] AS lft, syms[j + 1] AS rgt, SUM(cnt) AS pc
+              FROM (SELECT cnt, syms,
+                           unnest(generate_series(1, len(syms) - 1)) AS j
+                    FROM (SELECT cnt, string_split(trim(seq), '  ') AS syms
+                          FROM w${i - 1})
+                    WHERE len(syms) >= 2) t
+              GROUP BY 1, 2),
+      b$i AS (SELECT lft, rgt, CAST(pc AS BIGINT) AS pc FROM c$i
+              ORDER BY pc DESC, lft, rgt LIMIT 1),
+      w$i AS (SELECT cnt, replace(seq, ' ' || b.lft || '  ' || b.rgt || ' ',
+                                  ' ' || b.lft || b.rgt || ' ') AS seq
+              FROM w${i - 1} CROSS JOIN b$i b)"""
+    }
+    (base +: steps).mkString(",")
+  }
+
+  /** Tail over [[trainOracleCtes]]: the ordered merge table. */
+  def trainOracleTailSql(nMerges: Int): String = {
+    val rows = (1 to nMerges).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, lft, rgt, pc AS cnt FROM b$i")
+    s"""
+      SELECT step, lft, rgt, cnt
+      FROM (${rows.mkString("\n      UNION ALL ")})
+      ORDER BY step"""
+  }
+
+  /** Full encode replay: train CTEs + per-doc token counting with the
+    * merge chain applied as nested replaces (each merge's strings come
+    * from its `b{i}` scalar subqueries — exactly the literals the
+    * Spark side embeds after its collects).
+    */
+  def encodeOracleSql(
+      table: String, idCol: String, textCol: String, nMerges: Int): String = {
+    val seqN = (1 to nMerges).foldLeft(charSeqSql("word")) { (s, i) =>
+      s"""replace($s, (SELECT ' ' || lft || '  ' || rgt || ' ' FROM b$i),
+                  (SELECT ' ' || lft || rgt || ' ' FROM b$i))"""
+    }
+    s"""
+      WITH ${trainOracleCtes(table, textCol, nMerges)},
+      tok AS (SELECT $idCol, unnest(${TextOps.tokensSql(textCol)}) AS word
+              FROM $table),
+      enc AS (SELECT $idCol,
+                     CAST(len(string_split(trim($seqN), '  ')) AS BIGINT) AS n
+              FROM tok WHERE word <> '')
+      SELECT $idCol, CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(n) AS BIGINT) AS n_bpe
+      FROM enc
+      GROUP BY $idCol
+      ORDER BY $idCol"""
+  }
+}

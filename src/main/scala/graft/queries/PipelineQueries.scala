@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.operators.{Clustering, Curation, Dedup, Pq, Retrieval, Similarity, TextAnalysis, TextOps}
+import graft.operators.{Bpe, Clustering, Curation, Dedup, Pq, Retrieval, Similarity, TextAnalysis, TextOps}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -1637,6 +1637,45 @@ object PipelineQueries {
       ORDER BY query_id, rnk
     """))
 
+  /** BPE tokenizer TRAINING ([[graft.operators.Bpe.trainMerges]]):
+    * six merge rounds over the corpus's word-frequency table,
+    * completing the trainer q144's single pair-count round prepped.
+    * The oracle unrolls all six rounds — pair counts, the
+    * (count desc, pair asc) winner, and the literal-replace rewrite
+    * under the two-space segmentation encoding — so a wrong greedy
+    * rewrite, a tie-break flip, or an overlap mishandling ("aaa")
+    * diverges the WHOLE downstream merge sequence and hash-fails.
+    */
+  val q148BpeTrain: QueryDef = QueryDef(
+    "q148_bpe_train",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Bpe.mergesDf(s, Bpe.trainMerges(docs, "text", nMerges = 6))
+        .orderBy(col("step"))
+    },
+    Some(s"""
+      WITH ${Bpe.trainOracleCtes("documents", "text", 6)}
+      ${Bpe.trainOracleTailSql(6)}
+    """))
+
+  /** BPE tokenizer APPLICATION ([[graft.operators.Bpe
+    * .encodeTokenCounts]]): the six learned merges replay over the
+    * corpus and every document gets its real subword token count —
+    * the token-accounting pass (mixture weights, packing budgets,
+    * cost estimates) a training pipeline runs with its own tokenizer.
+    * The oracle replays training AND the nested-replace encode chain
+    * per document.
+    */
+  val q149BpeEncode: QueryDef = QueryDef(
+    "q149_bpe_encode",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Bpe.encodeTokenCounts(docs, "doc_id", "text",
+        Bpe.trainMerges(docs, "text", nMerges = 6))
+        .orderBy(col("doc_id"))
+    },
+    Some(Bpe.encodeOracleSql("documents", "doc_id", "text", 6)))
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
@@ -1646,5 +1685,5 @@ object PipelineQueries {
     q134IvfIndex, q136PqAdc, q137IvfAppend, q138IvfPq, q139IvfPqIndex,
     q140IvfPqAppend, q141IvfPqSelfIndex, q142IvfPqRerank,
     q143IvfPqColdAppend, q144BpePairs, q145IvfPqStats,
-    q146Bm25, q147HybridRrf)
+    q146Bm25, q147HybridRrf, q148BpeTrain, q149BpeEncode)
 }

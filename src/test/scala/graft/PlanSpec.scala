@@ -508,6 +508,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "no unbroadcast cross product")
   }
 
+  test("q149: BPE encode is one narrow corpus pass — merge chain in codegen, no join") {
+    val p = plan("q149_bpe_encode")
+    // the nested-replace merge chain rides the token explode inside
+    // codegen; the only shuffle carries per-doc partial counts
+    assert(p.contains("Generate explode"), "token explode expected")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      "per-doc counts must map-side combine")
+    assert(p.contains("replace("), "merge chain must be literal replaces in the projection")
+    assert(!p.contains("Join"), "encode must not join the merge table")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans <= 1, s"encode reads the corpus once:\n$p")
+  }
+
   test("q132: flagship v3 reads every post-SemDeDup stage off the ONE materialized survivor frame") {
     val p = plan("q132_curation_v3")
     // the SemDeDup survivors' (doc_id, text) frame is localCheckpoint'ed
