@@ -265,6 +265,90 @@ object TextAnalysis {
         (col("nll") <= lit(nllThreshold)).as("kept"))
   }
 
+  /** Per-document bigram negative log-likelihood against an add-one-
+    * smoothed bigram LM trained on the corpus itself — the n-gram
+    * upgrade of [[unigramNll]] (CCNet's quality signal is a 5-gram LM;
+    * the bigram order keeps the oracle replay exact while exercising
+    * the full conditional-LM shape: context counts, smoothing,
+    * per-position scoring):
+    * `p(w2|w1) = (c(w1,w2) + 1) / (cl(w1) + V)` with `cl(w1)` = w1's
+    * bigram-context occurrence count and `V` = the vocabulary observed
+    * in bigram positions (tokens occurring only as a document's lone
+    * token are absent — they never enter any conditional). Log-probs
+    * quantize to 1e-6-scaled longs BEFORE the per-document sum, so the
+    * result is aggregation-order-independent and engine-exact. Only
+    * documents with at least one bigram (>= 2 tokens) appear.
+    *
+    * 100 TB posture: ONE corpus tokenize+bigram explode, aggregated to
+    * the (doc, w1, w2) frame and MATERIALIZED (localCheckpoint — the
+    * BM25 inverted-index pattern): corpus bigram counts, context
+    * counts, and the scoring join all read it back instead of
+    * re-exploding the corpus. Model joins are keyed on (w1,w2)/(w1) —
+    * bigram-vocabulary-sized shuffles; the 1-row V rides a broadcast.
+    */
+  def bigramNll(df: DataFrame, idCol: String, textCol: String,
+      nllThreshold: Double): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("toks"))
+    val btf = toks.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("btf"))
+      .localCheckpoint()
+    val cb = btf.groupBy(col("w1"), col("w2")).agg(sum(col("btf")).as("cb"))
+    val cl = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cl"))
+    val v = btf.select(col("w1").as("tok"))
+      .union(btf.select(col("w2").as("tok")))
+      .agg(count_distinct(col("tok")).as("v"))
+    btf.join(cb, Seq("w1", "w2")).join(cl, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("lpf", floor(
+        log((col("cb") + lit(1.0)) / (col("cl") + col("v"))) *
+          lit(1000000.0)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("btf") * col("lpf")).as("s"), sum(col("btf")).as("n_big"))
+      .withColumn("nll", round(-col("s") / (lit(1000000.0) * col("n_big")), 6))
+      .select(col("doc_id"), col("n_big"), col("nll"),
+        (col("nll") <= lit(nllThreshold)).as("kept"))
+  }
+
+  /** DuckDB twin of [[bigramNll]] (same smoothing arithmetic, same
+    * fixed-point quantization, same bigram-position vocabulary).
+    */
+  def bigramNllSql(table: String, idCol: String, textCol: String,
+      nllThreshold: Double): String =
+    s"""
+      WITH t AS (SELECT $idCol AS doc_id, ${TextOps.tokensSql(textCol)} AS toks
+                 FROM $table),
+      bi AS (SELECT doc_id, toks[j] AS w1, toks[j + 1] AS w2
+             FROM (SELECT doc_id, toks,
+                          unnest(generate_series(1, len(toks) - 1)) AS j
+                   FROM t WHERE len(toks) >= 2) x),
+      btf AS (SELECT doc_id, w1, w2, COUNT(*) AS btf FROM bi GROUP BY 1, 2, 3),
+      cb AS (SELECT w1, w2, SUM(btf) AS cb FROM btf GROUP BY 1, 2),
+      cl AS (SELECT w1, SUM(cb) AS cl FROM cb GROUP BY 1),
+      v AS (SELECT COUNT(DISTINCT tok) AS v
+            FROM (SELECT w1 AS tok FROM btf
+                  UNION ALL SELECT w2 AS tok FROM btf) u),
+      sc AS (SELECT b.doc_id, b.btf,
+                    CAST(FLOOR(ln((c.cb + 1.0) / (l.cl + vv.v))
+                               * 1000000.0) AS BIGINT) AS lpf
+             FROM btf b
+             JOIN cb c ON b.w1 = c.w1 AND b.w2 = c.w2
+             JOIN cl l ON b.w1 = l.w1
+             CROSS JOIN v vv),
+      agg AS (SELECT doc_id, SUM(btf * lpf) AS s, SUM(btf) AS n_big
+              FROM sc GROUP BY 1)
+      SELECT doc_id, CAST(n_big AS BIGINT) AS n_big,
+             round(-(s) / (1000000.0 * n_big), 6) AS nll,
+             (round(-(s) / (1000000.0 * n_big), 6) <= $nllThreshold) AS kept
+      FROM agg
+      ORDER BY doc_id"""
+
   /** Top-k adjacent character pairs over the corpus's normalized words
     * — the FIRST MERGE iteration of a BPE tokenizer trainer (Sennrich
     * et al. 2016, "Neural Machine Translation of Rare Words with

@@ -627,9 +627,29 @@ object CurationQueries {
       """))
   }
 
+  // ------------------------------------------------------------------
+  // q150 bigram-LM quality filter (conditional-LM upgrade of q130)
+  // ------------------------------------------------------------------
+
+  /** Per-document NLL against an add-one-smoothed bigram LM trained on
+    * the corpus itself ([[graft.operators.TextAnalysis.bigramNll]]),
+    * keep flag at NLL <= 3.387 (the corpus median at test scale — both
+    * classes populated). The oracle replays the full conditional-LM
+    * arithmetic: bigram counts, context counts, the bigram-position
+    * vocabulary, and the quantized log-prob sums.
+    */
+  val q150BigramQuality: QueryDef = QueryDef(
+    "q150_bigram_quality",
+    (s, dir) =>
+      TextAnalysis.bigramNll(Tables.load(s, dir, "documents"),
+          "doc_id", "text", nllThreshold = 3.387)
+        .orderBy(col("doc_id")),
+    Some(TextAnalysis.bigramNllSql("documents", "doc_id", "text", 3.387)))
+
   val all: Seq[QueryDef] =
     Seq(q109StratifiedSample, q110PiiRedaction, q111SplitLeakage,
       q112VocabTopK, q113TokenChunks, q116CurationE2e,
       q117RepetitionMetrics, q119Decontamination, q124WeightedMix,
-      q127CurationV2, q130UnigramQuality, q131SeqPack, q135QualityMix)
+      q127CurationV2, q130UnigramQuality, q131SeqPack, q135QualityMix,
+      q150BigramQuality)
 }

@@ -521,6 +521,19 @@ class PlanSpec extends AnyFunSuite {
     assert(scans <= 1, s"encode reads the corpus once:\n$p")
   }
 
+  test("q150: bigram-LM stats all read the ONE materialized bigram frame, V broadcasts") {
+    val p = plan("q150_bigram_quality")
+    // the corpus bigram explode materializes once (localCheckpoint);
+    // model counts, context counts, V, and scoring read it back
+    assert(p.contains("Scan ExistingRDD"),
+      s"the bigram frame must be the materialized input:\n$p")
+    assert(!p.contains("FileScan parquet"),
+      s"no stage may re-explode the corpus:\n$p")
+    assert(p.contains("partial_sum"), "model counts must map-side combine")
+    assert(p.contains("BroadcastNestedLoopJoin"), "the 1-row V must broadcast")
+    assert(!p.contains("CartesianProduct"), "no unbroadcast cross product")
+  }
+
   test("q132: flagship v3 reads every post-SemDeDup stage off the ONE materialized survivor frame") {
     val p = plan("q132_curation_v3")
     // the SemDeDup survivors' (doc_id, text) frame is localCheckpoint'ed

@@ -7,6 +7,20 @@ class TextAnalysisSpec extends AnyFunSuite {
   import SparkTestSession._
   import spark.implicits._
 
+  test("bigramNll: hand-computed add-one smoothing, bigram-position vocab, sub-2-token docs absent") {
+    val docs = Seq(1L -> "a b a b", 2L -> "a b", 3L -> "c")
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramNll(docs, "doc_id", "text", nllThreshold = 0.25)
+      .as[(Long, Long, Double, Boolean)].collect().toSeq.sortBy(_._1)
+    // cb(a,b)=3, cb(b,a)=1; cl(a)=3, cl(b)=1; V={a,b}=2 ("c" never
+    // enters a bigram position). lpf(a,b)=floor(ln(4/5)*1e6)=-223144,
+    // lpf(b,a)=floor(ln(2/3)*1e6)=-405466.
+    // doc1: -(2*-223144 + -405466)/3e6; doc2: 223144/1e6; doc3 absent.
+    assert(got == Seq(
+      (1L, 3L, 0.283918, false),
+      (2L, 1L, 0.223144, true)))
+  }
+
   private def metrics(texts: (Long, String)*): Map[Long, (Long, Double, Double)] =
     TextAnalysis.repetitionMetrics(texts.toDF("doc_id", "text"), "doc_id", "text")
       .select("doc_id", "n_toks", "dup3_frac", "top_frac")
