@@ -1571,6 +1571,43 @@ object PipelineQueries {
         "text", 20).orderBy(col("rk")),
     Some(TextAnalysis.bpePairCountsSql("documents", "text", 20)))
 
+  /** The index REPAIR path ([[graft.operators.Pq.ivfPqCompactIndex]]):
+    * q143's cold lifecycle with the failure the append contract warns
+    * about INJECTED — the delta append runs twice (a blind retry), so
+    * every delta row sits in its bucket twice and a direct serve would
+    * score duplicates. The audit ([[graft.operators.Pq
+    * .ivfPqAuditIndex]]) localizes the damage, compaction rewrites the
+    * layout minus the replay into a fresh self-contained index, and
+    * serving THAT must hash-equal the same clean frozen-codebook
+    * union-encode oracle as q140/q143 — a compaction that missed a
+    * duplicate, dropped a legitimate row, or perturbed the metadata
+    * hash-fails.
+    */
+  val q151IvfPqRepair: QueryDef = QueryDef(
+    "q151_ivfpq_repair",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val basePred = col("vec_id") % 4 =!= 0
+      val (assigned, centroids, cb) = ivfPqBuild(emb, basePred)
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_ivfpqidx_q151_", dir)
+      Pq.ivfPqWriteIndexFull(
+        Pq.ivfPqEncode(assigned.filter(basePred), centroids, cb),
+        centroids, cb, path.toString)
+      Pq.ivfPqAppendToIndex(s, path.toString, emb.filter(!basePred))
+      // the injected failure: a blind retry replays the same append
+      Pq.ivfPqAppendToIndex(s, path.toString, emb.filter(!basePred))
+      val repaired = graft.operators.TmpWorkspaces
+        .pidScoped("graft_ivfpqidx_q151r_", dir)
+      Pq.ivfPqCompactIndex(s, path.toString, repaired.toString)
+      val queries = emb.filter(col("vec_id") < 10)
+      withExactRecall3(
+        Pq.ivfPqTopKFromIndex(s, repaired.toString, queries,
+          k = 3, nprobe = 2),
+        emb, queries)
+    },
+    Some(ivfPqOracleSql("vec_id % 4 <> 0")))
+
   /** BM25 top-10 keyword retrieval ([[graft.operators.Retrieval
     * .bm25TopK]]): 8 query documents rank the corpus by the standard
     * Lucene-idf BM25 (k1=1.2, b=0.75 as exact rationals), computed
@@ -1685,5 +1722,5 @@ object PipelineQueries {
     q134IvfIndex, q136PqAdc, q137IvfAppend, q138IvfPq, q139IvfPqIndex,
     q140IvfPqAppend, q141IvfPqSelfIndex, q142IvfPqRerank,
     q143IvfPqColdAppend, q144BpePairs, q145IvfPqStats,
-    q146Bm25, q147HybridRrf, q148BpeTrain, q149BpeEncode)
+    q146Bm25, q147HybridRrf, q148BpeTrain, q149BpeEncode, q151IvfPqRepair)
 }

@@ -454,6 +454,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "no unbroadcast cross product")
   }
 
+  test("q151: the compacted repair index serves through the same pruned scan") {
+    val p = plan("q151_ivfpq_repair")
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(p).isDefined,
+      s"probed buckets must prune as partition filters after the repair:\n$p")
+    assert(p.contains("pq_adc"), "native ADC table lookup expected")
+    assert("HashJoin \\[bucket".r.findFirstIn(p).isDefined,
+      s"candidate join must stay keyed on the bucket id:\n$p")
+    assert(!p.contains("CartesianProduct"), "no unbroadcast cross product")
+  }
+
   test("q144: BPE pair counts partial-aggregate before the bounded-vocab rank") {
     val p = plan("q144_bpe_pairs")
     // the corpus-sized work is the two generators on the scan; the

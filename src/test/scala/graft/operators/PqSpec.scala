@@ -344,4 +344,58 @@ class PqSpec extends AnyFunSuite {
     // vec 4 is vec 1's exact duplicate: it must rank first
     assert(out.head._3 == 4L, s"expected exact dup first, got ${out.toSeq}")
   }
+
+  test("audit finds a replayed append, compaction repairs it, divergent payloads refuse") {
+    // q151 at the engine level on the tiny fixture config
+    val df = fixture
+    val centroids = df.filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val basePred = col("vec_id") % 4 =!= 0
+    val assigned = Similarity.ivfAssign(df, centroids)
+    val cb = Pq.pqTrain(Pq.ivfResiduals(assigned.filter(basePred), centroids),
+      m = 2, ksub = 4, iters = 1, vecCol = "resid")
+    val path = TmpWorkspaces.pidScoped("graft_ivfpqidx_spec_", "repair")
+    Pq.ivfPqWriteIndexFull(
+      Pq.ivfPqEncode(assigned.filter(basePred), centroids, cb),
+      centroids, cb, path.toString)
+    val delta = df.filter(col("vec_id") % 4 === 0)
+    Pq.ivfPqAppendToIndex(spark, path.toString, delta)
+    assert(Pq.ivfPqAuditIndex(spark, path.toString).isEmpty,
+      "a single clean append must audit clean")
+    Pq.ivfPqAppendToIndex(spark, path.toString, delta)   // the blind retry
+    val hits = Pq.ivfPqAuditIndex(spark, path.toString)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(hits.map(_._1) == delta.select("vec_id").as[Long].collect().toSeq.sorted,
+      s"audit must localize exactly the replayed ids, got $hits")
+    assert(hits.forall(h => h._2 == 2L && h._3 == 1L),
+      s"replay damage is 2 copies in 1 bucket per id: $hits")
+    val queries = df.filter(col("vec_id") < 3)
+    def serve(p: String) =
+      Pq.ivfPqTopKFromIndex(spark, p, queries, k = 3, nprobe = 2)
+        .orderBy("query_id", "rank")
+        .as[(Long, Int, Long, Double)].collect().toSeq
+    val clean = Pq.ivfPqTopK(Pq.ivfPqEncode(assigned, centroids, cb),
+        centroids, cb, queries, k = 3, nprobe = 2)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(serve(path.toString) != clean,
+      "the corrupted index must actually mis-serve, or this test has no power")
+    val repaired = TmpWorkspaces.pidScoped("graft_ivfpqidx_spec_", "repaired")
+    Pq.ivfPqCompactIndex(spark, path.toString, repaired.toString)
+    assert(Pq.ivfPqAuditIndex(spark, repaired.toString).isEmpty,
+      "compaction must clear the audit")
+    assert(serve(repaired.toString) == clean,
+      "the repaired index must serve exactly like a clean build")
+    // payload divergence: the same id re-encoded from a DIFFERENT
+    // vector (different codes under one id) must refuse compaction
+    Pq.ivfPqAppendToIndex(spark, path.toString,
+      delta.withColumn("embedding",
+        org.apache.spark.sql.functions.transform(col("embedding"),
+          x => x * lit(-1.0f))))
+    val e = intercept[IllegalArgumentException] {
+      Pq.ivfPqCompactIndex(spark, path.toString,
+        TmpWorkspaces.pidScoped("graft_ivfpqidx_spec_", "refuse").toString)
+    }
+    assert(e.getMessage.contains("payload-divergent"))
+  }
 }
