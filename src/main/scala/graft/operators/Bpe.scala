@@ -178,28 +178,37 @@ object Bpe {
       ORDER BY step"""
   }
 
-  /** Full encode replay: train CTEs + per-doc token counting with the
-    * merge chain applied as nested replaces (each merge's strings come
-    * from its `b{i}` scalar subqueries — exactly the literals the
-    * Spark side embeds after its collects).
+  /** Encode replay as a WITH-clause body appended AFTER
+    * [[trainOracleCtes]] (the `b{i}` winners must be in scope):
+    * defines `enc` = (idCol, n_words, n_bpe) — per-document counts
+    * with the merge chain applied as nested replaces, each merge's
+    * strings from its `b{i}` scalar subqueries (exactly the literals
+    * the Spark side embeds after its collects).
     */
-  def encodeOracleSql(
+  def encodeOracleCtes(
       table: String, idCol: String, textCol: String, nMerges: Int): String = {
     val seqN = (1 to nMerges).foldLeft(charSeqSql("word")) { (s, i) =>
       s"""replace($s, (SELECT ' ' || lft || '  ' || rgt || ' ' FROM b$i),
                   (SELECT ' ' || lft || rgt || ' ' FROM b$i))"""
     }
     s"""
-      WITH ${trainOracleCtes(table, textCol, nMerges)},
       tok AS (SELECT $idCol, unnest(${TextOps.tokensSql(textCol)}) AS word
               FROM $table),
-      enc AS (SELECT $idCol,
-                     CAST(len(string_split(trim($seqN), '  ')) AS BIGINT) AS n
-              FROM tok WHERE word <> '')
-      SELECT $idCol, CAST(COUNT(*) AS BIGINT) AS n_words,
-             CAST(SUM(n) AS BIGINT) AS n_bpe
-      FROM enc
-      GROUP BY $idCol
-      ORDER BY $idCol"""
+      encn AS (SELECT $idCol,
+                      CAST(len(string_split(trim($seqN), '  ')) AS BIGINT) AS n
+               FROM tok WHERE word <> ''),
+      enc AS (SELECT $idCol, CAST(COUNT(*) AS BIGINT) AS n_words,
+                     CAST(SUM(n) AS BIGINT) AS n_bpe
+              FROM encn GROUP BY $idCol)"""
   }
+
+  /** Full encode replay: train CTEs + [[encodeOracleCtes]] (q149). */
+  def encodeOracleSql(
+      table: String, idCol: String, textCol: String, nMerges: Int): String =
+    s"""
+      WITH ${trainOracleCtes(table, textCol, nMerges)},
+      ${encodeOracleCtes(table, idCol, textCol, nMerges)}
+      SELECT $idCol, n_words, n_bpe
+      FROM enc
+      ORDER BY $idCol"""
 }

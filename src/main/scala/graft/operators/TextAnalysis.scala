@@ -316,14 +316,18 @@ object TextAnalysis {
         (col("nll") <= lit(nllThreshold)).as("kept"))
   }
 
-  /** DuckDB twin of [[bigramNll]] (same smoothing arithmetic, same
-    * fixed-point quantization, same bigram-position vocabulary).
+  /** DuckDB twin of [[bigramNll]] as a WITH-clause body (no trailing
+    * SELECT): defines `bnll` = (doc_id, n_big, nll, kept) over
+    * relation `rel`, so callers append their own tail (q150 formats
+    * the score table; q152 filters survivors). Same smoothing
+    * arithmetic, same fixed-point quantization, same bigram-position
+    * vocabulary as the Spark side.
     */
-  def bigramNllSql(table: String, idCol: String, textCol: String,
+  def bigramNllCtesSql(rel: String, idCol: String, textCol: String,
       nllThreshold: Double): String =
     s"""
-      WITH t AS (SELECT $idCol AS doc_id, ${TextOps.tokensSql(textCol)} AS toks
-                 FROM $table),
+      t AS (SELECT $idCol AS doc_id, ${TextOps.tokensSql(textCol)} AS toks
+            FROM $rel),
       bi AS (SELECT doc_id, toks[j] AS w1, toks[j + 1] AS w2
              FROM (SELECT doc_id, toks,
                           unnest(generate_series(1, len(toks) - 1)) AS j
@@ -341,12 +345,20 @@ object TextAnalysis {
              JOIN cb c ON b.w1 = c.w1 AND b.w2 = c.w2
              JOIN cl l ON b.w1 = l.w1
              CROSS JOIN v vv),
-      agg AS (SELECT doc_id, SUM(btf * lpf) AS s, SUM(btf) AS n_big
-              FROM sc GROUP BY 1)
-      SELECT doc_id, CAST(n_big AS BIGINT) AS n_big,
-             round(-(s) / (1000000.0 * n_big), 6) AS nll,
-             (round(-(s) / (1000000.0 * n_big), 6) <= $nllThreshold) AS kept
-      FROM agg
+      bagg AS (SELECT doc_id, SUM(btf * lpf) AS s, SUM(btf) AS n_big
+               FROM sc GROUP BY 1),
+      bnll AS (SELECT doc_id, CAST(n_big AS BIGINT) AS n_big,
+                      round(-(s) / (1000000.0 * n_big), 6) AS nll,
+                      (round(-(s) / (1000000.0 * n_big), 6) <= $nllThreshold) AS kept
+               FROM bagg)"""
+
+  /** Full-statement twin of [[bigramNll]] (q150's oracle). */
+  def bigramNllSql(table: String, idCol: String, textCol: String,
+      nllThreshold: Double): String =
+    s"""
+      WITH ${bigramNllCtesSql(table, idCol, textCol, nllThreshold)}
+      SELECT doc_id, n_big, nll, kept
+      FROM bnll
       ORDER BY doc_id"""
 
   /** Top-k adjacent character pairs over the corpus's normalized words

@@ -1713,6 +1713,71 @@ object PipelineQueries {
     },
     Some(Bpe.encodeOracleSql("documents", "doc_id", "text", 6)))
 
+  /** Flagship curation v4 — the session-2 operators composed into one
+    * pipeline: (1) bigram-LM quality filter (q150's model, corpus-
+    * trained, median threshold), (2) BM25 decontamination — the kept
+    * eval probes (doc_id < 8) retrieve their top-5 most-similar
+    * survivors and those hits are REMOVED along with the probes
+    * themselves (retrieval-based decontamination, the q146 shape
+    * pointed at its real job), (3) a 4-merge BPE tokenizer trained on
+    * the resulting training corpus and replayed over it, rolled up to
+    * per-source document/word/subword-token budgets — the mixture-
+    * accounting table a pretraining run starts from.
+    *
+    * Composition rule (the q132 lesson): the survivor frame
+    * materializes ONCE after each filter stage (localCheckpoint), so
+    * the BM25 index build, BPE training loop, and the final encode all
+    * read materialized rows — the final plan holds zero parquet
+    * re-scans. The oracle replays ALL THREE stages CTE-for-CTE
+    * (bigram model → survivors → BM25 shortlists → removal → 4 merge
+    * rounds → encode → rollup): a drift anywhere in the chain moves
+    * the final token budgets and hash-fails.
+    */
+  val q152CurationV4: QueryDef = QueryDef(
+    "q152_curation_v4",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val keptIds = TextAnalysis.bigramNll(docs, "doc_id", "text",
+          nllThreshold = 3.387)
+        .filter(col("kept")).select(col("doc_id"))
+      val surv = docs.join(keptIds, "doc_id")
+        .select(col("doc_id"), col("text"), col("source"))
+        .localCheckpoint()
+      val cont = Retrieval
+        .bm25TopK(surv, surv.filter(col("doc_id") < 8), k = 5)
+        .select(col("doc_id")).distinct()
+      val train = surv.filter(col("doc_id") >= 8)
+        .join(cont, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      val ms = Bpe.trainMerges(train, "text", nMerges = 4)
+      Bpe.encodeTokenCounts(train, "doc_id", "text", ms)
+        .join(train.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
+          sum(col("n_bpe")).as("n_bpe_tokens"))
+        .orderBy(col("source"))
+    },
+    Some(s"""
+      WITH ${TextAnalysis.bigramNllCtesSql("documents", "doc_id", "text", 3.387)},
+      surv AS (SELECT d.doc_id, d.text, d.source
+               FROM documents d JOIN bnll b USING (doc_id)
+               WHERE b.kept),
+      ${Retrieval.bm25CtesSql("surv", "doc_id", "text", "doc_id < 8", 5)},
+      cont AS (SELECT DISTINCT doc_id FROM bm25),
+      train AS (SELECT * FROM surv
+                WHERE doc_id >= 8
+                  AND doc_id NOT IN (SELECT doc_id FROM cont)),
+      ${Bpe.trainOracleCtes("train", "text", 4)},
+      ${Bpe.encodeOracleCtes("train", "doc_id", "text", 4)}
+      SELECT tr.source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(e.n_words) AS BIGINT) AS n_words,
+             CAST(SUM(e.n_bpe) AS BIGINT) AS n_bpe_tokens
+      FROM enc e JOIN train tr ON e.doc_id = tr.doc_id
+      GROUP BY tr.source
+      ORDER BY tr.source
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
@@ -1722,5 +1787,6 @@ object PipelineQueries {
     q134IvfIndex, q136PqAdc, q137IvfAppend, q138IvfPq, q139IvfPqIndex,
     q140IvfPqAppend, q141IvfPqSelfIndex, q142IvfPqRerank,
     q143IvfPqColdAppend, q144BpePairs, q145IvfPqStats,
-    q146Bm25, q147HybridRrf, q148BpeTrain, q149BpeEncode, q151IvfPqRepair)
+    q146Bm25, q147HybridRrf, q148BpeTrain, q149BpeEncode, q151IvfPqRepair,
+    q152CurationV4)
 }

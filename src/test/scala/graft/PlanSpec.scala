@@ -544,6 +544,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "no unbroadcast cross product")
   }
 
+  test("q152: flagship v4 reads encode + rollup off the materialized post-decontam frame") {
+    val p = plan("q152_curation_v4")
+    // quality filter and decontam materialize their survivors
+    // (localCheckpoint); the BPE encode, source join, and rollup in
+    // the final plan read only those rows — the q132 composition rule
+    assert(!p.contains("Scan parquet"),
+      s"post-decontam stages must read the checkpointed survivors:\n$p")
+    assert(p.contains("Scan ExistingRDD"), "materialized survivor frame expected")
+    assert(p.contains("Generate explode"), "token explode expected")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      "token budgets must map-side combine")
+    assert(!p.contains("CartesianProduct"), "no unbroadcast cross product")
+  }
+
   test("q132: flagship v3 reads every post-SemDeDup stage off the ONE materialized survivor frame") {
     val p = plan("q132_curation_v3")
     // the SemDeDup survivors' (doc_id, text) frame is localCheckpoint'ed
