@@ -305,12 +305,14 @@ object Dedup {
     * shingle (the cap is a spillable window count — a skew guard, not a
     * memory ceiling).
     */
-  def ngramJaccardPairs(
+  /** Shared inverted-index core of [[ngramJaccardPairs]] /
+    * [[ngramContainmentPairs]]: per block, every document pair sharing
+    * at least one shingle, with set sizes and the intersection count —
+    * (blk, doc_a, doc_b, na, nb, i).
+    */
+  private def ngramIntersections(
       df: DataFrame, idCol: String, textCol: String, blockCol: String,
-      shingleN: Int = 3, threshold: Double = 0.5,
-      maxPostingSize: Int = 10000): DataFrame = {
-    require(threshold > 0,
-      "inverted-index jaccard only surfaces pairs sharing >=1 shingle")
+      shingleN: Int, maxPostingSize: Int): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, shingleN, Some(blockCol))
     val hd = sets.select(col("blk"), col("doc_id"), col("n"),
         explode(col("hs")).as("h"))
@@ -333,10 +335,49 @@ object Dedup {
       .groupBy(col("blk"), col("a.doc_id").as("doc_a"),
         col("b.doc_id").as("doc_b"), col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("i"))
+  }
+
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String, blockCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5,
+      maxPostingSize: Int = 10000): DataFrame = {
+    require(threshold > 0,
+      "inverted-index jaccard only surfaces pairs sharing >=1 shingle")
+    ngramIntersections(df, idCol, textCol, blockCol, shingleN, maxPostingSize)
       .withColumn("jaccard",
         round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("blk"), col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** CONTAINMENT pairs (Broder's asymmetric resemblance): per block,
+    * pairs where either document's shingle set is mostly inside the
+    * other's — `cont_ab = |A∩B|/|A|` (how much of A is contained in B)
+    * and `cont_ba = |A∩B|/|B|`, kept when the larger direction clears
+    * `threshold`. This is the semantic Jaccard structurally MISSES: a
+    * quote, a boilerplate wrapper, or a near-superset page contains a
+    * smaller document almost entirely while the union stays large, so
+    * jaccard ≈ |A|/|B| stays low however perfect the containment. The
+    * training-data job is catching partial copies — a doc embedding an
+    * eval item, a page wrapping a licensed text — that survive both
+    * MinHash and whole-set Jaccard gates.
+    *
+    * Same 100 TB shape as [[ngramJaccardPairs]] (shared core): one
+    * keyed posting pass, capped lists, bucket-local pair emission —
+    * the direction arithmetic is free once `i/na/nb` exist.
+    */
+  def ngramContainmentPairs(
+      df: DataFrame, idCol: String, textCol: String, blockCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5,
+      maxPostingSize: Int = 10000): DataFrame = {
+    require(threshold > 0,
+      "inverted-index containment only surfaces pairs sharing >=1 shingle")
+    ngramIntersections(df, idCol, textCol, blockCol, shingleN, maxPostingSize)
+      .withColumn("cont_ab", round(col("i").cast("double") / col("na"), 6))
+      .withColumn("cont_ba", round(col("i").cast("double") / col("nb"), 6))
+      .filter(greatest(col("cont_ab"), col("cont_ba")) >= threshold)
+      .select(col("blk"), col("doc_a"), col("doc_b"),
+        col("cont_ab"), col("cont_ba"))
   }
 
   // ------------------------------------------------------------------

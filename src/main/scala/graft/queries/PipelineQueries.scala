@@ -1713,6 +1713,48 @@ object PipelineQueries {
     },
     Some(Bpe.encodeOracleSql("documents", "doc_id", "text", 6)))
 
+  /** Containment near-dup pairs ([[graft.operators.Dedup
+    * .ngramContainmentPairs]]): the asymmetric complement of q33's
+    * Jaccard on the same inverted-index core — a near-superset page
+    * contains a smaller doc almost entirely while Jaccard stays low,
+    * so partial copies (quotes, boilerplate wrappers, embedded eval
+    * items) need this direction-aware gate. Thresholded on the larger
+    * direction; the oracle replays postings, caps, intersections, and
+    * both direction ratios.
+    */
+  val q153Containment: QueryDef = QueryDef(
+    "q153_ngram_containment",
+    (s, dir) =>
+      Dedup.ngramContainmentPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", blockCol = "source", shingleN = ShingleN,
+          threshold = 0.6)
+        .orderBy(col("blk"), col("doc_a"), col("doc_b")),
+    Some(s"""
+      WITH $shingleCtes,
+      blk AS (SELECT doc_id, source FROM documents WHERE source IS NOT NULL),
+      hd AS (SELECT DISTINCT doc_id, h FROM hs),
+      cnts AS (SELECT doc_id, COUNT(*) AS n FROM hd GROUP BY doc_id),
+      pb AS (SELECT b.source AS blk, hd.doc_id, hd.h
+             FROM hd JOIN blk b ON b.doc_id = hd.doc_id),
+      capped AS (SELECT blk, doc_id, h FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY blk, h) AS pn FROM pb) t
+        WHERE pn <= 10000),
+      inter AS (SELECT x.blk, x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+                FROM capped x
+                JOIN capped y ON y.blk = x.blk AND y.h = x.h
+                             AND x.doc_id < y.doc_id
+                GROUP BY 1, 2, 3)
+      SELECT blk, doc_a, doc_b, cont_ab, cont_ba
+      FROM (SELECT i.blk, i.doc_a, i.doc_b,
+                   round(i.i * 1.0 / ca.n, 6) AS cont_ab,
+                   round(i.i * 1.0 / cb.n, 6) AS cont_ba
+            FROM inter i
+            JOIN cnts ca ON ca.doc_id = i.doc_a
+            JOIN cnts cb ON cb.doc_id = i.doc_b) z
+      WHERE greatest(cont_ab, cont_ba) >= 0.6
+      ORDER BY blk, doc_a, doc_b
+    """))
+
   /** Flagship curation v4 — the session-2 operators composed into one
     * pipeline: (1) bigram-LM quality filter (q150's model, corpus-
     * trained, median threshold), (2) BM25 decontamination — the kept
@@ -1788,5 +1830,5 @@ object PipelineQueries {
     q140IvfPqAppend, q141IvfPqSelfIndex, q142IvfPqRerank,
     q143IvfPqColdAppend, q144BpePairs, q145IvfPqStats,
     q146Bm25, q147HybridRrf, q148BpeTrain, q149BpeEncode, q151IvfPqRepair,
-    q152CurationV4)
+    q152CurationV4, q153Containment)
 }

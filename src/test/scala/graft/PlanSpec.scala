@@ -92,6 +92,15 @@ class PlanSpec extends AnyFunSuite {
       "the O(cap²) single-row pair array must not come back")
   }
 
+  test("q153: containment shares q33's exact physical shape (one pass, capped postings)") {
+    val p = plan("q153_ngram_containment")
+    assert("MapPartitions graft\\.operators\\.Dedup".r.findAllIn(p).size == 1,
+      s"the shingle-set pass must compute once:\n$p")
+    assert("posting_n#\\d+L? <= \\d+".r.findFirstIn(p).isDefined,
+      s"posting-size cap filter missing:\n$p")
+    assert(!p.contains("CartesianProduct"), "no all-pairs fallback")
+  }
+
   test("q119: decontamination probe broadcasts the benchmark, corpus never shuffles for the join") {
     val p = plan("q119_decontamination")
     assert(p.contains("BroadcastHashJoin"), "benchmark side must broadcast")

@@ -150,4 +150,29 @@ class DedupSpec extends AnyFunSuite {
       (4L, 4L, true),   // tie at 7 -> smaller id wins
       (5L, 4L, false)))
   }
+
+  private def round6(d: Double): Double =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("ngramContainmentPairs surfaces the near-superset Jaccard structurally misses") {
+    import spark.implicits._
+    val small = "alpha bravo charlie delta echo"
+    val docs = Seq(
+      (1L, small, "s"),
+      // doc 2 CONTAINS doc 1 verbatim plus 10 more distinct words:
+      // all 3 of doc 1's 3-shingles appear among doc 2's 13
+      (2L, small + " fox golf hotel india juliet kilo lima mike nov osc", "s"),
+      (3L, "unrelated words entirely different tokens", "s"))
+      .toDF("doc_id", "text", "source")
+    val cont = Dedup.ngramContainmentPairs(docs, "doc_id", "text", "source",
+        shingleN = 3, threshold = 0.6)
+      .select($"doc_a", $"doc_b", $"cont_ab", $"cont_ba")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    // containment sees the full embedding of doc 1 in doc 2...
+    assert(cont == Seq((1L, 2L, 1.0, round6(3.0 / 13))))
+    // ...which the whole-set Jaccard gate at the same threshold misses
+    // (jaccard = 3/13 ≈ 0.23)
+    assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source",
+      shingleN = 3, threshold = 0.6).isEmpty)
+  }
 }
