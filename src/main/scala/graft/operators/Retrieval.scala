@@ -74,11 +74,7 @@ object Retrieval {
       .localCheckpoint()
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total"))
-    val qt = queries
-      .select(col(idCol).as("query_id"),
-        explode(TextOps.tokens(col(textCol))).as("term"))
-      .filter(col("term") =!= "")
-      .distinct()
+    val qt = queryTerms(queries, idCol, textCol)
     // posting lists: only rows whose term some query mentions survive
     val matched = tf.join(broadcast(qt.select(col("term")).distinct()), "term")
     // df per query term over the full corpus (the term filter commutes
@@ -89,6 +85,19 @@ object Retrieval {
       .join(broadcast(dfq), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
+    scoreAndRank(contrib, k)
+  }
+
+  /** Shared BM25 scoring tail: expects (query_id, doc_id, tf, df, dl,
+    * n_docs, total) rows — one per (query term × posting) — and emits
+    * the ranked (query_id, rnk, doc_id, score) top-k. The exact
+    * fixed-point arithmetic both [[bm25TopK]] and [[bm25TopKIndexed]]
+    * must share for their oracle hash-equality.
+    */
+  private def scoreAndRank(contrib: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_fp").desc, col("doc_id"))
+    contrib
       .withColumn("idf_fp", floor(
         log((col("n_docs").cast("double") - col("df") + lit(0.5)) /
           (col("df") + lit(0.5)) + lit(1.0)) * lit(ScoreScale)).cast("long"))
@@ -96,9 +105,6 @@ object Retrieval {
         ((lit(22.0) * col("tf") * col("total")) /
           (lit(10.0) * col("tf") * col("total") + lit(3.0) * col("total") +
             lit(9.0) * col("dl") * col("n_docs")))).cast("long"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score_fp").desc, col("doc_id"))
-    contrib
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("cfp")).as("score_fp"))
@@ -106,6 +112,78 @@ object Retrieval {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("doc_id"),
         round(col("score_fp") / lit(ScoreScale), 6).as("score"))
+  }
+
+  /** The distinct normalized query terms of a query frame. */
+  private def queryTerms(
+      queries: DataFrame, idCol: String, textCol: String): DataFrame =
+    queries
+      .select(col(idCol).as("query_id"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+
+  /** Materializes a BM25 inverted index as the WRITTEN, shard-pruned
+    * serving layout — the lexical twin of the IVF-PQ index lifecycle
+    * (q139/q141): postings parquet PARTITIONED BY a 256-way md5 shard
+    * of the term (the q131 shard idiom), each posting row carrying its
+    * serve-time stats inline (tf, the document's length, the term's
+    * df), plus a 1-row corpus-stats frame under `meta/`. A query batch
+    * then reads ~|query-term shards|/256 of the postings via STATIC
+    * partition pruning and joins NOTHING corpus-sized: df and dl ride
+    * in the posting rows (denormalized at build time — storage is
+    * cheap at 3 longs per posting; a serve-time join against a
+    * corpus-sized doc-length table is not).
+    *
+    * Build cost: the one tokenize + tf aggregation (materialized once,
+    * the [[bm25TopK]] pattern) plus two vocabulary/doc-keyed
+    * aggregates and one write. Day-1 cost, paid once — the 100 TB
+    * posture is that [[bm25TopK]] is the ad-hoc path and this is what
+    * a standing retrieval service serves from.
+    */
+  def bm25WriteIndex(docs: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfAll = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(dl, "doc_id").join(dfAll, "term")
+      .withColumn("shard", substring(md5(col("term")), 1, 2))
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$path/postings")
+    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta/stats")
+  }
+
+  /** Serves BM25 top-k from a [[bm25WriteIndex]] layout: the query
+    * terms' shards push into the postings scan as a PARTITION filter
+    * (the q134/q139 PartitionFilters shape — the driver-side shard
+    * collect is bounded by the 256-shard alphabet BY CONSTRUCTION, so
+    * unlike the probed-bucket collect no cap needs enforcing), the
+    * broadcast term join prunes the shard residue, and scoring is the
+    * exact [[bm25TopK]] fixed-point arithmetic — served results must
+    * hash-equal the ad-hoc path, which q154 gates against q146's own
+    * oracle.
+    */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val qt = queryTerms(queries, idCol, textCol)
+    val shards = qt
+      .select(substring(md5(col("term")), 1, 2).as("shard"))
+      .distinct().collect().map(_.getString(0))
+    val stats = spark.read.parquet(s"$path/meta/stats")
+    val contrib = spark.read.parquet(s"$path/postings")
+      .filter(col("shard").isin(shards.toSeq: _*))
+      .join(broadcast(qt), "term")
+      .crossJoin(broadcast(stats))
+    scoreAndRank(contrib, k)
   }
 
   /** DuckDB twin of [[bm25TopK]] as a WITH-clause body (no trailing

@@ -1617,6 +1617,17 @@ object PipelineQueries {
     * decontamination probes and eval-set mining run exactly this
     * query shape over a training corpus.
     */
+  /** The q146/q154 oracle: the ad-hoc and written-index serving paths
+    * must produce the identical ranking, so they share one replay.
+    */
+  private def bm25Top10OracleSql: String = s"""
+      WITH ${Retrieval.bm25CtesSql("documents", "doc_id", "text", "doc_id < 8", 10)}
+      SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id,
+             round(score_fp / ${Retrieval.ScoreScale}, 6) AS score
+      FROM bm25
+      ORDER BY query_id, rnk
+    """
+
   val q146Bm25: QueryDef = QueryDef(
     "q146_bm25_topk",
     (s, dir) => {
@@ -1624,13 +1635,7 @@ object PipelineQueries {
       Retrieval.bm25TopK(docs, docs.filter(col("doc_id") < 8), k = 10)
         .orderBy(col("query_id"), col("rnk"))
     },
-    Some(s"""
-      WITH ${Retrieval.bm25CtesSql("documents", "doc_id", "text", "doc_id < 8", 10)}
-      SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id,
-             round(score_fp / ${Retrieval.ScoreScale}, 6) AS score
-      FROM bm25
-      ORDER BY query_id, rnk
-    """))
+    Some(bm25Top10OracleSql))
 
   /** Hybrid retrieval ([[graft.operators.Retrieval.rrfFuse]]): BM25's
     * top-20 lexical shortlist and brute-force cosine's top-20 semantic
@@ -1712,6 +1717,28 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
     Some(Bpe.encodeOracleSql("documents", "doc_id", "text", 6)))
+
+  /** BM25 served from the WRITTEN index ([[graft.operators.Retrieval
+    * .bm25WriteIndex]] / [[graft.operators.Retrieval.bm25TopKIndexed]])
+    * — the lexical twin of the q139 story: postings persist
+    * shard-partitioned with serve-time stats denormalized inline, the
+    * query terms' shards prune the scan as partition filters, and the
+    * served ranking must hash-equal q146's ad-hoc-path oracle — a
+    * drift in the layout, the inline df/dl, or the pruning
+    * hash-fails.
+    */
+  val q154Bm25Indexed: QueryDef = QueryDef(
+    "q154_bm25_indexed",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_bm25idx_q154_", dir)
+      Retrieval.bm25WriteIndex(docs, path.toString)
+      Retrieval.bm25TopKIndexed(s, path.toString,
+          docs.filter(col("doc_id") < 8), k = 10)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some(bm25Top10OracleSql))
 
   /** Containment near-dup pairs ([[graft.operators.Dedup
     * .ngramContainmentPairs]]): the asymmetric complement of q33's
@@ -1830,5 +1857,5 @@ object PipelineQueries {
     q140IvfPqAppend, q141IvfPqSelfIndex, q142IvfPqRerank,
     q143IvfPqColdAppend, q144BpePairs, q145IvfPqStats,
     q146Bm25, q147HybridRrf, q148BpeTrain, q149BpeEncode, q151IvfPqRepair,
-    q152CurationV4, q153Containment)
+    q152CurationV4, q153Containment, q154Bm25Indexed)
 }

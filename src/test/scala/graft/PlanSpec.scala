@@ -517,6 +517,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "the 1-row stats join must broadcast")
   }
 
+  test("q154: indexed BM25 serves through a shard-pruned postings scan with zero corpus joins") {
+    val p = plan("q154_bm25_indexed")
+    // the query terms' md5 shards must prune the postings directories
+    assert("PartitionFilters: \\[[^\\]]*shard".r.findFirstIn(p).isDefined,
+      s"query-term shards must prune as partition filters:\n$p")
+    // serve-time stats ride inline (df/dl denormalized at build): the
+    // only joins are the broadcast term probe and the 1-row stats
+    assert(p.contains("BroadcastHashJoin"), "term probe must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-sized join may appear at serve time:\n$p")
+    assert(p.contains("WindowGroupLimit"), "per-query top-k must push into the sort")
+    assert(!p.contains("CartesianProduct"), "the 1-row stats join must broadcast")
+  }
+
   test("q147: hybrid fusion unions two pushed-top-k shortlists, semantic side native vec_dot") {
     val p = plan("q147_hybrid_rrf")
     assert(p.contains("Union"), "rankers must union, not join")

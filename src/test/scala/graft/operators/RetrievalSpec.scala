@@ -40,6 +40,19 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got(1L) == base(1L) && got(2L) == base(2L))
   }
 
+  test("bm25TopKIndexed: the written shard-pruned index serves exactly the ad-hoc ranking") {
+    val path = TmpWorkspaces.pidScoped("graft_bm25idx_spec_", "serve")
+    Retrieval.bm25WriteIndex(corpus, path.toString)
+    val adhoc = Retrieval
+      .bm25TopK(corpus, corpus.filter($"doc_id" === 0L), k = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(r => (r._1, r._2))
+    val served = Retrieval
+      .bm25TopKIndexed(spark, path.toString, corpus.filter($"doc_id" === 0L), k = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(adhoc.nonEmpty && served == adhoc,
+      s"index round-trip drifted:\n$served\nvs\n$adhoc")
+  }
+
   test("rrfFuse: fixed-point reciprocal-rank sums with id tie-break") {
     val a = Seq((1L, 10L, 1L), (1L, 20L, 2L))
       .toDF("query_id", "neighbor_id", "rnk")
