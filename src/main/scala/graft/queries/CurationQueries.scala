@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   */
 object CurationQueries {
 
-  import PipelineQueries.{minhashPairCtes, NumHashes, Bands, ShingleN}
+  import PipelineQueries.{minhashPairCtes, BigramNllMedian, NumHashes, Bands, ShingleN}
 
   // ------------------------------------------------------------------
   // q109 deterministic stratified sampling
@@ -633,8 +633,8 @@ object CurationQueries {
 
   /** Per-document NLL against an add-one-smoothed bigram LM trained on
     * the corpus itself ([[graft.operators.TextAnalysis.bigramNll]]),
-    * keep flag at NLL <= 3.387 (the corpus median at test scale — both
-    * classes populated). The oracle replays the full conditional-LM
+    * keep flag at the corpus-median cutoff
+    * ([[PipelineQueries.BigramNllMedian]] — both classes populated). The oracle replays the full conditional-LM
     * arithmetic: bigram counts, context counts, the bigram-position
     * vocabulary, and the quantized log-prob sums.
     */
@@ -642,9 +642,9 @@ object CurationQueries {
     "q150_bigram_quality",
     (s, dir) =>
       TextAnalysis.bigramNll(Tables.load(s, dir, "documents"),
-          "doc_id", "text", nllThreshold = 3.387)
+          "doc_id", "text", nllThreshold = BigramNllMedian)
         .orderBy(col("doc_id")),
-    Some(TextAnalysis.bigramNllSql("documents", "doc_id", "text", 3.387)))
+    Some(TextAnalysis.bigramNllSql("documents", "doc_id", "text", BigramNllMedian)))
 
   val all: Seq[QueryDef] =
     Seq(q109StratifiedSample, q110PiiRedaction, q111SplitLeakage,

@@ -16,6 +16,11 @@ object PipelineQueries {
   import TextOps.{HashP => P}
 
   private[queries] val NumHashes = 16
+
+  /** q150/q152's shared bigram-NLL keep cutoff: the corpus median at
+    * test scale (both classes populated; see q150's scaladoc).
+    */
+  private[queries] val BigramNllMedian = 3.387
   private[queries] val Bands = 4
   private[queries] val ShingleN = 3
 
@@ -1807,7 +1812,7 @@ object PipelineQueries {
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val keptIds = TextAnalysis.bigramNll(docs, "doc_id", "text",
-          nllThreshold = 3.387)
+          nllThreshold = BigramNllMedian)
         .filter(col("kept")).select(col("doc_id"))
       val surv = docs.join(keptIds, "doc_id")
         .select(col("doc_id"), col("text"), col("source"))
@@ -1827,7 +1832,7 @@ object PipelineQueries {
         .orderBy(col("source"))
     },
     Some(s"""
-      WITH ${TextAnalysis.bigramNllCtesSql("documents", "doc_id", "text", 3.387)},
+      WITH ${TextAnalysis.bigramNllCtesSql("documents", "doc_id", "text", BigramNllMedian)},
       surv AS (SELECT d.doc_id, d.text, d.source
                FROM documents d JOIN bnll b USING (doc_id)
                WHERE b.kept),

@@ -53,6 +53,66 @@ class RetrievalSpec extends AnyFunSuite {
       s"index round-trip drifted:\n$served\nvs\n$adhoc")
   }
 
+  // plain-Scala reference model of bm25TopK: same tokenization, same
+  // fixed-point arithmetic (JVM doubles are the same IEEE ops the
+  // codegen'd expressions execute), same tie-breaks
+  private def modelBm25(
+      docs: Seq[(Long, String)], queryIds: Set[Long], k: Int)
+      : Seq[(Long, Long, Long, Double)] = {
+    def toks(s: String): Seq[String] =
+      TextOps.normalizeStr(s).split(" ").filter(_.nonEmpty).toSeq
+    val tf = docs.flatMap { case (id, t) => toks(t).map(id -> _) }
+      .groupBy(identity).map { case (key, v) => key -> v.size.toLong }
+    val dl = tf.groupBy(_._1._1).map { case (id, m) => id -> m.values.sum }
+    val n = dl.size.toLong
+    val total = dl.values.sum
+    val df = tf.keys.groupBy(_._2).map { case (t, ks) => t -> ks.size.toLong }
+    val byDoc = docs.toMap
+    queryIds.toSeq.flatMap { q =>
+      val qterms = toks(byDoc(q)).distinct
+      val scores = dl.keys.filter(_ != q).flatMap { d =>
+        val cfps = qterms.flatMap { t =>
+          tf.get((d, t)).map { tfv =>
+            val idfFp = math.floor(math.log(
+              (n.toDouble - df(t) + 0.5) / (df(t) + 0.5) + 1.0) * 1000000.0)
+            math.floor(idfFp * ((22.0 * tfv * total) /
+              (10.0 * tfv * total + 3.0 * total + 9.0 * dl(d) * n))).toLong
+          }
+        }
+        if (cfps.isEmpty) None else Some(d -> cfps.sum)
+      }.toSeq
+      scores.sortBy { case (d, s) => (-s, d) }.take(k).zipWithIndex.map {
+        case ((d, s), i) =>
+          (q, (i + 1).toLong, d,
+            BigDecimal(s / 1000000.0)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }.sortBy(r => (r._1, r._2))
+  }
+
+  test("bm25TopK matches the reference model on randomized corpora (8 seeds)") {
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val words = Seq("ant", "bee", "cat", "dog", "elk", "fox")
+      val docs = Seq.tabulate(3 + rnd.nextInt(5)) { i =>
+        (i.toLong,
+          Seq.fill(rnd.nextInt(12))(words(rnd.nextInt(words.length)))
+            .mkString(" "))
+      }
+      val qids = docs.take(1 + rnd.nextInt(2)).map(_._1)
+        .filter(id => docs(id.toInt)._2.nonEmpty).toSet
+      if (qids.nonEmpty) {
+        val df = docs.toDF("doc_id", "text")
+        val got = Retrieval
+          .bm25TopK(df, df.filter($"doc_id".isin(qids.toSeq: _*)), k = 4)
+          .as[(Long, Long, Long, Double)].collect().toSeq
+          .sortBy(r => (r._1, r._2))
+        val want = modelBm25(docs, qids, k = 4)
+        assert(got == want, s"seed=$seed docs=$docs\n got=$got\nwant=$want")
+      }
+    }
+  }
+
   test("rrfFuse: fixed-point reciprocal-rank sums with id tie-break") {
     val a = Seq((1L, 10L, 1L), (1L, 20L, 2L))
       .toDF("query_id", "neighbor_id", "rnk")
