@@ -1833,12 +1833,12 @@ object PipelineQueries {
     },
     Some(s"""
       WITH ${TextAnalysis.bigramNllCtesSql("documents", "doc_id", "text", BigramNllMedian)},
-      surv AS (SELECT d.doc_id, d.text, d.source
+      surv AS MATERIALIZED (SELECT d.doc_id, d.text, d.source
                FROM documents d JOIN bnll b USING (doc_id)
                WHERE b.kept),
       ${Retrieval.bm25CtesSql("surv", "doc_id", "text", "doc_id < 8", 5)},
       cont AS (SELECT DISTINCT doc_id FROM bm25),
-      train AS (SELECT * FROM surv
+      train AS MATERIALIZED (SELECT * FROM surv
                 WHERE doc_id >= 8
                   AND doc_id NOT IN (SELECT doc_id FROM cont)),
       ${Bpe.trainOracleCtes("train", "text", 4)},
