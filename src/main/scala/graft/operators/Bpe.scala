@@ -184,12 +184,20 @@ object Bpe {
     * with the merge chain applied as nested replaces, each merge's
     * strings from its `b{i}` scalar subqueries (exactly the literals
     * the Spark side embeds after its collects).
+    *
+    * Early-dry guard: if training dries up before `nMerges` (the pair
+    * supply exhausts), the Spark side folds only the merges actually
+    * learned — but an empty `b{i}` makes its scalar subqueries NULL,
+    * and `replace(seq, NULL, NULL)` would NULL every count. Each
+    * step's args therefore COALESCE to `'~'` — outside the
+    * `[a-z0-9 ]` segmentation alphabet, so the replace is a no-op,
+    * exactly matching the Spark side's shorter fold.
     */
   def encodeOracleCtes(
       table: String, idCol: String, textCol: String, nMerges: Int): String = {
     val seqN = (1 to nMerges).foldLeft(charSeqSql("word")) { (s, i) =>
-      s"""replace($s, (SELECT ' ' || lft || '  ' || rgt || ' ' FROM b$i),
-                  (SELECT ' ' || lft || rgt || ' ' FROM b$i))"""
+      s"""replace($s, COALESCE((SELECT ' ' || lft || '  ' || rgt || ' ' FROM b$i), '~'),
+                  COALESCE((SELECT ' ' || lft || rgt || ' ' FROM b$i), '~'))"""
     }
     s"""
       tok AS (SELECT $idCol, unnest(${TextOps.tokensSql(textCol)}) AS word

@@ -18,7 +18,15 @@ object PipelineQueries {
   private[queries] val NumHashes = 16
 
   /** q150/q152's shared bigram-NLL keep cutoff: the corpus median at
-    * test scale (both classes populated; see q150's scaladoc).
+    * the sf0.01 correctness-gate fixture (median 3.387039, rounded
+    * down to 3 decimals), chosen so BOTH classes stay populated at
+    * test scale (249/251 there, 240/260 at sf0.001). Derived — not
+    * magic: `tools/derive_q150_median.py` replays the oracle's exact
+    * NLL arithmetic in DuckDB and prints the median + class split;
+    * re-run it if a fixture is ever regenerated (gates stay green
+    * under any shared constant, so drift here is silent — the
+    * TextAnalysisSpec "both classes populated" assertion is the
+    * tripwire).
     */
   private[queries] val BigramNllMedian = 3.387
   private[queries] val Bands = 4

@@ -21,6 +21,17 @@ class TextAnalysisSpec extends AnyFunSuite {
       (2L, 1L, 0.223144, true)))
   }
 
+  test("q150's shipped median cutoff keeps both classes populated on the fixture") {
+    // BigramNllMedian (PipelineQueries) is a fixture-derived constant;
+    // gates stay green under ANY shared constant, so this is the
+    // tripwire for silent drift after a fixture regeneration — see
+    // tools/derive_q150_median.py for the derivation.
+    val kept = graft.SparkEntry.queries("q150_bigram_quality")(spark, sf)
+      .groupBy("kept").count().as[(Boolean, Long)].collect().toMap
+    assert(kept.getOrElse(true, 0L) > 0, "no docs kept at the shipped cutoff")
+    assert(kept.getOrElse(false, 0L) > 0, "no docs dropped at the shipped cutoff")
+  }
+
   private def metrics(texts: (Long, String)*): Map[Long, (Long, Double, Double)] =
     TextAnalysis.repetitionMetrics(texts.toDF("doc_id", "text"), "doc_id", "text")
       .select("doc_id", "n_toks", "dup3_frac", "top_frac")
