@@ -125,15 +125,30 @@ object Retrieval {
 
   /** Materializes a BM25 inverted index as the WRITTEN, shard-pruned
     * serving layout — the lexical twin of the IVF-PQ index lifecycle
-    * (q139/q141): postings parquet PARTITIONED BY a 256-way md5 shard
-    * of the term (the q131 shard idiom), each posting row carrying its
-    * serve-time stats inline (tf, the document's length, the term's
-    * df), plus a 1-row corpus-stats frame under `meta/`. A query batch
-    * then reads ~|query-term shards|/256 of the postings via STATIC
-    * partition pruning and joins NOTHING corpus-sized: df and dl ride
-    * in the posting rows (denormalized at build time — storage is
-    * cheap at 3 longs per posting; a serve-time join against a
-    * corpus-sized doc-length table is not).
+    * (q139/q141), with a DAY-2 story ([[bm25AppendIndex]] /
+    * [[bm25AuditIndex]] / [[bm25CompactIndex]]). Three pieces, all
+    * keyed by the same 256-way md5(term) shard (the q131 shard idiom):
+    *
+    *  - `postings/` (doc_id, term, tf, dl), PARTITIONED BY shard: tf
+    *    and the document's length ride inline — both are PER-DOCUMENT
+    *    facts that never change when other documents arrive, so they
+    *    are append-stable denormalizations;
+    *  - `terms/` (term, df), PARTITIONED BY shard: one df-contribution
+    *    row per (build-or-append generation, term). df is a
+    *    CORPUS-level fact — every append moves it for existing terms —
+    *    so unlike tf/dl it must NOT be frozen into posting rows (the
+    *    v1 layout did exactly that, and any append silently staled
+    *    every stored posting's idf). Serve-time df = SUM(df) per term,
+    *    over the SAME pruned shards the postings read — exact across
+    *    any number of appends because generations partition the
+    *    corpus;
+    *  - `meta/stats/` (n_docs, total): one row per generation,
+    *    serve-time SUM — the same generation-delta trick.
+    *
+    * A query batch reads ~|query-term shards|/256 of postings AND
+    * terms via STATIC partition pruning and joins NOTHING
+    * corpus-sized: the df lookup is vocabulary-shard-sized before the
+    * broadcast query-term probe cuts it to query terms.
     *
     * Build cost: the one tokenize + tf aggregation (materialized once,
     * the [[bm25TopK]] pattern) plus two vocabulary/doc-keyed
@@ -142,7 +157,31 @@ object Retrieval {
     * a standing retrieval service serves from.
     */
   def bm25WriteIndex(docs: DataFrame, path: String,
-      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    writeIndexGeneration(docs, path, idCol, textCol, "overwrite")
+
+  /** Appends a NEW-DOCUMENT generation to a [[bm25WriteIndex]] layout
+    * — the lexical `ivfPqAppendToIndex`: one delta-sized tokenize, a
+    * delta postings/terms/stats write, ZERO base reads. Serving after
+    * the append is EXACT (not stale-df approximate): df and the
+    * corpus scalars are per-generation contributions summed at serve
+    * time, and tf/dl are per-document facts computed wholly within
+    * the delta — q155 gates append-then-serve against the same oracle
+    * as the fresh build.
+    *
+    * CONTRACT (same as the vector side, enforced by audit not by a
+    * base scan): delta doc ids must be NEW — an id already indexed
+    * would double its postings — and the append is
+    * caller-owns-exactly-once: a blind retry replays every delta row
+    * and every df/stats contribution. Both damages are what
+    * [[bm25AuditIndex]] detects and [[bm25CompactIndex]] repairs.
+    */
+  def bm25AppendIndex(docs: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    writeIndexGeneration(docs, path, idCol, textCol, "append")
+
+  private def writeIndexGeneration(docs: DataFrame, path: String,
+      idCol: String, textCol: String, mode: String): Unit = {
     val toks = docs
       .select(col(idCol).as("doc_id"),
         explode(TextOps.tokens(col(textCol))).as("term"))
@@ -151,25 +190,31 @@ object Retrieval {
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint()
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val dfAll = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    tf.join(dl, "doc_id").join(dfAll, "term")
+    tf.join(dl, "doc_id")
       .withColumn("shard", substring(md5(col("term")), 1, 2))
       .repartition(col("shard"))
-      .write.mode("overwrite").partitionBy("shard")
+      .write.mode(mode).partitionBy("shard")
       .parquet(s"$path/postings")
+    tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("shard", substring(md5(col("term")), 1, 2))
+      .repartition(col("shard"))
+      .write.mode(mode).partitionBy("shard")
+      .parquet(s"$path/terms")
     dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta/stats")
+      .coalesce(1).write.mode(mode).parquet(s"$path/meta/stats")
   }
 
   /** Serves BM25 top-k from a [[bm25WriteIndex]] layout: the query
-    * terms' shards push into the postings scan as a PARTITION filter
-    * (the q134/q139 PartitionFilters shape — the driver-side shard
-    * collect is bounded by the 256-shard alphabet BY CONSTRUCTION, so
-    * unlike the probed-bucket collect no cap needs enforcing), the
-    * broadcast term join prunes the shard residue, and scoring is the
-    * exact [[bm25TopK]] fixed-point arithmetic — served results must
-    * hash-equal the ad-hoc path, which q154 gates against q146's own
-    * oracle.
+    * terms' shards push into BOTH the postings and terms scans as
+    * PARTITION filters (the q134/q139 PartitionFilters shape — the
+    * driver-side shard collect is bounded by the 256-shard alphabet
+    * BY CONSTRUCTION, so unlike the probed-bucket collect no cap
+    * needs enforcing), the broadcast term probes prune the shard
+    * residue, per-term df and the corpus scalars sum across
+    * generations, and scoring is the exact [[bm25TopK]] fixed-point
+    * arithmetic — served results must hash-equal the ad-hoc path,
+    * which q154 (fresh build) and q155 (build + append) gate against
+    * q146's own oracle.
     */
   def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, k: Int,
@@ -179,11 +224,80 @@ object Retrieval {
       .select(substring(md5(col("term")), 1, 2).as("shard"))
       .distinct().collect().map(_.getString(0))
     val stats = spark.read.parquet(s"$path/meta/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("total")).as("total"))
+    val dfq = spark.read.parquet(s"$path/terms")
+      .filter(col("shard").isin(shards.toSeq: _*))
+      .join(broadcast(qt.select(col("term")).distinct()), "term")
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
     val contrib = spark.read.parquet(s"$path/postings")
       .filter(col("shard").isin(shards.toSeq: _*))
       .join(broadcast(qt), "term")
+      .join(broadcast(dfq), "term")
       .crossJoin(broadcast(stats))
     scoreAndRank(contrib, k)
+  }
+
+  /** Duplicate-posting audit of a written BM25 index — the lexical
+    * `ivfPqAuditIndex`: one grouped scan of `postings/` emitting the
+    * (doc_id, term) keys present more than once. Non-empty output
+    * means the [[bm25AppendIndex]] exactly-once contract was violated
+    * (a retried append — `n_payloads` = 1, the copies bit-identical)
+    * or the same doc id was appended with DIFFERENT text
+    * (`n_payloads` > 1: payload divergence — a rebuild signal, not
+    * replay damage). Narrow scan, partial-aggregated; shuffles
+    * posting-cardinality keys, emits only the damage. A duplicated
+    * posting also means that generation's df/stats contributions
+    * double-counted — [[bm25CompactIndex]] repairs both, because it
+    * REDERIVES terms/ and meta/ from the deduped postings.
+    */
+  def bm25AuditIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(s"$path/postings")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("n_copies"),
+        count_distinct(struct(col("tf"), col("dl"))).as("n_payloads"))
+      .filter(col("n_copies") > 1)
+
+  /** REPAIR for a double-appended BM25 index ([[bm25AuditIndex]]
+    * hits): compact `src` into a fresh index at `dst`, dropping the
+    * replayed rows. Dedup is on WHOLE posting rows — a replayed
+    * append lands bit-identical (doc_id, term, tf, dl, shard) rows —
+    * and if (doc_id, term) keys still collide after (payload
+    * divergence), compaction REFUSES: that index needs a rebuild.
+    * `terms/` and `meta/stats` are REDERIVED from the deduped
+    * postings (df = posting count per term, n_docs/total = distinct
+    * docs and their summed lengths) — vocabulary/doc-keyed aggregates
+    * over rows already in hand, NO corpus re-tokenize — which repairs
+    * the doubled df/stats contributions in the same pass. Writes to a
+    * NEW path (stage-then-swap, the `ivfPqCompactIndex` idiom); cost
+    * is one read + one write of the posting rows, as a repair op
+    * should be.
+    */
+  def bm25CompactIndex(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String): Unit = {
+    val postings = spark.read.parquet(s"$srcPath/postings")
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"), col("shard"))
+      .dropDuplicates()
+      .localCheckpoint()
+    val divergent = postings.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
+    require(divergent.isEmpty,
+      s"bm25CompactIndex: (doc ${divergent.headOption.map(_.get(0))}, term " +
+        s"${divergent.headOption.map(_.get(1))}) has payload-divergent copies " +
+        "(same key, different tf/dl) — not append-replay damage; rebuild " +
+        "the index instead")
+    postings
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$dstPath/postings")
+    postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("shard", substring(md5(col("term")), 1, 2))
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$dstPath/terms")
+    postings.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dstPath/meta/stats")
   }
 
   /** DuckDB twin of [[bm25TopK]] as a WITH-clause body (no trailing

@@ -1734,10 +1734,11 @@ object PipelineQueries {
   /** BM25 served from the WRITTEN index ([[graft.operators.Retrieval
     * .bm25WriteIndex]] / [[graft.operators.Retrieval.bm25TopKIndexed]])
     * — the lexical twin of the q139 story: postings persist
-    * shard-partitioned with serve-time stats denormalized inline, the
-    * query terms' shards prune the scan as partition filters, and the
-    * served ranking must hash-equal q146's ad-hoc-path oracle — a
-    * drift in the layout, the inline df/dl, or the pruning
+    * shard-partitioned with the append-stable stats (tf, dl) inline
+    * and the corpus-level df in the equally-sharded `terms/` sidecar,
+    * the query terms' shards prune BOTH scans as partition filters,
+    * and the served ranking must hash-equal q146's ad-hoc-path oracle
+    * — a drift in the layout, the df/dl plumbing, or the pruning
     * hash-fails.
     */
   val q154Bm25Indexed: QueryDef = QueryDef(
@@ -1748,6 +1749,77 @@ object PipelineQueries {
         .pidScoped("graft_bm25idx_q154_", dir)
       Retrieval.bm25WriteIndex(docs, path.toString)
       Retrieval.bm25TopKIndexed(s, path.toString,
+          docs.filter(col("doc_id") < 8), k = 10)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some(bm25Top10OracleSql))
+
+  /** The BM25 index DAY-2 path ([[graft.operators.Retrieval
+    * .bm25AppendIndex]]) — the lexical q140: two thirds of the corpus
+    * build the index, the last third arrives as a new-document
+    * generation appended with ZERO base reads (delta postings + df
+    * contributions + a stats row), and serving the appended index
+    * must hash-equal the SAME fresh-whole-corpus oracle as
+    * q146/q154. That equality is the design's point: df and the
+    * corpus scalars live as per-generation contributions summed at
+    * serve time instead of being frozen into posting rows, so an
+    * append moves every affected term's idf EXACTLY — the v1 layout
+    * (df inline) would have served stale scores for every pre-append
+    * posting here and hash-failed.
+    */
+  val q155Bm25Append: QueryDef = QueryDef(
+    "q155_bm25_append",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_bm25idx_q155_", dir)
+      Retrieval.bm25WriteIndex(docs.filter(col("doc_id") % 3 =!= 0),
+        path.toString)
+      Retrieval.bm25AppendIndex(docs.filter(col("doc_id") % 3 === 0),
+        path.toString)
+      Retrieval.bm25TopKIndexed(s, path.toString,
+          docs.filter(col("doc_id") < 8), k = 10)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some(bm25Top10OracleSql))
+
+  /** The BM25 index REPAIR path ([[graft.operators.Retrieval
+    * .bm25AuditIndex]] / [[graft.operators.Retrieval
+    * .bm25CompactIndex]]) — the lexical q151: q155's lifecycle with
+    * the failure the append contract warns about INJECTED (the delta
+    * append runs twice — a blind retry), so every delta posting sits
+    * in its shard twice and that generation's df/stats contributions
+    * double-count. The audit must localize EXACTLY the replayed
+    * postings (asserted in the closure — bit-identical copies, no
+    * payload divergence), compaction rewrites the layout minus the
+    * replay into a fresh index REDERIVING df/stats from the deduped
+    * postings, and serving THAT must hash-equal the clean
+    * whole-corpus oracle — a missed duplicate, a dropped legitimate
+    * posting, or an unrepaired df double-count all hash-fail.
+    */
+  val q156Bm25Repair: QueryDef = QueryDef(
+    "q156_bm25_repair",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_bm25idx_q156_", dir)
+      Retrieval.bm25WriteIndex(docs.filter(col("doc_id") % 3 =!= 0),
+        path.toString)
+      val delta = docs.filter(col("doc_id") % 3 === 0)
+      Retrieval.bm25AppendIndex(delta, path.toString)
+      // the injected failure: a blind retry replays the same append
+      Retrieval.bm25AppendIndex(delta, path.toString)
+      val damage = Retrieval.bm25AuditIndex(s, path.toString)
+        .agg(count(lit(1)).as("n"),
+          max(col("n_copies")).as("mc"), max(col("n_payloads")).as("mp"))
+        .collect()(0)
+      require(damage.getLong(0) > 0 && damage.getLong(1) == 2L &&
+          damage.getLong(2) == 1L,
+        s"audit must localize the replay as bit-identical pairs, got $damage")
+      val repaired = graft.operators.TmpWorkspaces
+        .pidScoped("graft_bm25idx_q156r_", dir)
+      Retrieval.bm25CompactIndex(s, path.toString, repaired.toString)
+      Retrieval.bm25TopKIndexed(s, repaired.toString,
           docs.filter(col("doc_id") < 8), k = 10)
         .orderBy(col("query_id"), col("rnk"))
     },
@@ -1870,5 +1942,6 @@ object PipelineQueries {
     q140IvfPqAppend, q141IvfPqSelfIndex, q142IvfPqRerank,
     q143IvfPqColdAppend, q144BpePairs, q145IvfPqStats,
     q146Bm25, q147HybridRrf, q148BpeTrain, q149BpeEncode, q151IvfPqRepair,
-    q152CurationV4, q153Containment, q154Bm25Indexed)
+    q152CurationV4, q153Containment, q154Bm25Indexed, q155Bm25Append,
+    q156Bm25Repair)
 }

@@ -517,16 +517,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "the 1-row stats join must broadcast")
   }
 
-  test("q154: indexed BM25 serves through a shard-pruned postings scan with zero corpus joins") {
+  test("q154: indexed BM25 serves through shard-pruned postings+terms scans, zero corpus joins") {
     val p = plan("q154_bm25_indexed")
-    // the query terms' md5 shards must prune the postings directories
-    assert("PartitionFilters: \\[[^\\]]*shard".r.findFirstIn(p).isDefined,
-      s"query-term shards must prune as partition filters:\n$p")
-    // serve-time stats ride inline (df/dl denormalized at build): the
-    // only joins are the broadcast term probe and the 1-row stats
-    assert(p.contains("BroadcastHashJoin"), "term probe must broadcast")
+    // the query terms' md5 shards must prune BOTH the postings and the
+    // terms-sidecar directories (df lives in terms/, append-stable)
+    assert("PartitionFilters: \\[[^\\]]*shard".r.findAllIn(p).size >= 2,
+      s"query-term shards must prune both index scans:\n$p")
+    // tf/dl ride inline; df and the query terms probe in as broadcasts
+    assert(p.contains("BroadcastHashJoin"), "term/df probes must broadcast")
     assert(!p.contains("SortMergeJoin"),
       s"no corpus-sized join may appear at serve time:\n$p")
+    assert(p.contains("WindowGroupLimit"), "per-query top-k must push into the sort")
+    assert(!p.contains("CartesianProduct"), "the 1-row stats join must broadcast")
+  }
+
+  test("q155: append-then-serve keeps the q154 serve shape (pruned scans, no corpus joins)") {
+    val p = plan("q155_bm25_append")
+    assert("PartitionFilters: \\[[^\\]]*shard".r.findAllIn(p).size >= 2,
+      s"the appended index must still prune both scans:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "term/df probes must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      s"generation-summed df must stay broadcast-class:\n$p")
     assert(p.contains("WindowGroupLimit"), "per-query top-k must push into the sort")
     assert(!p.contains("CartesianProduct"), "the 1-row stats join must broadcast")
   }

@@ -53,6 +53,68 @@ class RetrievalSpec extends AnyFunSuite {
       s"index round-trip drifted:\n$served\nvs\n$adhoc")
   }
 
+  test("bm25AppendIndex: append-then-serve equals the fresh whole-corpus build") {
+    val base = corpus.filter($"doc_id" <= 1L)
+    val delta = corpus.filter($"doc_id" >= 2L)
+    val fresh = TmpWorkspaces.pidScoped("graft_bm25idx_spec_", "fresh")
+    Retrieval.bm25WriteIndex(corpus, fresh.toString)
+    val appended = TmpWorkspaces.pidScoped("graft_bm25idx_spec_", "appended")
+    Retrieval.bm25WriteIndex(base, appended.toString)
+    Retrieval.bm25AppendIndex(delta, appended.toString)
+    val q = corpus.filter($"doc_id" === 0L)
+    val want = Retrieval.bm25TopKIndexed(spark, fresh.toString, q, k = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(r => (r._1, r._2))
+    val got = Retrieval.bm25TopKIndexed(spark, appended.toString, q, k = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(r => (r._1, r._2))
+    // df(banana) and df(cherry) both straddle the base/delta split, so
+    // stale-df serving (the v1 inline layout) would differ here
+    assert(want.nonEmpty && got == want,
+      s"append-then-serve drifted from fresh:\n$got\nvs\n$want")
+  }
+
+  test("bm25AuditIndex localizes a replayed append; compact repairs it exactly") {
+    val base = corpus.filter($"doc_id" <= 1L)
+    val delta = corpus.filter($"doc_id" >= 2L)
+    val path = TmpWorkspaces.pidScoped("graft_bm25idx_spec_", "replay")
+    Retrieval.bm25WriteIndex(base, path.toString)
+    Retrieval.bm25AppendIndex(delta, path.toString)
+    Retrieval.bm25AppendIndex(delta, path.toString) // the blind retry
+    val audit = Retrieval.bm25AuditIndex(spark, path.toString)
+      .select($"doc_id", $"term", $"n_copies", $"n_payloads")
+      .as[(Long, String, Long, Long)].collect().toSet
+    // exactly the delta's (doc, term) keys, each a bit-identical pair
+    assert(audit == Set(
+      (2L, "banana", 2L, 1L), (2L, "cherry", 2L, 1L), (2L, "date", 2L, 1L),
+      (3L, "date", 2L, 1L)), s"audit drifted: $audit")
+    val repaired = TmpWorkspaces.pidScoped("graft_bm25idx_spec_", "repaired")
+    Retrieval.bm25CompactIndex(spark, path.toString, repaired.toString)
+    assert(Retrieval.bm25AuditIndex(spark, repaired.toString).isEmpty)
+    val fresh = TmpWorkspaces.pidScoped("graft_bm25idx_spec_", "freshr")
+    Retrieval.bm25WriteIndex(corpus, fresh.toString)
+    val q = corpus.filter($"doc_id" === 0L)
+    val want = Retrieval.bm25TopKIndexed(spark, fresh.toString, q, k = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(r => (r._1, r._2))
+    val got = Retrieval.bm25TopKIndexed(spark, repaired.toString, q, k = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(r => (r._1, r._2))
+    assert(got == want, s"compacted serve drifted:\n$got\nvs\n$want")
+  }
+
+  test("bm25CompactIndex refuses payload-divergent copies (id reused with new text)") {
+    val path = TmpWorkspaces.pidScoped("graft_bm25idx_spec_", "diverge")
+    Retrieval.bm25WriteIndex(corpus, path.toString)
+    // contract violation: doc 2 re-appended with DIFFERENT text
+    Retrieval.bm25AppendIndex(
+      Seq(2L -> "banana banana").toDF("doc_id", "text"), path.toString)
+    val audit = Retrieval.bm25AuditIndex(spark, path.toString)
+      .filter($"n_payloads" > 1).count()
+    assert(audit > 0, "audit must flag the divergent copies")
+    val dst = TmpWorkspaces.pidScoped("graft_bm25idx_spec_", "divergedst")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.bm25CompactIndex(spark, path.toString, dst.toString)
+    }
+    assert(e.getMessage.contains("rebuild"))
+  }
+
   // plain-Scala reference model of bm25TopK: same tokenization, same
   // fixed-point arithmetic (JVM doubles are the same IEEE ops the
   // codegen'd expressions execute), same tie-breaks
