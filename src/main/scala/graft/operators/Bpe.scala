@@ -79,6 +79,24 @@ object Bpe {
     * single-row collect per merge is the algorithm's sequential
     * dependency (merge i+1's counts depend on merge i's rewrite), not
     * an implementation shortcut.
+    *
+    * PRODUCTION-TRAINER NOTE (the 30k-merge shape): at gate scale
+    * (4–6 merges) one full pair-count aggregation + collect per merge
+    * is exact-replay-critical and cheap, but a real vocabulary is
+    * O(30k) merges and this loop would run 30k Spark jobs over the
+    * word table. Production BPE trainers (Sennrich's reference
+    * implementation, HuggingFace tokenizers) run the SAME greedy
+    * algorithm against a cached pair-count table updated by DELTAS:
+    * merging (l,r) only changes counts of pairs overlapping an (l,r)
+    * occurrence, so each round applies a sparse delta and re-extracts
+    * the max instead of recounting the corpus-vocabulary. The Spark
+    * shape of that optimization is a driver-held count map (pair
+    * alphabet is vocabulary-bounded) refreshed by a delta aggregation
+    * over only the words REWRITTEN this round — same merges, same
+    * replay, ~all rounds touching a shrinking fraction of the table.
+    * Worth building when a real-vocabulary training run lands; the
+    * gate keeps the recount form because its oracle replay is the
+    * correctness anchor every other BPE operator leans on.
     */
   def trainMerges(
       df: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
@@ -114,6 +132,17 @@ object Bpe {
       .select(col("step").cast("long"), col("lft"), col("rgt"), col("cnt"))
   }
 
+  /** The learned-merge chain applied to a word column: nested literal
+    * replaces under the two-space segmentation encoding (see the
+    * object scaladoc) — the shared encode core of
+    * [[encodeTokenCounts]] and [[encodeIds]].
+    */
+  private def mergeChain(word: Column, merges: Seq[Merge]): Column =
+    merges.foldLeft(charSeq(word)) { (s, m) =>
+      call_function("replace", s,
+        lit(s" ${m.lft}  ${m.rgt} "), lit(s" ${m.lft}${m.rgt} "))
+    }
+
   /** Apply learned merges to a corpus and count the resulting subword
     * tokens per document: (id, n_words, n_bpe). One narrow corpus pass
     * (the merge chain is nested literal replaces) + one keyed sum;
@@ -121,16 +150,70 @@ object Bpe {
     */
   def encodeTokenCounts(
       df: DataFrame, idCol: String, textCol: String,
-      merges: Seq[Merge]): DataFrame = {
-    val seqN = merges.foldLeft(charSeq(col("word"))) { (s, m) =>
-      call_function("replace", s,
-        lit(s" ${m.lft}  ${m.rgt} "), lit(s" ${m.lft}${m.rgt} "))
-    }
+      merges: Seq[Merge]): DataFrame =
     df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("word"))
       .filter(col("word") =!= "")
-      .withColumn("n", size(split(trim(seqN), "  ")).cast("long"))
+      .withColumn("n",
+        size(split(trim(mergeChain(col("word"), merges)), "  ")).cast("long"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum(col("n")).as("n_bpe"))
+
+  /** The tokenizer's VOCABULARY with stable ids: the corpus's observed
+    * base characters (sorted ascending) take ids 0..B-1, then each
+    * merge's product symbol in training order — deduped on SURFACE
+    * FORM keeping the first occurrence (two merge paths can fuse to
+    * the same string, e.g. (a,bc) and (ab,c) → "abc"; a vocabulary
+    * maps surface forms to ids, so duplicates collapse exactly as a
+    * HuggingFace-style vocab file would). Deterministic given (corpus,
+    * merges). The driver-side collect is bounded by the
+    * [[TextOps.normalize]] alphabet — at most 36 base characters,
+    * enforced loudly.
+    */
+  def vocab(df: DataFrame, textCol: String,
+      merges: Seq[Merge]): Seq[(Long, String)] = {
+    val base = wordFreq(df, textCol)
+      .select(explode(split(col("word"), "")).as("c"))
+      .filter(col("c") =!= "").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    require(base.size <= 36,
+      s"vocab: ${base.size} base symbols exceed the [a-z0-9] alphabet — " +
+        "the corpus was not normalized with TextOps.normalize")
+    (base ++ merges.map(m => m.lft + m.rgt)).distinct
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+  }
+
+  /** A [[vocab]] as a (token_id, sym) frame. */
+  def vocabDf(spark: SparkSession, v: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    v.toDF("token_id", "sym")
+  }
+
+  /** Apply learned merges to a corpus and emit each document's
+    * TOKEN-ID SEQUENCE — the artifact a pretraining run consumes:
+    * (id, n_tokens, token_ids ARRAY<LONG>), ids per [[vocab]],
+    * symbols in document order (words in order, subwords
+    * left-to-right within each word). Documents normalizing to zero
+    * tokens emit an empty array.
+    *
+    * One NARROW corpus pass, zero shuffles: the merge chain, the
+    * symbol split, and the vocabulary lookup (a literal `map` — the
+    * vocab is alphabet+merges-sized by construction) all ride one
+    * projection via higher-order functions. The HOF lambdas evaluate
+    * interpreted rather than codegen'd — the documented
+    * `ivfResiduals` trade: linear, narrow, fused in one pass; promote
+    * to a native Expression if an encode-bound profile ever shows it
+    * hot.
+    */
+  def encodeIds(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge], v: Seq[(Long, String)]): DataFrame = {
+    val idMap = map(v.flatMap { case (i, s) => Seq(lit(s), lit(i)) }: _*)
+    val toks = filter(TextOps.tokens(col(textCol)), w => w =!= "")
+    val ids = transform(
+      flatten(transform(toks, w => split(trim(mergeChain(w, merges)), "  "))),
+      s => element_at(idMap, s))
+    df.select(col(idCol), ids.as("token_ids"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+      .select(col(idCol), col("n_tokens"), col("token_ids"))
   }
 
   // ------------------------------------------------------------------
@@ -193,22 +276,82 @@ object Bpe {
     * `[a-z0-9 ]` segmentation alphabet, so the replace is a no-op,
     * exactly matching the Spark side's shorter fold.
     */
-  def encodeOracleCtes(
-      table: String, idCol: String, textCol: String, nMerges: Int): String = {
-    val seqN = (1 to nMerges).foldLeft(charSeqSql("word")) { (s, i) =>
+  /** The merge chain as nested replaces over a `word` SQL expression,
+    * each step's strings from its `b{i}` scalar subqueries (exactly
+    * the literals the Spark side embeds after its collects) — shared
+    * by [[encodeOracleCtes]] and [[encodeIdsOracleCtes]]. See
+    * [[encodeOracleCtes]] for the early-dry COALESCE guard.
+    */
+  private def mergeChainSql(word: String, nMerges: Int): String =
+    (1 to nMerges).foldLeft(charSeqSql(word)) { (s, i) =>
       s"""replace($s, COALESCE((SELECT ' ' || lft || '  ' || rgt || ' ' FROM b$i), '~'),
                   COALESCE((SELECT ' ' || lft || rgt || ' ' FROM b$i), '~'))"""
     }
+
+  def encodeOracleCtes(
+      table: String, idCol: String, textCol: String, nMerges: Int): String =
     s"""
       tok AS (SELECT $idCol, unnest(${TextOps.tokensSql(textCol)}) AS word
               FROM $table),
       encn AS (SELECT $idCol,
-                      CAST(len(string_split(trim($seqN), '  ')) AS BIGINT) AS n
+                      CAST(len(string_split(trim(${mergeChainSql("word", nMerges)}), '  ')) AS BIGINT) AS n
                FROM tok WHERE word <> ''),
       enc AS (SELECT $idCol, CAST(COUNT(*) AS BIGINT) AS n_words,
                      CAST(SUM(n) AS BIGINT) AS n_bpe
               FROM encn GROUP BY $idCol)"""
+
+  /** Vocabulary replay as a WITH-clause body appended AFTER
+    * [[trainOracleCtes]] (`wc` and the `b{i}` winners must be in
+    * scope): defines `vocab` = (sym, token_id) — observed base
+    * characters sorted, then merge products in training order,
+    * surface-form-deduped keeping the first, ids renumbered densely —
+    * exactly [[Bpe.vocab]]'s contract.
+    */
+  def vocabOracleCtes(nMerges: Int): String = {
+    val mergeRows = (1 to nMerges).map(i =>
+      s"SELECT lft || rgt AS sym, 1 AS grp, '' AS bord, $i AS mstep FROM b$i")
+    s"""
+      bchars AS (SELECT DISTINCT word[j] AS sym
+                 FROM (SELECT word, unnest(generate_series(1, len(word))) AS j
+                       FROM wc) t),
+      vsyms AS (SELECT sym, 0 AS grp, sym AS bord, 0 AS mstep FROM bchars
+                ${mergeRows.map("UNION ALL " + _).mkString("\n                ")}),
+      vord AS (SELECT sym, ROW_NUMBER() OVER (ORDER BY grp, bord, mstep) AS rn
+               FROM vsyms),
+      vocab AS (SELECT sym, ROW_NUMBER() OVER (ORDER BY rn) - 1 AS token_id
+                FROM (SELECT sym, rn,
+                             ROW_NUMBER() OVER (PARTITION BY sym ORDER BY rn) AS dup
+                      FROM vord) d
+                WHERE dup = 1)"""
   }
+
+  /** Token-ID-sequence replay as a WITH-clause body appended AFTER
+    * [[trainOracleCtes]] + [[vocabOracleCtes]]: defines `ids` =
+    * (idCol, pos, token_id) — every subword symbol in document order
+    * (word position, then symbol position within the word; `pos` is
+    * the dense 0-based rank over that order) joined to its vocabulary
+    * id. The row form of [[Bpe.encodeIds]]'s arrays.
+    */
+  def encodeIdsOracleCtes(
+      table: String, idCol: String, textCol: String, nMerges: Int): String =
+    s"""
+      itok AS (SELECT $idCol, ${TextOps.tokensSql(textCol)} AS toks
+               FROM $table),
+      itokp AS (SELECT $idCol, wpos, toks[wpos] AS word
+                FROM (SELECT $idCol, toks,
+                             unnest(generate_series(1, len(toks))) AS wpos
+                      FROM itok) t),
+      isymp AS (SELECT $idCol, wpos, spos, syms[spos] AS sym
+                FROM (SELECT $idCol, wpos, syms,
+                             unnest(generate_series(1, len(syms))) AS spos
+                      FROM (SELECT $idCol, wpos,
+                                   string_split(trim(${mergeChainSql("word", nMerges)}), '  ') AS syms
+                            FROM itokp WHERE word <> '') s) u),
+      ids AS (SELECT i.$idCol,
+                     ROW_NUMBER() OVER (PARTITION BY i.$idCol
+                       ORDER BY i.wpos, i.spos) - 1 AS pos,
+                     v.token_id
+              FROM isymp i JOIN vocab v ON i.sym = v.sym)"""
 
   /** Full encode replay: train CTEs + [[encodeOracleCtes]] (q149). */
   def encodeOracleSql(

@@ -250,6 +250,22 @@ object Curation {
     * flip between runs of the same dataset.
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
+      seqLen: Int, shardHexChars: Int = 2): DataFrame =
+    packSequencesByCount(
+      df.withColumn("__nc", size(TextOps.tokens(col(textCol))).cast("long")),
+      idCol, "__nc", seqLen, shardHexChars)
+
+  /** [[packSequences]] over a PRECOMPUTED per-document token count —
+    * the composition point a real pipeline uses: the packer's budget
+    * is the TOKENIZER's count (e.g. [[Bpe.encodeTokenCounts]]'s
+    * n_bpe), not the whitespace count, and the counts frame is
+    * usually already in hand from the token-accounting pass. Same
+    * shard/offset arithmetic, same output shape; `nCol` must be a
+    * POSITIVE integral count — the engine's tokenize passes never
+    * emit zero-count documents (a doc with no tokens has no row), and
+    * a literal 0 would hit `sequence(hi, lo)`'s descending branch.
+    */
+  def packSequencesByCount(df: DataFrame, idCol: String, nCol: String,
       seqLen: Int, shardHexChars: Int = 2): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     require(shardHexChars >= 1 && shardHexChars <= 8,
@@ -257,7 +273,7 @@ object Curation {
     val w = Window.partitionBy(col("shard")).orderBy(col("__key"), col(idCol))
     df.withColumn("__key", md5(col(idCol).cast("string")))
       .withColumn("shard", substring(col("__key"), 1, shardHexChars))
-      .withColumn("__n", size(TextOps.tokens(col(textCol))).cast("long"))
+      .withColumn("__n", col(nCol).cast("long"))
       // exclusive end of this doc's slot (tokens + its EOS) in the shard stream
       .withColumn("__end", sum(col("__n") + lit(1L)).over(w))
       .withColumn("__start", col("__end") - (col("__n") + lit(1L)))

@@ -1825,6 +1825,40 @@ object PipelineQueries {
     },
     Some(bm25Top10OracleSql))
 
+  /** BPE tokenizer OUTPUT ([[graft.operators.Bpe.vocab]] /
+    * [[graft.operators.Bpe.encodeIds]]): the artifact a pretraining
+    * run consumes — per-document TOKEN-ID sequences under a stable
+    * vocabulary (observed base characters sorted, then merge products
+    * in training order, surface-form-deduped). Merges and vocabulary
+    * train on the FULL corpus; the first 40 documents emit their id
+    * sequences as (doc_id, pos, token_id) rows. The oracle replays
+    * training, the vocabulary numbering, and every document's
+    * flattened symbol order — a wrong merge, a vocab id off by one,
+    * or a symbol out of document order all hash-fail.
+    */
+  val q157BpeIds: QueryDef = QueryDef(
+    "q157_bpe_ids",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val ms = Bpe.trainMerges(docs, "text", nMerges = 6)
+      val v = Bpe.vocab(docs, "text", ms)
+      Bpe.encodeIds(docs.filter(col("doc_id") < 40), "doc_id", "text", ms, v)
+        .select(col("doc_id"),
+          posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("token_id"))
+        .orderBy(col("doc_id"), col("pos"))
+    },
+    Some(s"""
+      WITH ${Bpe.trainOracleCtes("documents", "text", 6)},
+      ${Bpe.vocabOracleCtes(6)},
+      ${Bpe.encodeIdsOracleCtes("(SELECT * FROM documents WHERE doc_id < 40)", "doc_id", "text", 6)}
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             CAST(token_id AS BIGINT) AS token_id
+      FROM ids
+      ORDER BY doc_id, pos
+    """))
+
   /** Containment near-dup pairs ([[graft.operators.Dedup
     * .ngramContainmentPairs]]): the asymmetric complement of q33's
     * Jaccard on the same inverted-index core — a near-superset page
@@ -1932,6 +1966,79 @@ object PipelineQueries {
       ORDER BY tr.source
     """))
 
+  /** Flagship curation v5 — v4's pipeline driven one step further, to
+    * THE artifact a pretraining run actually reads: (1) bigram-LM
+    * quality filter, (2) BM25 retrieval-decontamination (both exactly
+    * q152's stages), then (3) a 4-merge BPE tokenizer trained on the
+    * surviving training corpus whose TOKEN counts — not whitespace
+    * counts — feed (4) GPT-style concat-and-cut sequence packing
+    * (q131's shard/offset arithmetic via
+    * [[graft.operators.Curation.packSequencesByCount]], 256-token
+    * sequences, one EOS slot between documents, 256 independent
+    * md5-sharded streams). Output: one row per (document, training
+    * sequence it overlaps) — the placement manifest that maps every
+    * curated document into its training-sequence coordinates.
+    *
+    * Composition rule (the q132/q152 lesson): survivors materialize
+    * once per filter stage; the encode, count, and packing window all
+    * read checkpointed rows — zero parquet re-scans in the final
+    * plan. The oracle replays ALL FOUR stages CTE-for-CTE: a drift
+    * anywhere — model smoothing, decontam shortlist, a merge, a
+    * token count, a packing offset — moves sequence coordinates and
+    * hash-fails.
+    */
+  val q158CurationV5: QueryDef = QueryDef(
+    "q158_curation_v5",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val keptIds = TextAnalysis.bigramNll(docs, "doc_id", "text",
+          nllThreshold = BigramNllMedian)
+        .filter(col("kept")).select(col("doc_id"))
+      val surv = docs.join(keptIds, "doc_id")
+        .select(col("doc_id"), col("text"), col("source"))
+        .localCheckpoint()
+      val cont = Retrieval
+        .bm25TopK(surv, surv.filter(col("doc_id") < 8), k = 5)
+        .select(col("doc_id")).distinct()
+      val train = surv.filter(col("doc_id") >= 8)
+        .join(cont, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      val ms = Bpe.trainMerges(train, "text", nMerges = 4)
+      val counts = Bpe.encodeTokenCounts(train, "doc_id", "text", ms)
+      Curation.packSequencesByCount(counts, "doc_id", "n_bpe", seqLen = 256)
+        .orderBy(col("shard"), col("seq_idx"), col("doc_id"))
+    },
+    Some(s"""
+      WITH ${TextAnalysis.bigramNllCtesSql("documents", "doc_id", "text", BigramNllMedian)},
+      surv AS MATERIALIZED (SELECT d.doc_id, d.text, d.source
+               FROM documents d JOIN bnll b USING (doc_id)
+               WHERE b.kept),
+      ${Retrieval.bm25CtesSql("surv", "doc_id", "text", "doc_id < 8", 5)},
+      cont AS (SELECT DISTINCT doc_id FROM bm25),
+      train AS MATERIALIZED (SELECT * FROM surv
+                WHERE doc_id >= 8
+                  AND doc_id NOT IN (SELECT doc_id FROM cont)),
+      ${Bpe.trainOracleCtes("train", "text", 4)},
+      ${Bpe.encodeOracleCtes("train", "doc_id", "text", 4)},
+      pt AS (SELECT doc_id,
+                    md5(CAST(doc_id AS VARCHAR)) AS key,
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS shard,
+                    n_bpe AS n
+             FROM enc),
+      po AS (SELECT doc_id, shard, n,
+                    CAST(SUM(n + 1) OVER (PARTITION BY shard ORDER BY key, doc_id)
+                      - (n + 1) AS BIGINT) AS s
+             FROM pt),
+      pe AS (SELECT doc_id, shard, s, n,
+                    unnest(generate_series(s // 256, (s + n - 1) // 256)) AS seq_idx
+             FROM po)
+      SELECT doc_id, shard, CAST(seq_idx AS BIGINT) AS seq_idx,
+             CAST(least(s + n, (seq_idx + 1) * 256)
+                  - greatest(s, seq_idx * 256) AS BIGINT) AS n_toks_in_seq
+      FROM pe
+      ORDER BY shard, seq_idx, doc_id
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
@@ -1943,5 +2050,5 @@ object PipelineQueries {
     q143IvfPqColdAppend, q144BpePairs, q145IvfPqStats,
     q146Bm25, q147HybridRrf, q148BpeTrain, q149BpeEncode, q151IvfPqRepair,
     q152CurationV4, q153Containment, q154Bm25Indexed, q155Bm25Append,
-    q156Bm25Repair)
+    q156Bm25Repair, q157BpeIds, q158CurationV5)
 }

@@ -565,6 +565,36 @@ class PlanSpec extends AnyFunSuite {
     assert(scans <= 1, s"encode reads the corpus once:\n$p")
   }
 
+  test("q157: BPE id emission is one pruned corpus scan — no join, no pre-sort shuffle") {
+    val p = plan("q157_bpe_ids")
+    // training/vocab happen at build time (driver collects); the final
+    // plan is the encode itself: one scan of the 40 gated docs, the
+    // merge chain + literal vocab map fused in one projection, the id
+    // array posexploded — nothing joins, nothing shuffles before the
+    // output sort
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"encode-to-ids reads the corpus once:\n$p")
+    assert(p.contains("LessThan(doc_id,40)"),
+      s"the gated-doc prune must reach the scan:\n$p")
+    assert(!p.contains("Join"), "the vocab rides as a literal map, not a join")
+    assert(p.contains("Generate posexplode"), "id rows come from posexplode")
+    val exchanges = "(?m)^\\s*\\+?-?\\s*Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"only the output sort may exchange:\n$p")
+  }
+
+  test("q158: flagship v5 packs checkpointed counts — zero parquet scans, one shard window") {
+    val p = plan("q158_curation_v5")
+    // all four stages compose off materialized survivors: the final
+    // plan is encode counts + the packing window over checkpoints
+    assert(!p.contains("Scan parquet") && !p.contains("FileScan parquet"),
+      s"post-decontam stages must read the checkpointed survivors:\n$p")
+    assert(p.contains("Scan ExistingRDD"), "materialized survivor frame expected")
+    assert(p.contains("Window"), "the packing running-sum window expected")
+    assert(p.contains("Generate explode"), "sequence spans come from the explode")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"packing must not join:\n$p")
+  }
+
   test("q150: bigram-LM stats all read the ONE materialized bigram frame, V broadcasts") {
     val p = plan("q150_bigram_quality")
     // the corpus bigram explode materializes once (localCheckpoint);

@@ -52,4 +52,40 @@ class BpeSpec extends AnyFunSuite {
     val ms = Seq(Bpe.Merge(1, "a", "l", 1L), Bpe.Merge(2, "l", "b", 1L))
     assert(counts(Seq(1L -> "alb"), ms) == Map(1L -> ((1L, 2L))))
   }
+
+  test("vocab: sorted base chars, then merge products in order; surface dedup keeps first") {
+    val docs = Seq(1L -> "abab ab b").toDF("doc_id", "text")
+    val ms = Bpe.trainMerges(docs, "text", 2)
+    // round 1: (a,b)x3; round 2 after rewrite ("ab ab", "ab"): (ab,ab)x1
+    assert(ms.map(m => (m.lft, m.rgt)) == Seq("a" -> "b", "ab" -> "ab"))
+    assert(Bpe.vocab(docs, "text", ms) ==
+      Seq(0L -> "a", 1L -> "b", 2L -> "ab", 3L -> "abab"))
+    // two merge paths fusing to the same surface form collapse to the
+    // FIRST id — the HuggingFace-style vocab-file contract
+    val dup = Seq(Bpe.Merge(1, "a", "b", 9L), Bpe.Merge(2, "a", "b", 5L))
+    assert(Bpe.vocab(docs, "text", dup) ==
+      Seq(0L -> "a", 1L -> "b", 2L -> "ab"))
+  }
+
+  test("encodeIds: document-ordered subword ids; empty text emits an empty array") {
+    val docs = Seq(1L -> "abab ab b", 2L -> "").toDF("doc_id", "text")
+    val ms = Bpe.trainMerges(docs, "text", 2)
+    val v = Bpe.vocab(docs, "text", ms)
+    val got = Bpe.encodeIds(docs, "doc_id", "text", ms, v)
+      .as[(Long, Long, Seq[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 1: "abab"->[abab]=3, "ab"->[ab]=2, "b"->[b]=1
+    assert(got == Map(1L -> ((3L, Seq(3L, 2L, 1L))), 2L -> ((0L, Seq()))))
+  }
+
+  test("encodeIds: multi-symbol words flatten left-to-right within the word") {
+    // merge only (a,l): "albal" -> [al, b, al]; "ba" -> [b, a]
+    val docs = Seq(1L -> "albal ba").toDF("doc_id", "text")
+    val ms = Seq(Bpe.Merge(1, "a", "l", 1L))
+    val v = Bpe.vocab(docs, "text", ms)   // a=0, b=1, l=2, al=3
+    assert(v == Seq(0L -> "a", 1L -> "b", 2L -> "l", 3L -> "al"))
+    val got = Bpe.encodeIds(docs, "doc_id", "text", ms, v)
+      .as[(Long, Long, Seq[Long])].collect().head
+    assert(got == ((1L, 5L, Seq(3L, 1L, 3L, 1L, 0L))))
+  }
 }

@@ -173,6 +173,31 @@ class CurationSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("packSequencesByCount packs the GIVEN counts; packSequences is its whitespace instance") {
+    val seqLen = 5
+    val docs = (1L to 30L).map(i => (i, ("tok " * (i % 9 + 1).toInt).trim))
+    val df = docs.toDF("doc_id", "text")
+    // feeding the whitespace counts through the count-based entry point
+    // must reproduce packSequences exactly (it IS the delegation)
+    val viaCounts = Curation.packSequencesByCount(
+        df.withColumn("n", size(split(col("text"), " "))), "doc_id", "n", seqLen)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(viaCounts == packReplay(docs, seqLen, width = 2))
+    // a different count column repacks: doubling every count doubles
+    // each doc's conserved total and never overfills a sequence
+    val doubled = Curation.packSequencesByCount(
+        df.withColumn("n", size(split(col("text"), " ")) * 2), "doc_id", "n", seqLen)
+      .cache()
+    val perDoc = doubled.groupBy("doc_id").agg(sum("n_toks_in_seq").as("t"))
+      .as[(Long, Long)].collect().toMap
+    docs.foreach { case (id, text) =>
+      assert(perDoc(id) == 2L * text.split(" ").length, s"doc $id")
+    }
+    assert(doubled.groupBy("shard", "seq_idx").agg(sum("n_toks_in_seq").as("t"))
+      .filter(col("t") > seqLen).isEmpty)
+    doubled.unpersist()
+  }
+
   test("packSequences shard width is a layout parameter: width 3 repartitions the streams") {
     val seqLen = 4
     val docs = (1L to 60L).map(i => (i, ("w " * (i % 7 + 1).toInt).trim))
