@@ -176,40 +176,32 @@ object Dedup {
     * with exact Jaccard over the distinct shingle-hash sets and kept when
     * `jaccard >= threshold`. Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
     */
-  def minhashDedup(
-      df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 16, bands: Int = 4, shingleN: Int = 3,
-      threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
+  /** One row per (doc, band) from a [[minhashSignatures]] frame:
+    * explode an array of band keys rather than unioning `bands` copies
+    * of the plan, which would recompute the signature projection once
+    * per band. Shared by the in-session dedup and the written-index
+    * build/probe — index serving equality NEEDS the identical key
+    * encoding.
+    */
+  private def bandKeys(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = minhashSignatures(df, idCol, textCol, numHashes, shingleN)
-
-    // one row per (doc, band): explode an array of band keys rather than
-    // unioning `bands` copies of the plan, which would recompute the
-    // signature projection once per band
-    val banded = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       explode(array((0 until bands).map { bnd =>
         concat_ws("_",
           lit(bnd) +: (0 until rows).map(r => col(s"mh${bnd * rows + r}")): _*)
       }: _*)).as("bk"))
+  }
 
-    // bucket-local pair explosion from ONE keyed pass via the shared
-    // [[emitSortedPairs]] idiom — the old capped-window + SELF-JOIN
-    // formulation re-ran the signature mapPartitions per join side (no
-    // ReusedExchange across the object barrier) and shuffled the
-    // banded rows twice; band collisions dedup (a near-dup pair can
-    // collide in several bands)
-    val cands = emitSortedPairs(banded, keys = Seq("bk"),
-      item = col("doc_id"), capCol = "bucket_n",
-      maxGroupSize = maxBucketSize, aName = "doc_a", bName = "doc_b",
-      dedupPairs = true)
-
-    // exact-Jaccard verify with ONE shingle-set pass: melt each pair to
-    // (pair, endpoint) rows, join the sets once, fold back per pair —
-    // two per-endpoint joins would re-run the whole tokenize/hash pass
-    // per side. first(ignoreNulls) is deterministic: each pair has
-    // exactly one a-row and one b-row
-    val sets = shingleSets(df, idCol, textCol, shingleN)
+  /** Exact-Jaccard verification tail shared by [[minhashDedup]] and
+    * [[minhashDedupIndexed]]: melt each candidate pair to (pair,
+    * endpoint) rows, join the (doc_id, hs, n) sets ONCE, fold back per
+    * pair — two per-endpoint joins would run the set source twice.
+    * first(ignoreNulls) is deterministic: each pair has exactly one
+    * a-row and one b-row.
+    */
+  private def verifyJaccard(
+      cands: DataFrame, sets: DataFrame, threshold: Double): DataFrame =
     cands
       .select(col("doc_a"), col("doc_b"),
         explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
@@ -225,6 +217,136 @@ object Dedup {
         round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+  def minhashDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 4, shingleN: Int = 3,
+      threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
+    val sig = minhashSignatures(df, idCol, textCol, numHashes, shingleN)
+    val banded = bandKeys(sig, numHashes, bands)
+
+    // bucket-local pair explosion from ONE keyed pass via the shared
+    // [[emitSortedPairs]] idiom — the old capped-window + SELF-JOIN
+    // formulation re-ran the signature mapPartitions per join side (no
+    // ReusedExchange across the object barrier) and shuffled the
+    // banded rows twice; band collisions dedup (a near-dup pair can
+    // collide in several bands)
+    val cands = emitSortedPairs(banded, keys = Seq("bk"),
+      item = col("doc_id"), capCol = "bucket_n",
+      maxGroupSize = maxBucketSize, aName = "doc_a", bName = "doc_b",
+      dedupPairs = true)
+
+    // exact-Jaccard verify with ONE shingle-set pass (see verifyJaccard)
+    verifyJaccard(cands,
+      shingleSets(df, idCol, textCol, shingleN).select("doc_id", "hs", "n"),
+      threshold)
+  }
+
+  // ------------------------------------------------------------------
+  // Written signature index: incremental dedup's day-2 layout
+  // ------------------------------------------------------------------
+
+  /** Materializes the minhash-LSH dedup state as a WRITTEN index — the
+    * dedup family's day-2 layout (the `ivfWriteIndex` shape applied to
+    * signatures), so a standing curation pipeline can dedup each new
+    * crawl snapshot against (base ∪ delta) WITHOUT recomputing the
+    * whole corpus. Two pieces:
+    *
+    *  - `bands/` (doc_id, bk), PARTITIONED BY a 256-way md5 shard of
+    *    the band key: candidate generation's prune key — a snapshot's
+    *    band keys touch ~|their shards|/256 of the layout;
+    *  - `sigs/` (doc_id, hs, n): the exact-verify payload (distinct
+    *    shingle-hash sets), doc-keyed — candidates fetch endpoints by
+    *    id.
+    *
+    * Both derive from the same two per-row passes the in-session dedup
+    * runs (signatures + shingle sets); (numHashes, bands, shingleN)
+    * are LAYOUT parameters — probing with different values finds
+    * nothing, so callers fix them per index like the packer's shard
+    * width.
+    */
+  def minhashWriteIndex(df: DataFrame, path: String,
+      idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 4, shingleN: Int = 3): Unit =
+    writeSigGeneration(df, path, idCol, textCol, numHashes, bands,
+      shingleN, "overwrite")
+
+  /** Appends a NEW-DOCUMENT snapshot to a [[minhashWriteIndex]] layout:
+    * delta-sized signature + set passes, zero base reads. Same
+    * contract as every index append here (new ids,
+    * caller-owns-exactly-once); damage shows up as duplicate (doc_id,
+    * bk) band rows or duplicate sig rows, and — unlike the
+    * serving-index appends — is IDEMPOTENT for dedup correctness
+    * modulo cap accounting: duplicate band rows inflate bucket_n
+    * toward the cap, so a replayed append can DROP pairs a clean
+    * layout finds. Treat replay as damage, not noise.
+    */
+  def minhashAppendIndex(df: DataFrame, path: String,
+      idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 4, shingleN: Int = 3): Unit =
+    writeSigGeneration(df, path, idCol, textCol, numHashes, bands,
+      shingleN, "append")
+
+  private def writeSigGeneration(df: DataFrame, path: String,
+      idCol: String, textCol: String, numHashes: Int, bands: Int,
+      shingleN: Int, mode: String): Unit = {
+    val sig = minhashSignatures(df, idCol, textCol, numHashes, shingleN)
+    bandKeys(sig, numHashes, bands)
+      .withColumn("shard", substring(md5(col("bk")), 1, 2))
+      .repartition(col("shard"))
+      .write.mode(mode).partitionBy("shard").parquet(s"$path/bands")
+    shingleSets(df, idCol, textCol, shingleN).select("doc_id", "hs", "n")
+      .write.mode(mode).parquet(s"$path/sigs")
+  }
+
+  /** Incremental near-dup dedup of a NEW snapshot against a
+    * [[minhashWriteIndex]] layout that already contains it (write base,
+    * [[minhashAppendIndex]] the snapshot, then call this): every pair
+    * (doc_a, doc_b, jaccard) with AT LEAST ONE endpoint in the
+    * snapshot — exactly the fresh whole-corpus [[minhashDedup]] output
+    * restricted to snapshot-endpoint pairs (q159 gates that equality),
+    * because the probe reads ENTIRE buckets for every shard a snapshot
+    * band key lands in: same bucket membership, same cap accounting,
+    * same verify arithmetic as the fresh run. Base-base pairs were the
+    * PREVIOUS runs' output and are skipped — the point of the index.
+    *
+    * Plan shape: one delta-sized signature pass (band keys only — the
+    * verify sets come from `sigs/`, not a re-tokenize), a
+    * partition-pruned `bands/` scan (literal shards from a collect
+    * bounded by the 256-shard alphabet), the shared capped pair
+    * emission, a broadcast snapshot-id filter (two broadcast hash
+    * joins — an OR-semi-join would plan a nested loop), and the
+    * doc-keyed verify join against `sigs/`. At deployment scale the
+    * sigs fetch co-locates by bucketing the layout on doc_id; the
+    * snapshot-id broadcast assumes a snapshot's ID LIST is
+    * broadcast-class — drop the hint if a snapshot outgrows it.
+    */
+  def minhashDedupIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, deltaDocs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 4, shingleN: Int = 3,
+      threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
+    val deltaSig = minhashSignatures(deltaDocs, idCol, textCol,
+      numHashes, shingleN)
+    val shards = bandKeys(deltaSig, numHashes, bands)
+      .select(substring(md5(col("bk")), 1, 2).as("shard"))
+      .distinct().collect().map(_.getString(0))
+    val probe = spark.read.parquet(s"$path/bands")
+      .filter(col("shard").isin(shards.toSeq: _*))
+      .select(col("doc_id"), col("bk"))
+    val cands = emitSortedPairs(probe, keys = Seq("bk"),
+      item = col("doc_id"), capCol = "bucket_n",
+      maxGroupSize = maxBucketSize, aName = "doc_a", bName = "doc_b",
+      dedupPairs = true)
+    val fa = deltaDocs.select(col(idCol).cast("long").as("doc_a"))
+      .distinct().withColumn("fa", lit(1))
+    val fb = deltaDocs.select(col(idCol).cast("long").as("doc_b"))
+      .distinct().withColumn("fb", lit(1))
+    val dcands = cands
+      .join(broadcast(fa), Seq("doc_a"), "left")
+      .join(broadcast(fb), Seq("doc_b"), "left")
+      .filter(col("fa").isNotNull || col("fb").isNotNull)
+      .select(col("doc_a"), col("doc_b"))
+    verifyJaccard(dcands, spark.read.parquet(s"$path/sigs"), threshold)
   }
 
   // ------------------------------------------------------------------

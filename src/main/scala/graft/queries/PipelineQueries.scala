@@ -1966,6 +1966,42 @@ object PipelineQueries {
       ORDER BY tr.source
     """))
 
+  /** Incremental dedup against the WRITTEN signature index
+    * ([[graft.operators.Dedup.minhashWriteIndex]] /
+    * [[graft.operators.Dedup.minhashDedupIndexed]]) — the most-used
+    * day-2 operation of a standing curation pipeline: three quarters
+    * of the corpus are the indexed base, the last quarter arrives as
+    * a new crawl snapshot appended delta-sized
+    * ([[graft.operators.Dedup.minhashAppendIndex]]), and the snapshot
+    * dedups against (base ∪ snapshot) through a shard-pruned bands
+    * probe + written-sigs verify. The oracle is the FRESH whole-corpus
+    * q31 replay restricted to snapshot-endpoint pairs — the
+    * incremental path must find exactly the pairs a from-scratch run
+    * finds (same buckets, same caps, same verify arithmetic), having
+    * recomputed only the snapshot's signatures.
+    */
+  val q159MinhashIncremental: QueryDef = QueryDef(
+    "q159_minhash_incremental",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_mhidx_q159_", dir)
+      Dedup.minhashWriteIndex(docs.filter(col("doc_id") % 4 =!= 0),
+        path.toString, "doc_id", "text", NumHashes, Bands, ShingleN)
+      val snapshot = docs.filter(col("doc_id") % 4 === 0)
+      Dedup.minhashAppendIndex(snapshot, path.toString, "doc_id", "text",
+        NumHashes, Bands, ShingleN)
+      Dedup.minhashDedupIndexed(s, path.toString, snapshot, "doc_id",
+          "text", NumHashes, Bands, ShingleN, threshold = 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""
+      WITH $minhashPairCtes
+      SELECT doc_a, doc_b, jaccard FROM pairs
+      WHERE doc_a % 4 = 0 OR doc_b % 4 = 0
+      ORDER BY doc_a, doc_b
+    """))
+
   /** Flagship curation v5 — v4's pipeline driven one step further, to
     * THE artifact a pretraining run actually reads: (1) bigram-LM
     * quality filter, (2) BM25 retrieval-decontamination (both exactly
@@ -2050,5 +2086,5 @@ object PipelineQueries {
     q143IvfPqColdAppend, q144BpePairs, q145IvfPqStats,
     q146Bm25, q147HybridRrf, q148BpeTrain, q149BpeEncode, q151IvfPqRepair,
     q152CurationV4, q153Containment, q154Bm25Indexed, q155Bm25Append,
-    q156Bm25Repair, q157BpeIds, q158CurationV5)
+    q156Bm25Repair, q157BpeIds, q158CurationV5, q159MinhashIncremental)
 }

@@ -565,6 +565,30 @@ class PlanSpec extends AnyFunSuite {
     assert(scans <= 1, s"encode reads the corpus once:\n$p")
   }
 
+  test("q159: incremental dedup serves purely from the written index — pruned bands, sigs verify") {
+    val p = plan("q159_minhash_incremental")
+    // the snapshot's band-key shards must prune the bands/ directories
+    assert("PartitionFilters: \\[[^\\]]*shard".r.findFirstIn(p).isDefined,
+      s"snapshot shards must prune the bands scan:\n$p")
+    // ZERO object-barrier passes in the served plan: the snapshot's
+    // signature pass ran once at probe-build time (it only feeds the
+    // bounded shard collect), and the verify sets come from sigs/
+    // parquet, NOT a re-tokenize — the whole point of the written
+    // layout
+    assert("MapPartitions graft\\.operators\\.Dedup".r.findAllIn(p).isEmpty,
+      s"the served plan must be purely index-driven:\n$p")
+    assert(p.contains("/sigs]"), "verify must read the written sigs layout")
+    // same capped incremental pair emission as the fresh path
+    assert("bucket_n#\\d+L? <= \\d+".r.findFirstIn(p).isDefined,
+      s"bucket-size cap filter missing:\n$p")
+    assert(p.contains("Generate posexplode") && "slice\\(ds#".r.findFirstIn(p).isDefined,
+      s"pair emission must be incremental (posexplode + slice):\n$p")
+    // the snapshot-id filter is two broadcast probes, never a loop join
+    assert(p.contains("BroadcastHashJoin"), "snapshot-id flags must broadcast")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"no OR-condition loop join:\n$p")
+  }
+
   test("q157: BPE id emission is one pruned corpus scan — no join, no pre-sort shuffle") {
     val p = plan("q157_bpe_ids")
     // training/vocab happen at build time (driver collects); the final

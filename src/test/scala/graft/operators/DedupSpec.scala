@@ -132,6 +132,37 @@ class DedupSpec extends AnyFunSuite {
       s"null-keyed rows must form one pairable group: $out")
   }
 
+  test("minhashDedupIndexed: snapshot-vs-(base ∪ snapshot) equals fresh dedup restricted") {
+    // near-dup pairs that straddle the base/snapshot split AND pairs
+    // wholly inside the snapshot; doc 6 is unrelated noise
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1L, "the quick brown fox jumps over the lazy dog today"),    // ~dup of 0
+      (4L, "the quick brown fox jumps over the lazy dog tonight"),  // exact dup of 0
+      (5L, "the quick brown fox jumps over the lazy dog today"),    // exact dup of 1
+      (6L, "completely different content about spark engines here"))
+      .toDF("doc_id", "text")
+    val base = corpus.filter($"doc_id" < 4)
+    val snap = corpus.filter($"doc_id" >= 4)
+    val path = TmpWorkspaces.pidScoped("graft_mhidx_spec_", "incr")
+    Dedup.minhashWriteIndex(base, path.toString, "doc_id", "text")
+    Dedup.minhashAppendIndex(snap, path.toString, "doc_id", "text")
+    val got = Dedup
+      .minhashDedupIndexed(spark, path.toString, snap, "doc_id", "text",
+        threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val fresh = Dedup.minhashDedup(corpus, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val want = fresh.filter(p => p._1 >= 4 || p._2 >= 4)
+    assert(want.exists(p => p._1 < 4 && p._2 >= 4),
+      "fixture must produce cross base/snapshot pairs")
+    assert(want.exists(p => p._1 >= 4 && p._2 >= 4),
+      "fixture must produce snapshot-internal pairs")
+    assert(fresh.exists(p => p._1 < 4 && p._2 < 4),
+      "fixture must have a base-base pair the incremental run skips")
+    assert(got == want, s"incremental drifted:\n$got\nvs\n$want")
+  }
+
   test("clusterRepresentatives keeps best-quality doc per component, singletons survive") {
     val corpus = Seq(
       (0L, 10L), (1L, 30L), (2L, 20L), // component {0,1,2} via pairs
