@@ -87,6 +87,63 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col("doc_id")).as("kept_id"), count(lit(1)).as("cluster_size"))
 
+  /** Exact dedup's WRITTEN index: `fingerprints/` (doc_id,
+    * fingerprint) PARTITIONED BY the fingerprint's own first 2 hex
+    * chars (md5 output is uniform — the fingerprint IS its shard key,
+    * no second hash needed). The trivial end of the incremental-dedup
+    * family ([[minhashWriteIndex]] is the near-dup end): a standing
+    * pipeline checks each new snapshot for exact duplicates against
+    * everything ever indexed by probing ~|snapshot shards|/256 of the
+    * layout.
+    */
+  def exactWriteIndex(df: DataFrame, path: String,
+      idCol: String, textCol: String): Unit =
+    writeFpGeneration(df, path, idCol, textCol, "overwrite")
+
+  /** Appends a NEW-DOCUMENT snapshot's fingerprints — delta-sized,
+    * zero base reads; the usual new-ids / exactly-once append
+    * contract (a replayed append inflates cluster_size counts).
+    */
+  def exactAppendIndex(df: DataFrame, path: String,
+      idCol: String, textCol: String): Unit =
+    writeFpGeneration(df, path, idCol, textCol, "append")
+
+  private def writeFpGeneration(df: DataFrame, path: String,
+      idCol: String, textCol: String, mode: String): Unit =
+    df.select(col(idCol).cast("long").as("doc_id"),
+        md5(normalize(col(textCol))).as("fingerprint"))
+      .withColumn("shard", substring(col("fingerprint"), 1, 2))
+      .repartition(col("shard"))
+      .write.mode(mode).partitionBy("shard").parquet(s"$path/fingerprints")
+
+  /** Incremental [[exactClusters]] of a new snapshot against an
+    * [[exactWriteIndex]] layout that already contains it: every
+    * cluster with AT LEAST ONE snapshot member, with the stats the
+    * fresh whole-corpus run would report (kept = global min id,
+    * cluster_size = full membership — the probe reads ENTIRE shard
+    * buckets, so base members count). One delta-sized fingerprint
+    * pass, a partition-pruned scan (literal shards from a collect
+    * bounded by the 256-shard alphabet), a broadcast
+    * snapshot-fingerprint semi-join BEFORE the aggregation (prunes
+    * the shard residue ahead of the shuffle), one keyed agg. q160
+    * gates equality with the fresh run restricted to
+    * snapshot-touched fingerprints.
+    */
+  def exactClustersIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, deltaDocs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val deltaFp = deltaDocs
+      .select(md5(normalize(col(textCol))).as("fingerprint")).distinct()
+    val shards = deltaFp
+      .select(substring(col("fingerprint"), 1, 2).as("shard"))
+      .distinct().collect().map(_.getString(0))
+    spark.read.parquet(s"$path/fingerprints")
+      .filter(col("shard").isin(shards.toSeq: _*))
+      .join(broadcast(deltaFp), Seq("fingerprint"), "leftsemi")
+      .groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("kept_id"), count(lit(1)).as("cluster_size"))
+  }
+
   // ------------------------------------------------------------------
   // MinHash + LSH
   // ------------------------------------------------------------------

@@ -2002,6 +2002,40 @@ object PipelineQueries {
       ORDER BY doc_a, doc_b
     """))
 
+  /** Incremental EXACT dedup against its written fingerprint index
+    * ([[graft.operators.Dedup.exactWriteIndex]] /
+    * [[graft.operators.Dedup.exactClustersIndexed]]) — q159's trivial
+    * twin, closing the incremental story across the dedup family:
+    * same base/snapshot split, fingerprints appended delta-sized,
+    * then every cluster a snapshot member touches served through a
+    * shard-pruned probe with the FULL-membership stats (global min
+    * kept id, full cluster size) the fresh q30 run reports. The
+    * oracle is the fresh whole-corpus replay restricted to
+    * snapshot-touched fingerprints.
+    */
+  val q160ExactIncremental: QueryDef = QueryDef(
+    "q160_exact_incremental",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_fpidx_q160_", dir)
+      Dedup.exactWriteIndex(docs.filter(col("doc_id") % 4 =!= 0),
+        path.toString, "doc_id", "text")
+      val snapshot = docs.filter(col("doc_id") % 4 === 0)
+      Dedup.exactAppendIndex(snapshot, path.toString, "doc_id", "text")
+      Dedup.exactClustersIndexed(s, path.toString, snapshot, "doc_id", "text")
+        .orderBy(col("fingerprint"))
+    },
+    Some(s"""
+      WITH fp AS (SELECT doc_id, md5(${TextOps.normalizeSql("text")}) AS fingerprint
+                  FROM documents)
+      SELECT fingerprint, MIN(doc_id) AS kept_id, COUNT(*) AS cluster_size
+      FROM fp
+      GROUP BY 1
+      HAVING COUNT(CASE WHEN doc_id % 4 = 0 THEN 1 END) > 0
+      ORDER BY fingerprint
+    """))
+
   /** Flagship curation v5 — v4's pipeline driven one step further, to
     * THE artifact a pretraining run actually reads: (1) bigram-LM
     * quality filter, (2) BM25 retrieval-decontamination (both exactly
@@ -2086,5 +2120,6 @@ object PipelineQueries {
     q143IvfPqColdAppend, q144BpePairs, q145IvfPqStats,
     q146Bm25, q147HybridRrf, q148BpeTrain, q149BpeEncode, q151IvfPqRepair,
     q152CurationV4, q153Containment, q154Bm25Indexed, q155Bm25Append,
-    q156Bm25Repair, q157BpeIds, q158CurationV5, q159MinhashIncremental)
+    q156Bm25Repair, q157BpeIds, q158CurationV5, q159MinhashIncremental,
+    q160ExactIncremental)
 }

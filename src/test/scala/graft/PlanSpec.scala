@@ -589,6 +589,18 @@ class PlanSpec extends AnyFunSuite {
       s"no OR-condition loop join:\n$p")
   }
 
+  test("q160: exact incremental dedup is one pruned probe + broadcast semi + keyed agg") {
+    val p = plan("q160_exact_incremental")
+    assert("PartitionFilters: \\[[^\\]]*shard".r.findFirstIn(p).isDefined,
+      s"snapshot fingerprint shards must prune the index scan:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "snapshot fingerprints must broadcast-semi-join before the agg")
+    assert(p.contains("partial_min") && p.contains("partial_count"),
+      "cluster stats must map-side combine")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"nothing corpus-sized may join:\n$p")
+  }
+
   test("q157: BPE id emission is one pruned corpus scan — no join, no pre-sort shuffle") {
     val p = plan("q157_bpe_ids")
     // training/vocab happen at build time (driver collects); the final

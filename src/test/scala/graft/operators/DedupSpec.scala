@@ -163,6 +163,28 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want, s"incremental drifted:\n$got\nvs\n$want")
   }
 
+  test("exactClustersIndexed: snapshot-touched clusters carry full-membership stats") {
+    val corpus = Seq(
+      (0L, "alpha beta"), (1L, "alpha beta"),    // base-only cluster
+      (2L, "gamma delta"),                       // base half of a cross cluster
+      (4L, "gamma delta"),                       // snapshot half
+      (5L, "epsilon zeta"), (6L, "epsilon zeta"),// snapshot-only cluster
+      (7L, "unique text here"))                  // snapshot singleton
+      .toDF("doc_id", "text")
+    val base = corpus.filter($"doc_id" < 4)
+    val snap = corpus.filter($"doc_id" >= 4)
+    val path = TmpWorkspaces.pidScoped("graft_fpidx_spec_", "incr")
+    Dedup.exactWriteIndex(base, path.toString, "doc_id", "text")
+    Dedup.exactAppendIndex(snap, path.toString, "doc_id", "text")
+    val got = Dedup.exactClustersIndexed(spark, path.toString, snap,
+        "doc_id", "text")
+      .select($"kept_id", $"cluster_size")
+      .as[(Long, Long)].collect().toSet
+    // cross cluster keeps the BASE min id with full size 2; the
+    // base-only (0,1) cluster is absent; singleton survives
+    assert(got == Set((2L, 2L), (5L, 2L), (7L, 1L)), s"got $got")
+  }
+
   test("clusterRepresentatives keeps best-quality doc per component, singletons survive") {
     val corpus = Seq(
       (0L, 10L), (1L, 30L), (2L, 20L), // component {0,1,2} via pairs
