@@ -99,8 +99,19 @@ object Bpe {
     * correctness anchor every other BPE operator leans on.
     */
   def trainMerges(
-      df: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
-    var words = wordFreq(df, textCol)
+      df: DataFrame, textCol: String, nMerges: Int): Seq[Merge] =
+    trainMergesFromWordFreq(wordFreq(df, textCol), nMerges)
+
+  /** [[trainMerges]] over a PRECOMPUTED (word, cnt) frame — the
+    * sharing point when several tokenizer products derive from one
+    * corpus scan: q157 materializes ONE `wordFreq` (localCheckpoint)
+    * and feeds it to both training and [[vocabFromWordFreq]], instead
+    * of tokenizing the corpus once per derivation (measured: the
+    * duplicate pass was most of q157's cost at sf1 — the
+    * materialize-once rule applied to the tokenizer).
+    */
+  def trainMergesFromWordFreq(wf: DataFrame, nMerges: Int): Seq[Merge] = {
+    var words = wf
       .select(col("cnt"), charSeq(col("word")).as("seq"))
       .localCheckpoint()
     val merges = Seq.newBuilder[Merge]
@@ -170,8 +181,15 @@ object Bpe {
     * enforced loudly.
     */
   def vocab(df: DataFrame, textCol: String,
+      merges: Seq[Merge]): Seq[(Long, String)] =
+    vocabFromWordFreq(wordFreq(df, textCol), merges)
+
+  /** [[vocab]] over a precomputed (word, cnt) frame (see
+    * [[trainMergesFromWordFreq]] for why sharing it matters).
+    */
+  def vocabFromWordFreq(wf: DataFrame,
       merges: Seq[Merge]): Seq[(Long, String)] = {
-    val base = wordFreq(df, textCol)
+    val base = wf
       .select(explode(split(col("word"), "")).as("c"))
       .filter(col("c") =!= "").distinct()
       .collect().map(_.getString(0)).sorted.toSeq
@@ -192,28 +210,69 @@ object Bpe {
     * TOKEN-ID SEQUENCE — the artifact a pretraining run consumes:
     * (id, n_tokens, token_ids ARRAY<LONG>), ids per [[vocab]],
     * symbols in document order (words in order, subwords
-    * left-to-right within each word). Documents normalizing to zero
-    * tokens emit an empty array.
+    * left-to-right within each word). Documents with NULL text or
+    * normalizing to zero tokens emit an empty array.
     *
-    * One NARROW corpus pass, zero shuffles: the merge chain, the
-    * symbol split, and the vocabulary lookup (a literal `map` — the
-    * vocab is alphabet+merges-sized by construction) all ride one
-    * projection via higher-order functions. The HOF lambdas evaluate
-    * interpreted rather than codegen'd — the documented
-    * `ivfResiduals` trade: linear, narrow, fused in one pass; promote
-    * to a native Expression if an encode-bound profile ever shows it
-    * hot.
+    * One NARROW corpus pass, zero shuffles, inside a single typed
+    * `mapPartitions` — the [[Dedup]] shingle-set precedent: the first
+    * cut expressed the merge chain + vocab lookup as nested
+    * higher-order functions, which evaluate INTERPRETED and measured
+    * ~20× slower than this fused JVM loop (14.8 s for 40 sf1
+    * documents — the per-word nested-lambda tree, re-evaluated per
+    * derived column, dominated the query). Engine equality holds
+    * because every piece has a proven JVM twin: [[TextOps
+    * .normalizeStr]] tokenization, `String.replace`'s left-to-right
+    * non-overlapping contract (the same one DuckDB's `replace` and
+    * Spark's `StringReplace` share — the object scaladoc's encoding
+    * argument), and the first-wins vocab map ([[vocab]] dedups
+    * surface forms before this sees them).
     */
   def encodeIds(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[Merge], v: Seq[(Long, String)]): DataFrame = {
-    val idMap = map(v.flatMap { case (i, s) => Seq(lit(s), lit(i)) }: _*)
-    val toks = filter(TextOps.tokens(col(textCol)), w => w =!= "")
-    val ids = transform(
-      flatten(transform(toks, w => split(trim(mergeChain(w, merges)), "  "))),
-      s => element_at(idMap, s))
-    df.select(col(idCol), ids.as("token_ids"))
-      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
-      .select(col(idCol), col("n_tokens"), col("token_ids"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val mergeStrs = merges
+      .map(m => (s" ${m.lft}  ${m.rgt} ", s" ${m.lft}${m.rgt} ")).toArray
+    val idBySym = v.map { case (i, s) => s -> i }.toMap
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = TextOps.normalizeStr(if (text == null) "" else text)
+            .split(" ").filter(_.nonEmpty)
+          val ids = Array.newBuilder[Long]
+          val sb = new java.lang.StringBuilder
+          var wi = 0
+          while (wi < toks.length) {
+            sb.setLength(0)
+            sb.append(' ')
+            val w = toks(wi)
+            var ci = 0
+            while (ci < w.length) {
+              if (ci > 0) sb.append("  ")
+              sb.append(w.charAt(ci))
+              ci += 1
+            }
+            sb.append(' ')
+            var seq = sb.toString
+            var mi = 0
+            while (mi < mergeStrs.length) {
+              seq = seq.replace(mergeStrs(mi)._1, mergeStrs(mi)._2)
+              mi += 1
+            }
+            val syms = seq.trim.split("  ")
+            var si = 0
+            while (si < syms.length) {
+              ids += idBySym(syms(si))
+              si += 1
+            }
+            wi += 1
+          }
+          val out = ids.result()
+          (id, out.length.toLong, out.toSeq)
+        }
+      }
+      .toDF(idCol, "n_tokens", "token_ids")
   }
 
   // ------------------------------------------------------------------

@@ -1840,8 +1840,12 @@ object PipelineQueries {
     "q157_bpe_ids",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val ms = Bpe.trainMerges(docs, "text", nMerges = 6)
-      val v = Bpe.vocab(docs, "text", ms)
+      // ONE corpus tokenize feeds both training and the vocabulary —
+      // the materialize-once rule (a second wordFreq pass was most of
+      // this query's sf1 cost before the share)
+      val wf = Bpe.wordFreq(docs, "text").localCheckpoint()
+      val ms = Bpe.trainMergesFromWordFreq(wf, nMerges = 6)
+      val v = Bpe.vocabFromWordFreq(wf, ms)
       Bpe.encodeIds(docs.filter(col("doc_id") < 40), "doc_id", "text", ms, v)
         .select(col("doc_id"),
           posexplode(col("token_ids")).as(Seq("pos", "token_id")))

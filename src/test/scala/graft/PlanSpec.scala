@@ -605,9 +605,9 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q157_bpe_ids")
     // training/vocab happen at build time (driver collects); the final
     // plan is the encode itself: one scan of the 40 gated docs, the
-    // merge chain + literal vocab map fused in one projection, the id
-    // array posexploded — nothing joins, nothing shuffles before the
-    // output sort
+    // merge chain + vocab lookup fused in ONE typed mapPartitions
+    // (the interpreted-HOF form measured ~20x slower), the id array
+    // posexploded — nothing joins, nothing shuffles before the sort
     val scans = "FileScan parquet".r.findAllIn(p).size
     assert(scans == 1, s"encode-to-ids reads the corpus once:\n$p")
     assert(p.contains("LessThan(doc_id,40)"),
