@@ -116,6 +116,22 @@ object Dedup {
       .repartition(col("shard"))
       .write.mode(mode).partitionBy("shard").parquet(s"$path/fingerprints")
 
+  /** Replay audit of an [[exactWriteIndex]] layout — one grouped scan
+    * of `fingerprints/` emitting ids present more than once:
+    * `n_payloads` = 1 means a replayed append (bit-identical copies);
+    * > 1 means the id was re-appended with DIFFERENT text (payload
+    * divergence — a rebuild signal). The same damage taxonomy as
+    * `bm25AuditIndex`/`ivfPqAuditIndex`; repair here is trivial
+    * (rewrite `dropDuplicates()`), so no compact twin ships.
+    */
+  def exactAuditIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(s"$path/fingerprints")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_copies"),
+        count_distinct(col("fingerprint")).as("n_payloads"))
+      .filter(col("n_copies") > 1)
+
   /** Incremental [[exactClusters]] of a new snapshot against an
     * [[exactWriteIndex]] layout that already contains it: every
     * cluster with AT LEAST ONE snapshot member, with the stats the
@@ -356,6 +372,20 @@ object Dedup {
       .write.mode(mode).parquet(s"$path/sigs")
   }
 
+  /** Replay audit of a [[minhashWriteIndex]] layout: duplicate
+    * (doc_id, bk) band rows — the damage the [[minhashAppendIndex]]
+    * contract warns about (replay inflates bucket_n toward the cap,
+    * silently DROPPING pairs a clean layout finds). One narrow
+    * grouped scan of `bands/`; `sigs/` replay shows up as the same
+    * ids here, so one audit covers the layout.
+    */
+  def minhashAuditIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(s"$path/bands")
+      .groupBy(col("doc_id"), col("bk"))
+      .agg(count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+
   /** Incremental near-dup dedup of a NEW snapshot against a
     * [[minhashWriteIndex]] layout that already contains it (write base,
     * [[minhashAppendIndex]] the snapshot, then call this): every pair
@@ -557,6 +587,139 @@ object Dedup {
       .filter(greatest(col("cont_ab"), col("cont_ba")) >= threshold)
       .select(col("blk"), col("doc_a"), col("doc_b"),
         col("cont_ab"), col("cont_ba"))
+  }
+
+  // ------------------------------------------------------------------
+  // Written n-gram postings index: the inverted-index family's day-2
+  // ------------------------------------------------------------------
+
+  /** Materializes the blocked n-gram inverted index as a WRITTEN
+    * layout — the third leg of the incremental-dedup family (exact =
+    * [[exactWriteIndex]], MinHash = [[minhashWriteIndex]]): one
+    * posting row per (blk, doc, shingle-hash), PARTITIONED BY
+    * `shard = h mod 256` (the shingle hash is already uniform — it is
+    * its own shard key), with the document's distinct-shingle count
+    * `n` denormalized inline (a per-document fact, append-stable —
+    * the same tf/dl argument as the BM25 layout). NULL-block rows are
+    * excluded at write time, mirroring the in-session path's
+    * never-paired semantics.
+    */
+  def ngramWriteIndex(df: DataFrame, path: String,
+      idCol: String, textCol: String, blockCol: String,
+      shingleN: Int = 3): Unit =
+    writeNgramGeneration(df, path, idCol, textCol, blockCol, shingleN,
+      "overwrite")
+
+  /** Appends a NEW-DOCUMENT snapshot's postings — delta-sized, zero
+    * base reads; the standard new-ids / exactly-once append contract
+    * (a replayed append would double pair multiplicities, i.e.
+    * intersection counts).
+    */
+  def ngramAppendIndex(df: DataFrame, path: String,
+      idCol: String, textCol: String, blockCol: String,
+      shingleN: Int = 3): Unit =
+    writeNgramGeneration(df, path, idCol, textCol, blockCol, shingleN,
+      "append")
+
+  private def writeNgramGeneration(df: DataFrame, path: String,
+      idCol: String, textCol: String, blockCol: String, shingleN: Int,
+      mode: String): Unit =
+    shingleSets(df, idCol, textCol, shingleN, Some(blockCol))
+      .filter(col("blk").isNotNull)
+      .select(col("blk"), col("doc_id"), col("n"),
+        explode(col("hs")).as("h"))
+      .withColumn("shard", pmod(col("h"), lit(256)).cast("int"))
+      .repartition(col("shard"))
+      .write.mode(mode).partitionBy("shard").parquet(s"$path/postings")
+
+  /** Replay audit of an [[ngramWriteIndex]] layout: duplicate
+    * (blk, doc_id, h) posting rows — a replayed append would DOUBLE
+    * pair multiplicities (intersection counts), turning every
+    * affected containment/jaccard value wrong rather than merely
+    * dropped. One narrow grouped scan of `postings/`.
+    */
+  def ngramAuditIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(s"$path/postings")
+      .groupBy(col("blk"), col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+
+  /** Shared incremental core: intersections of every pair with at
+    * least one snapshot endpoint, from a [[ngramWriteIndex]] layout
+    * that already contains the snapshot — (blk, doc_a, doc_b, na, nb,
+    * i), exactly [[ngramIntersections]] restricted. Completeness
+    * argument: every SHARED shingle of a snapshot-endpoint pair is by
+    * definition one of the snapshot document's shingles, so the
+    * probed shards (the snapshot's shingle-hash shards, a collect
+    * bounded by the 256-value alphabet) cover every intersecting
+    * posting, and each probed shard holds its ENTIRE posting lists —
+    * same cap accounting, same multiplicity counts as the fresh run.
+    */
+  private def ngramIntersectionsIndexed(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      deltaDocs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, maxPostingSize: Int): DataFrame = {
+    val shards = shingleSets(deltaDocs, idCol, textCol, shingleN)
+      .select(explode(col("hs")).as("h"))
+      .select(pmod(col("h"), lit(256)).cast("int").as("shard"))
+      .distinct().collect().map(_.getInt(0))
+    val probe = spark.read.parquet(s"$path/postings")
+      .filter(col("shard").isin(shards.toSeq: _*))
+    val pairs = emitSortedPairs(probe, keys = Seq("blk", "h"),
+      item = struct(col("doc_id"), col("n")), capCol = "posting_n",
+      maxGroupSize = maxPostingSize, aName = "a", bName = "b",
+      carry = Seq("blk"), dedupPairs = false)
+      .groupBy(col("blk"), col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"), col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("i"))
+    val fa = deltaDocs.select(col(idCol).cast("long").as("doc_a"))
+      .distinct().withColumn("fa", lit(1))
+    val fb = deltaDocs.select(col(idCol).cast("long").as("doc_b"))
+      .distinct().withColumn("fb", lit(1))
+    pairs
+      .join(broadcast(fa), Seq("doc_a"), "left")
+      .join(broadcast(fb), Seq("doc_b"), "left")
+      .filter(col("fa").isNotNull || col("fb").isNotNull)
+      .select(col("blk"), col("doc_a"), col("doc_b"),
+        col("na"), col("nb"), col("i"))
+  }
+
+  /** Incremental [[ngramContainmentPairs]] of a new snapshot against
+    * (base ∪ snapshot) — q161 gates equality with the fresh
+    * whole-corpus run restricted to snapshot-endpoint pairs. Same
+    * direction arithmetic off the shared indexed core.
+    */
+  def ngramContainmentPairsIndexed(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      deltaDocs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5,
+      maxPostingSize: Int = 10000): DataFrame = {
+    require(threshold > 0,
+      "inverted-index containment only surfaces pairs sharing >=1 shingle")
+    ngramIntersectionsIndexed(spark, path, deltaDocs, idCol, textCol,
+        shingleN, maxPostingSize)
+      .withColumn("cont_ab", round(col("i").cast("double") / col("na"), 6))
+      .withColumn("cont_ba", round(col("i").cast("double") / col("nb"), 6))
+      .filter(greatest(col("cont_ab"), col("cont_ba")) >= threshold)
+      .select(col("blk"), col("doc_a"), col("doc_b"),
+        col("cont_ab"), col("cont_ba"))
+  }
+
+  /** Incremental [[ngramJaccardPairs]] off the same indexed core. */
+  def ngramJaccardPairsIndexed(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      deltaDocs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5,
+      maxPostingSize: Int = 10000): DataFrame = {
+    require(threshold > 0,
+      "inverted-index jaccard only surfaces pairs sharing >=1 shingle")
+    ngramIntersectionsIndexed(spark, path, deltaDocs, idCol, textCol,
+        shingleN, maxPostingSize)
+      .withColumn("jaccard",
+        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("blk"), col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   // ------------------------------------------------------------------

@@ -1872,14 +1872,11 @@ object PipelineQueries {
     * direction; the oracle replays postings, caps, intersections, and
     * both direction ratios.
     */
-  val q153Containment: QueryDef = QueryDef(
-    "q153_ngram_containment",
-    (s, dir) =>
-      Dedup.ngramContainmentPairs(Tables.load(s, dir, "documents"),
-          "doc_id", "text", blockCol = "source", shingleN = ShingleN,
-          threshold = 0.6)
-        .orderBy(col("blk"), col("doc_a"), col("doc_b")),
-    Some(s"""
+  /** The q153/q161 oracle: fresh whole-corpus containment pairs, with
+    * an optional extra predicate (q161 restricts to snapshot-endpoint
+    * pairs — the incremental path must equal exactly this).
+    */
+  private def containmentOracleSql(extraPred: String): String = s"""
       WITH $shingleCtes,
       blk AS (SELECT doc_id, source FROM documents WHERE source IS NOT NULL),
       hd AS (SELECT DISTINCT doc_id, h FROM hs),
@@ -1901,9 +1898,47 @@ object PipelineQueries {
             FROM inter i
             JOIN cnts ca ON ca.doc_id = i.doc_a
             JOIN cnts cb ON cb.doc_id = i.doc_b) z
-      WHERE greatest(cont_ab, cont_ba) >= 0.6
+      WHERE greatest(cont_ab, cont_ba) >= 0.6 AND ($extraPred)
       ORDER BY blk, doc_a, doc_b
-    """))
+    """
+
+  val q153Containment: QueryDef = QueryDef(
+    "q153_ngram_containment",
+    (s, dir) =>
+      Dedup.ngramContainmentPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", blockCol = "source", shingleN = ShingleN,
+          threshold = 0.6)
+        .orderBy(col("blk"), col("doc_a"), col("doc_b")),
+    Some(containmentOracleSql("TRUE")))
+
+  /** Incremental containment against the WRITTEN n-gram postings index
+    * ([[graft.operators.Dedup.ngramWriteIndex]] /
+    * [[graft.operators.Dedup.ngramContainmentPairsIndexed]]) — the
+    * third leg of the incremental-dedup family (q160 exact, q159
+    * MinHash), on the operator whose asymmetric semantics catch what
+    * both of those miss. Same base/snapshot split, postings appended
+    * delta-sized, pairs served from a shard-pruned probe (the
+    * snapshot's shingle-hash shards); every shared shingle of a
+    * snapshot-endpoint pair is a snapshot shingle, so the pruned scan
+    * is COMPLETE for exactly the pairs the day-2 run owes. Oracle:
+    * the fresh q153 replay restricted to snapshot-endpoint pairs.
+    */
+  val q161ContainmentIncremental: QueryDef = QueryDef(
+    "q161_containment_incremental",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_ngidx_q161_", dir)
+      Dedup.ngramWriteIndex(docs.filter(col("doc_id") % 3 =!= 0),
+        path.toString, "doc_id", "text", "source", ShingleN)
+      val snapshot = docs.filter(col("doc_id") % 3 === 0)
+      Dedup.ngramAppendIndex(snapshot, path.toString, "doc_id", "text",
+        "source", ShingleN)
+      Dedup.ngramContainmentPairsIndexed(s, path.toString, snapshot,
+          "doc_id", "text", ShingleN, threshold = 0.6)
+        .orderBy(col("blk"), col("doc_a"), col("doc_b"))
+    },
+    Some(containmentOracleSql("doc_a % 3 = 0 OR doc_b % 3 = 0")))
 
   /** Flagship curation v4 — the session-2 operators composed into one
     * pipeline: (1) bigram-LM quality filter (q150's model, corpus-
@@ -2125,5 +2160,5 @@ object PipelineQueries {
     q146Bm25, q147HybridRrf, q148BpeTrain, q149BpeEncode, q151IvfPqRepair,
     q152CurationV4, q153Containment, q154Bm25Indexed, q155Bm25Append,
     q156Bm25Repair, q157BpeIds, q158CurationV5, q159MinhashIncremental,
-    q160ExactIncremental)
+    q160ExactIncremental, q161ContainmentIncremental)
 }

@@ -589,6 +589,24 @@ class PlanSpec extends AnyFunSuite {
       s"no OR-condition loop join:\n$p")
   }
 
+  test("q161: incremental containment probes pruned postings, caps intact, no recompute joins") {
+    val p = plan("q161_containment_incremental")
+    assert("PartitionFilters: \\[[^\\]]*shard".r.findFirstIn(p).isDefined,
+      s"snapshot shingle shards must prune the postings scan:\n$p")
+    // one object-barrier pass total: the snapshot shingle pass feeds
+    // only the driver-bounded shard collect, so the served plan reads
+    // the written postings exclusively
+    assert("MapPartitions graft\\.operators\\.Dedup".r.findAllIn(p).isEmpty,
+      s"the served plan must be purely index-driven:\n$p")
+    assert("posting_n#\\d+L? <= \\d+".r.findFirstIn(p).isDefined,
+      s"posting-size cap filter missing:\n$p")
+    assert(p.contains("Generate posexplode") && "slice\\(ds#".r.findFirstIn(p).isDefined,
+      s"pair emission must be incremental (posexplode + slice):\n$p")
+    assert(p.contains("BroadcastHashJoin"), "snapshot-id flags must broadcast")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"no OR-condition loop join:\n$p")
+  }
+
   test("q160: exact incremental dedup is one pruned probe + broadcast semi + keyed agg") {
     val p = plan("q160_exact_incremental")
     assert("PartitionFilters: \\[[^\\]]*shard".r.findFirstIn(p).isDefined,

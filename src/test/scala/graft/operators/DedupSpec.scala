@@ -163,6 +163,36 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want, s"incremental drifted:\n$got\nvs\n$want")
   }
 
+  test("ngramContainmentPairsIndexed: snapshot probe equals fresh containment restricted") {
+    // doc 1 contains doc 0 (base-base); doc 4 contains doc 0 (cross);
+    // doc 5 contains doc 4 (snapshot-internal); doc 6 unrelated
+    val corpus = Seq(
+      (0L, "s", "one two three four five six"),
+      (1L, "s", "one two three four five six seven eight nine ten"),
+      (4L, "s", "one two three four five six eleven twelve thirteen"),
+      (5L, "s", "one two three four five six eleven twelve thirteen fourteen fifteen"),
+      (6L, "s", "totally unrelated content words here again today"))
+      .toDF("doc_id", "source", "text")
+    val base = corpus.filter($"doc_id" < 4)
+    val snap = corpus.filter($"doc_id" >= 4)
+    val path = TmpWorkspaces.pidScoped("graft_ngidx_spec_", "incr")
+    Dedup.ngramWriteIndex(base, path.toString, "doc_id", "text", "source")
+    Dedup.ngramAppendIndex(snap, path.toString, "doc_id", "text", "source")
+    val got = Dedup.ngramContainmentPairsIndexed(spark, path.toString, snap,
+        "doc_id", "text", threshold = 0.6)
+      .select($"doc_a", $"doc_b", $"cont_ab", $"cont_ba")
+      .as[(Long, Long, Double, Double)].collect().toSet
+    val fresh = Dedup.ngramContainmentPairs(corpus, "doc_id", "text",
+        "source", threshold = 0.6)
+      .select($"doc_a", $"doc_b", $"cont_ab", $"cont_ba")
+      .as[(Long, Long, Double, Double)].collect().toSet
+    val want = fresh.filter(p => p._1 >= 4 || p._2 >= 4)
+    assert(want.exists(p => p._1 < 4 && p._2 >= 4), "need a cross pair")
+    assert(want.exists(p => p._1 >= 4 && p._2 >= 4), "need a snapshot-internal pair")
+    assert(fresh.exists(p => p._1 < 4 && p._2 < 4), "need a skipped base-base pair")
+    assert(got == want, s"incremental drifted:\n$got\nvs\n$want")
+  }
+
   test("exactClustersIndexed: snapshot-touched clusters carry full-membership stats") {
     val corpus = Seq(
       (0L, "alpha beta"), (1L, "alpha beta"),    // base-only cluster
@@ -183,6 +213,46 @@ class DedupSpec extends AnyFunSuite {
     // cross cluster keeps the BASE min id with full size 2; the
     // base-only (0,1) cluster is absent; singleton survives
     assert(got == Set((2L, 2L), (5L, 2L), (7L, 1L)), s"got $got")
+  }
+
+  test("dedup index audits localize a replayed append; clean layouts audit empty") {
+    val corpus = Seq(
+      (0L, "s", "the quick brown fox jumps over the lazy dog"),
+      (4L, "s", "an entirely different document with enough words to shingle"))
+      .toDF("doc_id", "source", "text")
+    val base = corpus.filter($"doc_id" < 4)
+    val snap = corpus.filter($"doc_id" >= 4)
+
+    val mh = TmpWorkspaces.pidScoped("graft_mhidx_spec_", "audit")
+    Dedup.minhashWriteIndex(base, mh.toString, "doc_id", "text")
+    Dedup.minhashAppendIndex(snap, mh.toString, "doc_id", "text")
+    assert(Dedup.minhashAuditIndex(spark, mh.toString).isEmpty)
+    Dedup.minhashAppendIndex(snap, mh.toString, "doc_id", "text") // retry
+    val mhDup = Dedup.minhashAuditIndex(spark, mh.toString)
+      .select($"doc_id").distinct().as[Long].collect().toSet
+    assert(mhDup == Set(4L), s"minhash audit drifted: $mhDup")
+
+    val ng = TmpWorkspaces.pidScoped("graft_ngidx_spec_", "audit")
+    Dedup.ngramWriteIndex(base, ng.toString, "doc_id", "text", "source")
+    Dedup.ngramAppendIndex(snap, ng.toString, "doc_id", "text", "source")
+    assert(Dedup.ngramAuditIndex(spark, ng.toString).isEmpty)
+    Dedup.ngramAppendIndex(snap, ng.toString, "doc_id", "text", "source")
+    val ngDup = Dedup.ngramAuditIndex(spark, ng.toString)
+      .select($"doc_id").distinct().as[Long].collect().toSet
+    assert(ngDup == Set(4L), s"ngram audit drifted: $ngDup")
+
+    val fp = TmpWorkspaces.pidScoped("graft_fpidx_spec_", "audit")
+    Dedup.exactWriteIndex(base, fp.toString, "doc_id", "text")
+    Dedup.exactAppendIndex(snap, fp.toString, "doc_id", "text")
+    assert(Dedup.exactAuditIndex(spark, fp.toString).isEmpty)
+    // divergent re-append: same id, different text
+    Dedup.exactAppendIndex(
+      Seq((4L, "changed text entirely")).toDF("doc_id", "text"),
+      fp.toString, "doc_id", "text")
+    val fpDup = Dedup.exactAuditIndex(spark, fp.toString)
+      .select($"doc_id", $"n_copies", $"n_payloads")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fpDup == Set((4L, 2L, 2L)), s"exact audit drifted: $fpDup")
   }
 
   test("clusterRepresentatives keeps best-quality doc per component, singletons survive") {
