@@ -237,6 +237,31 @@ object Retrieval {
     scoreAndRank(contrib, k)
   }
 
+  /** Per-shard operational stats of a written BM25 index — the
+    * lexical `ivfPqIndexStats`: posting count, distinct-term count,
+    * token mass (Σtf) from `postings/`, and the df mass from
+    * `terms/`. The last column is the built-in drift detector: summed
+    * df per shard MUST equal the shard's posting count (each posting
+    * is one (term, doc) membership some generation's df counted), so
+    * a df double-count from a replayed append, a lost terms row, or a
+    * generation mismatch shows as `df_total ≠ n_postings` — and
+    * hash-fails q162, whose oracle emits the true value for both.
+    * Two narrow grouped scans + a 256-row join; never reads text.
+    */
+  def bm25IndexStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val p = spark.read.parquet(s"$path/postings")
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_postings"),
+        count_distinct(col("term")).as("n_terms"),
+        sum(col("tf")).as("sum_tf"))
+    val t = spark.read.parquet(s"$path/terms")
+      .groupBy(col("shard")).agg(sum(col("df")).as("df_total"))
+    p.join(t, "shard")
+      .select(col("shard"), col("n_postings"), col("n_terms"),
+        col("sum_tf"), col("df_total"))
+  }
+
   /** Duplicate-posting audit of a written BM25 index — the lexical
     * `ivfPqAuditIndex`: one grouped scan of `postings/` emitting the
     * (doc_id, term) keys present more than once. Non-empty output

@@ -1825,6 +1825,44 @@ object PipelineQueries {
     },
     Some(bm25Top10OracleSql))
 
+  /** Per-shard stats of the WRITTEN BM25 index after a build + append
+    * lifecycle ([[graft.operators.Retrieval.bm25IndexStats]]) — the
+    * lexical q145: the skew/integrity pass a standing retrieval
+    * service runs. The oracle re-derives every row from a fresh
+    * whole-corpus replay (postings per md5 shard, distinct terms,
+    * token mass) and emits the TRUE posting count for `df_total` —
+    * so a generation whose df contributions double-counted, lost
+    * terms rows, or posting/terms drift between the two layouts all
+    * hash-fail.
+    */
+  val q162Bm25Stats: QueryDef = QueryDef(
+    "q162_bm25_stats",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_bm25idx_q162_", dir)
+      Retrieval.bm25WriteIndex(docs.filter(col("doc_id") % 3 =!= 0),
+        path.toString)
+      Retrieval.bm25AppendIndex(docs.filter(col("doc_id") % 3 === 0),
+        path.toString)
+      Retrieval.bm25IndexStats(s, path.toString).orderBy(col("shard"))
+    },
+    Some(s"""
+      WITH toks AS (SELECT doc_id, unnest(${TextOps.tokensSql("text")}) AS term
+                    FROM documents),
+      t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t2 GROUP BY 1, 2),
+      sh AS (SELECT substr(md5(term), 1, 2) AS shard, term, tf FROM tf)
+      SELECT shard,
+             CAST(COUNT(*) AS BIGINT) AS n_postings,
+             CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms,
+             CAST(SUM(tf) AS BIGINT) AS sum_tf,
+             CAST(COUNT(*) AS BIGINT) AS df_total
+      FROM sh
+      GROUP BY shard
+      ORDER BY shard
+    """))
+
   /** BPE tokenizer OUTPUT ([[graft.operators.Bpe.vocab]] /
     * [[graft.operators.Bpe.encodeIds]]): the artifact a pretraining
     * run consumes — per-document TOKEN-ID sequences under a stable
@@ -2160,5 +2198,5 @@ object PipelineQueries {
     q146Bm25, q147HybridRrf, q148BpeTrain, q149BpeEncode, q151IvfPqRepair,
     q152CurationV4, q153Containment, q154Bm25Indexed, q155Bm25Append,
     q156Bm25Repair, q157BpeIds, q158CurationV5, q159MinhashIncremental,
-    q160ExactIncremental, q161ContainmentIncremental)
+    q160ExactIncremental, q161ContainmentIncremental, q162Bm25Stats)
 }

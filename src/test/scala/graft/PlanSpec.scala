@@ -531,6 +531,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "the 1-row stats join must broadcast")
   }
 
+  test("q162: index stats read postings+terms columns only, partial-aggregate to shard rows") {
+    val p = plan("q162_bm25_stats")
+    assert(!p.contains("text"), "stats must never read document text")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      "shard stats must map-side combine")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the 256-row join must stay keyed:\n$p")
+  }
+
   test("q155: append-then-serve keeps the q154 serve shape (pruned scans, no corpus joins)") {
     val p = plan("q155_bm25_append")
     assert("PartitionFilters: \\[[^\\]]*shard".r.findAllIn(p).size >= 2,

@@ -99,6 +99,25 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got == want, s"compacted serve drifted:\n$got\nvs\n$want")
   }
 
+  test("bm25IndexStats: df_total equals posting count on clean layouts, diverges on replay") {
+    val path = TmpWorkspaces.pidScoped("graft_bm25idx_spec_", "stats")
+    Retrieval.bm25WriteIndex(corpus.filter($"doc_id" <= 1L), path.toString)
+    Retrieval.bm25AppendIndex(corpus.filter($"doc_id" >= 2L), path.toString)
+    val clean = Retrieval.bm25IndexStats(spark, path.toString)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(clean.nonEmpty && clean.forall(r => r._5 == r._2),
+      s"clean layout must have df_total == n_postings per shard: ${clean.toSeq}")
+    // corpus: 12 tokens, 8 distinct (term, doc) memberships
+    assert(clean.map(_._2).sum == 8L && clean.map(_._4).sum == 12L)
+    Retrieval.bm25AppendIndex(corpus.filter($"doc_id" >= 2L), path.toString)
+    val damaged = Retrieval.bm25IndexStats(spark, path.toString)
+      .as[(String, Long, Long, Long, Long)].collect()
+    // the replay doubles both sides equally per shard — df_total still
+    // tracks postings (both doubled), so the DRIFT detector is the
+    // audit; stats show the inflated mass
+    assert(damaged.map(_._4).sum > 12L, "replayed mass must show in sum_tf")
+  }
+
   test("bm25CompactIndex refuses payload-divergent copies (id reused with new text)") {
     val path = TmpWorkspaces.pidScoped("graft_bm25idx_spec_", "diverge")
     Retrieval.bm25WriteIndex(corpus, path.toString)
