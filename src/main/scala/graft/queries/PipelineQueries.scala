@@ -1306,17 +1306,24 @@ object PipelineQueries {
                 FROM cnf)"""
   }
 
-  private def ivfPqOracleSql(trainPred: String,
-      rerank: Option[Int] = None): String = {
+  /** The IVF-PQ SERVING replay as a WITH-clause body appended AFTER
+    * [[ivfPqOracleCtes]]: defines `ipq` = (query_id, rnk, neighbor_id,
+    * sim) with rnk <= k — queries from `queryPred` over the corpus,
+    * nprobe=2 coarse probes, ADC scoring, and optionally (q142) the
+    * exact-cosine rerank of a top-`rerank` shortlist. Shared by the
+    * q138-family oracles and the q163 retrieval-stack composition.
+    */
+  private def ivfPqServeCtes(queryPred: String, k: Int,
+      rerank: Option[Int]): String = {
     val cosQC = Similarity.cosineSql("q.qv", "c.centv")
     val cosQE = Similarity.cosineSql("q.qv", "e.v")
     val h = new PqOracleSql(64 / IvfPqM)
     import h.sub
-    // final candidate frame: ADC top-3 directly, or (q142) ADC top-R
+    // final candidate frame: ADC top-k directly, or ADC top-R
     // shortlist re-ranked by EXACT cosine — the two-stage serve
     val servingTail = rerank match {
       case None =>
-        "ipq AS (SELECT query_id, rnk, neighbor_id, sim FROM r WHERE rnk <= 3)"
+        s"ipq AS (SELECT query_id, rnk, neighbor_id, sim FROM r WHERE rnk <= $k)"
       case Some(rr) =>
         s"""short AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= $rr),
         ex AS (SELECT s.query_id, s.neighbor_id, $cosQE AS sim
@@ -1327,13 +1334,11 @@ object PipelineQueries {
                  SELECT query_id, neighbor_id, sim,
                         ROW_NUMBER() OVER (PARTITION BY query_id
                           ORDER BY sim DESC, neighbor_id) AS rnk
-                 FROM ex) t2 WHERE rnk <= 3)"""
+                 FROM ex) t2 WHERE rnk <= $k)"""
     }
-    s"""
-        WITH ${ivfPqOracleCtes(trainPred)},
-        q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv,
+    s"""q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv,
                      sqrt(${Similarity.dotSql("v", "v")}) AS qn
-              FROM corpus WHERE vec_id < 10),
+              FROM corpus WHERE $queryPred),
         probes AS MATERIALIZED (SELECT query_id, qv, qn, bucket,
                        ${Similarity.dotSql("qv", "centv")} AS qc
                 FROM (SELECT q.query_id, q.qv, q.qn, c.bucket, c.centv,
@@ -1355,7 +1360,15 @@ object PipelineQueries {
                      ROW_NUMBER() OVER (PARTITION BY query_id
                        ORDER BY sim DESC, neighbor_id) AS rnk
               FROM sims),
-        $servingTail,
+        $servingTail"""
+  }
+
+  private def ivfPqOracleSql(trainPred: String,
+      rerank: Option[Int] = None): String = {
+    val cosQE = Similarity.cosineSql("q.qv", "e.v")
+    s"""
+        WITH ${ivfPqOracleCtes(trainPred)},
+        ${ivfPqServeCtes("vec_id < 10", 3, rerank)},
         xr AS (SELECT query_id, neighbor_id FROM (
                 SELECT q.query_id, e.vec_id AS neighbor_id,
                        ROW_NUMBER() OVER (PARTITION BY q.query_id
@@ -2186,6 +2199,57 @@ object PipelineQueries {
       ORDER BY shard, seq_idx, doc_id
     """))
 
+  /** The SERVING STACK capstone: hybrid retrieval where BOTH rankers
+    * read WRITTEN indexes — exactly what a standing retrieval service
+    * runs. The lexical shortlist serves from the shard-pruned BM25
+    * layout (q154's path), the semantic shortlist from the
+    * self-contained IVF-PQ index (q141's path, cold: centroids +
+    * codebook read from `meta/`), and reciprocal-rank fusion (q147's
+    * arithmetic) produces the final top-10 — over the fixture's
+    * paired documents/embeddings id space. The oracle replays the
+    * ENTIRE stack: the BM25 inverted index, the full IVF-PQ training
+    * + ADC serving chain (the shared q138-family serving CTEs), and
+    * the fixed-point fusion — a drift in either index layout, either
+    * ranker's arithmetic, or the fusion hash-fails.
+    */
+  val q163RetrievalStack: QueryDef = QueryDef(
+    "q163_retrieval_stack",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val lexPath = graft.operators.TmpWorkspaces
+        .pidScoped("graft_bm25idx_q163_", dir)
+      Retrieval.bm25WriteIndex(docs, lexPath.toString)
+      val lex = Retrieval
+        .bm25TopKIndexed(s, lexPath.toString,
+          docs.filter(col("doc_id") < 8), k = 20)
+        .select(col("query_id"), col("doc_id").as("neighbor_id"), col("rnk"))
+      val (assigned, centroids, cb) = ivfPqBuild(emb, lit(true))
+      val semPath = graft.operators.TmpWorkspaces
+        .pidScoped("graft_ivfpqidx_q163_", dir)
+      Pq.ivfPqWriteIndexFull(Pq.ivfPqEncode(assigned, centroids, cb),
+        centroids, cb, semPath.toString)
+      val sem = Pq
+        .ivfPqTopKFromIndex(s, semPath.toString,
+          emb.filter(col("vec_id") < 8), k = 20, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rnk"))
+      Retrieval.rrfFuse(Seq(lex, sem), k = 10)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some(s"""
+      WITH ${Retrieval.bm25CtesSql("documents", "doc_id", "text", "doc_id < 8", 20)},
+      lex AS (SELECT query_id, doc_id AS neighbor_id, rnk FROM bm25),
+      ${ivfPqOracleCtes("TRUE")},
+      ${ivfPqServeCtes("vec_id < 8", 20, None)},
+      sem AS (SELECT query_id, neighbor_id, rnk FROM ipq),
+      ${Retrieval.rrfFuseSql(Seq("lex", "sem"), 10)}
+      SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+             CAST(rrf_fp AS BIGINT) AS rrf_fp
+      FROM fused
+      ORDER BY query_id, rnk
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
@@ -2198,5 +2262,6 @@ object PipelineQueries {
     q146Bm25, q147HybridRrf, q148BpeTrain, q149BpeEncode, q151IvfPqRepair,
     q152CurationV4, q153Containment, q154Bm25Indexed, q155Bm25Append,
     q156Bm25Repair, q157BpeIds, q158CurationV5, q159MinhashIncremental,
-    q160ExactIncremental, q161ContainmentIncremental, q162Bm25Stats)
+    q160ExactIncremental, q161ContainmentIncremental, q162Bm25Stats,
+    q163RetrievalStack)
 }

@@ -551,6 +551,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "the 1-row stats join must broadcast")
   }
 
+  test("q163: the serving stack reads BOTH written indexes pruned — shard'd BM25, bucket'd IVF-PQ") {
+    val p = plan("q163_retrieval_stack")
+    // lexical side: query-term shards prune postings+terms; semantic
+    // side: probed buckets prune the code scan
+    assert("PartitionFilters: \\[[^\\]]*shard".r.findAllIn(p).size >= 2,
+      s"BM25 postings+terms scans must stay shard-pruned:\n$p")
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(p).isDefined,
+      s"IVF-PQ code scan must stay bucket-pruned:\n$p")
+    assert(p.contains("pq_adc"), "semantic scoring must stay native ADC")
+    assert(p.contains("Union"), "rankers must union, not join")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 3,
+      s"shortlist and fusion top-k must all push:\n$p")
+    assert(!p.contains("CartesianProduct"), "no unbroadcast cross product")
+  }
+
   test("q147: hybrid fusion unions two pushed-top-k shortlists, semantic side native vec_dot") {
     val p = plan("q147_hybrid_rrf")
     assert(p.contains("Union"), "rankers must union, not join")
