@@ -275,6 +275,71 @@ object Bpe {
       .toDF(idCol, "n_tokens", "token_ids")
   }
 
+  /** Writes a trained tokenizer as a WRITTEN, self-contained artifact —
+    * the tokenizer's entry in the written-index family (IVF-PQ q141,
+    * BM25 q154): `merges/` = (step, lft, rgt, cnt) in training order
+    * and `vocab/` = (token_id, sym) per [[vocab]]'s contract. A
+    * standing pipeline trains the tokenizer ONCE on its reference
+    * corpus and encodes every future snapshot from this artifact —
+    * training never reruns on the ingest path. Both tables are
+    * vocabulary-sized (≤ 36 base symbols + one row per merge), so the
+    * artifact is KB-scale whatever the corpus: one coalesced file
+    * each.
+    */
+  def writeTokenizer(spark: SparkSession, path: String,
+      merges: Seq[Merge], v: Seq[(Long, String)]): Unit = {
+    mergesDf(spark, merges)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+    vocabDf(spark, v)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/vocab")
+  }
+
+  /** Loads a [[writeTokenizer]] artifact back into driver literals.
+    * The collects are bounded BY THE ARTIFACT'S CONSTRUCTION
+    * (vocabulary-sized, not corpus-sized); the caps below are loud
+    * backstops against pointing this at something that is not a
+    * tokenizer artifact. Merge order is the persisted `step` — the
+    * chain replays exactly as trained.
+    */
+  def loadTokenizer(spark: SparkSession,
+      path: String): (Seq[Merge], Seq[(Long, String)]) = {
+    val mRows = spark.read.parquet(s"$path/merges")
+      .orderBy(col("step")).collect()
+    require(mRows.length <= 100000,
+      s"loadTokenizer: ${mRows.length} merges exceed the 100k cap — " +
+        s"$path/merges is not a plausible tokenizer artifact")
+    val merges = mRows.map(r => Merge(r.getLong(0).toInt,
+      r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val vRows = spark.read.parquet(s"$path/vocab")
+      .orderBy(col("token_id")).collect()
+    require(vRows.length <= 36 + merges.length,
+      s"loadTokenizer: ${vRows.length} vocab rows exceed the base-alphabet" +
+        s" + merges bound (${36 + merges.length}) — $path/vocab is damaged")
+    (merges, vRows.map(r => (r.getLong(0), r.getString(1))).toSeq)
+  }
+
+  /** [[encodeIds]] from a WRITTEN tokenizer: load the artifact, encode
+    * the frame — the day-2 ingest path. One artifact read (two
+    * KB-scale files) + the same single narrow corpus pass; q164 gates
+    * it hash-equal to the in-session train+encode oracle.
+    */
+  def encodeIdsFromTokenizer(spark: SparkSession, path: String,
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (merges, v) = loadTokenizer(spark, path)
+    encodeIds(df, idCol, textCol, merges, v)
+  }
+
+  /** [[encodeTokenCounts]] from a WRITTEN tokenizer (see
+    * [[encodeIdsFromTokenizer]]) — the counts-only day-2 path the
+    * packing composition rides (token budgets need n_bpe, not the id
+    * arrays).
+    */
+  def encodeTokenCountsFromTokenizer(spark: SparkSession, path: String,
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (merges, _) = loadTokenizer(spark, path)
+    encodeTokenCounts(df, idCol, textCol, merges)
+  }
+
   // ------------------------------------------------------------------
   // DuckDB oracle builders: unrolled training replay
   // ------------------------------------------------------------------

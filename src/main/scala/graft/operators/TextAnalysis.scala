@@ -361,6 +361,144 @@ object TextAnalysis {
       FROM bnll
       ORDER BY doc_id"""
 
+  /** [[bigramNll]] split into its STANDING-PIPELINE form: the model —
+    * bigram counts `cb`, context counts `cl`, bigram-position
+    * vocabulary `V`, all from `train` — scores a DIFFERENT frame. This
+    * is how the CCNet-style filter actually deploys (Wenzek et al.
+    * 2020 train the LM on a reference corpus and score every new
+    * CommonCrawl snapshot with it): q150's self-scoring is the
+    * calibration run, this is the ingest path. Smoothing covers the
+    * open vocabulary a new snapshot brings: an unseen (w1,w2) scores
+    * `(0+1)/(cl(w1)+V)` and an unseen context scores `1/V` — the
+    * add-one estimator evaluated at zero counts, via left joins
+    * coalesced to 0 (model membership must not gate scoring rows).
+    * Quantization and output contract are exactly [[bigramNll]]'s;
+    * only `score` docs with ≥ 2 tokens appear.
+    *
+    * 100 TB posture: ONE bigram explode per frame; the model frames
+    * are bigram-vocabulary-sized, joined keyed on (w1,w2)/(w1); V
+    * rides a broadcast 1-row frame. Nothing rescans either corpus.
+    */
+  def bigramNllApply(train: DataFrame, score: DataFrame,
+      idCol: String, textCol: String, nllThreshold: Double): DataFrame = {
+    val cb = docBigrams(train, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(sum(col("btf")).as("cb"))
+      .localCheckpoint()
+    scoreAgainstBigramModel(cb, score, idCol, textCol, nllThreshold)
+  }
+
+  /** Per-document (doc_id, w1, w2, btf) bigram counts — the shared
+    * explode of [[bigramNll]]/[[bigramNllApply]].
+    */
+  private def docBigrams(
+      df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        TextOps.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("btf"))
+
+  /** The [[bigramNllApply]] scoring tail against a MATERIALIZED model
+    * frame `cb` = (w1, w2, cb) — context counts and the vocabulary
+    * derive from it (both bigram-vocabulary-sized aggregates), so the
+    * written-model path ([[bigramNllFromModel]]) and the in-session
+    * path share every arithmetic step.
+    */
+  private def scoreAgainstBigramModel(cb: DataFrame, score: DataFrame,
+      idCol: String, textCol: String, nllThreshold: Double): DataFrame = {
+    val cl = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cl"))
+    val v = cb.select(col("w1").as("tok"))
+      .union(cb.select(col("w2").as("tok")))
+      .agg(count_distinct(col("tok")).as("v"))
+    docBigrams(score, idCol, textCol)
+      .join(cb, Seq("w1", "w2"), "left")
+      .join(cl, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("lpf", floor(
+        log((coalesce(col("cb"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("cl"), lit(0L)) + col("v"))) *
+          lit(1000000.0)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("btf") * col("lpf")).as("s"), sum(col("btf")).as("n_big"))
+      .withColumn("nll", round(-col("s") / (lit(1000000.0) * col("n_big")), 6))
+      .select(col("doc_id"), col("n_big"), col("nll"),
+        (col("nll") <= lit(nllThreshold)).as("kept"))
+  }
+
+  /** Writes a trained bigram LM as a WRITTEN artifact — the quality
+    * filter's entry in the written-artifact family (tokenizer
+    * [[graft.operators.Bpe.writeTokenizer]], the index layouts): one
+    * table, `cb/` = (w1, w2, cb), the sufficient statistic of the
+    * add-one-smoothed model ([[bigramNllApply]]'s context counts and
+    * vocabulary both derive from it, so persisting more would just
+    * denormalize). Bigram-vocabulary-sized — orders of magnitude
+    * smaller than any corpus; a standing pipeline trains it once on
+    * the reference corpus and scores every snapshot from the file.
+    */
+  def bigramWriteModel(train: DataFrame, path: String,
+      idCol: String, textCol: String): Unit =
+    docBigrams(train, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(sum(col("btf")).as("cb"))
+      .write.mode("overwrite").parquet(s"$path/cb")
+
+  /** [[bigramNllApply]] from a WRITTEN model: read `cb/`, score the
+    * frame — the day-2 ingest path; the training corpus is never
+    * rescanned. q166 gates it hash-equal to the in-session replay.
+    */
+  def bigramNllFromModel(spark: org.apache.spark.sql.SparkSession,
+      path: String, score: DataFrame,
+      idCol: String, textCol: String, nllThreshold: Double): DataFrame =
+    scoreAgainstBigramModel(
+      spark.read.parquet(s"$path/cb").localCheckpoint(),
+      score, idCol, textCol, nllThreshold)
+
+  /** DuckDB twin of [[bigramNllApply]] as a WITH-clause body: defines
+    * `bnlla` = (doc_id, n_big, nll, kept) scoring `scoreRel` against
+    * the model trained on `trainRel`. Same left-join + COALESCE-to-0
+    * smoothing evaluation, same fixed-point quantization.
+    */
+  def bigramNllApplyCtesSql(trainRel: String, scoreRel: String,
+      idCol: String, textCol: String, nllThreshold: Double): String =
+    s"""
+      tat AS (SELECT $idCol AS doc_id, ${TextOps.tokensSql(textCol)} AS toks
+              FROM $trainRel),
+      tabi AS (SELECT doc_id, toks[j] AS w1, toks[j + 1] AS w2
+               FROM (SELECT doc_id, toks,
+                            unnest(generate_series(1, len(toks) - 1)) AS j
+                     FROM tat WHERE len(toks) >= 2) x),
+      tacb AS (SELECT w1, w2, COUNT(*) AS cb FROM tabi GROUP BY 1, 2),
+      tacl AS (SELECT w1, SUM(cb) AS cl FROM tacb GROUP BY 1),
+      tav AS (SELECT COUNT(DISTINCT tok) AS v
+              FROM (SELECT w1 AS tok FROM tacb
+                    UNION ALL SELECT w2 AS tok FROM tacb) u),
+      sat AS (SELECT $idCol AS doc_id, ${TextOps.tokensSql(textCol)} AS toks
+              FROM $scoreRel),
+      sabi AS (SELECT doc_id, toks[j] AS w1, toks[j + 1] AS w2
+               FROM (SELECT doc_id, toks,
+                            unnest(generate_series(1, len(toks) - 1)) AS j
+                     FROM sat WHERE len(toks) >= 2) x),
+      sabtf AS (SELECT doc_id, w1, w2, COUNT(*) AS btf
+                FROM sabi GROUP BY 1, 2, 3),
+      sasc AS (SELECT b.doc_id, b.btf,
+                      CAST(FLOOR(ln((COALESCE(c.cb, 0) + 1.0) /
+                                    (COALESCE(l.cl, 0) + vv.v))
+                                 * 1000000.0) AS BIGINT) AS lpf
+               FROM sabtf b
+               LEFT JOIN tacb c ON b.w1 = c.w1 AND b.w2 = c.w2
+               LEFT JOIN tacl l ON b.w1 = l.w1
+               CROSS JOIN tav vv),
+      saagg AS (SELECT doc_id, SUM(btf * lpf) AS s, SUM(btf) AS n_big
+                FROM sasc GROUP BY 1),
+      bnlla AS (SELECT doc_id, CAST(n_big AS BIGINT) AS n_big,
+                       round(-(s) / (1000000.0 * n_big), 6) AS nll,
+                       (round(-(s) / (1000000.0 * n_big), 6) <= $nllThreshold) AS kept
+                FROM saagg)"""
+
   /** Top-k adjacent character pairs over the corpus's normalized words
     * — the FIRST MERGE iteration of a BPE tokenizer trainer (Sennrich
     * et al. 2016, "Neural Machine Translation of Rare Words with

@@ -2250,6 +2250,181 @@ object PipelineQueries {
       ORDER BY query_id, rnk
     """))
 
+  /** The tokenizer as a WRITTEN artifact ([[graft.operators.Bpe
+    * .writeTokenizer]] / [[graft.operators.Bpe.encodeIdsFromTokenizer]])
+    * — the tokenizer joins the written-index family: train once on the
+    * reference corpus, persist merges + vocab (both vocabulary-sized,
+    * KB-scale), encode every future snapshot FROM THE ARTIFACT with
+    * training never rerunning on the ingest path. Gate: id sequences
+    * encoded from the written artifact hash-equal the in-session
+    * train+encode replay (q157's oracle, different document slice) —
+    * a drift in the persisted merge order, a vocab id renumbering, or
+    * a load-path bug moves token ids and hash-fails.
+    */
+  val q164BpeTokenizerIndex: QueryDef = QueryDef(
+    "q164_bpe_tokenizer_index",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val wf = Bpe.wordFreq(docs, "text").localCheckpoint()
+      val ms = Bpe.trainMergesFromWordFreq(wf, nMerges = 6)
+      val v = Bpe.vocabFromWordFreq(wf, ms)
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_bpetok_q164_", dir)
+      Bpe.writeTokenizer(s, path.toString, ms, v)
+      Bpe.encodeIdsFromTokenizer(s, path.toString,
+          docs.filter(col("doc_id") >= 40 && col("doc_id") < 80),
+          "doc_id", "text")
+        .select(col("doc_id"),
+          posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("token_id"))
+        .orderBy(col("doc_id"), col("pos"))
+    },
+    Some(s"""
+      WITH ${Bpe.trainOracleCtes("documents", "text", 6)},
+      ${Bpe.vocabOracleCtes(6)},
+      ${Bpe.encodeIdsOracleCtes(
+        "(SELECT * FROM documents WHERE doc_id >= 40 AND doc_id < 80)",
+        "doc_id", "text", 6)}
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             CAST(token_id AS BIGINT) AS token_id
+      FROM ids
+      ORDER BY doc_id, pos
+    """))
+
+  /** The bigram quality filter in its STANDING-PIPELINE form
+    * ([[graft.operators.TextAnalysis.bigramNllApply]]): the LM trains
+    * on the BASE corpus and scores a disjoint snapshot — how the
+    * CCNet-shape filter actually deploys (train on the reference
+    * corpus once, score every new crawl), where q150's self-scoring is
+    * the calibration run. Exercises the open-vocabulary path q150
+    * structurally cannot: snapshot bigrams absent from the model score
+    * through the smoothing at zero counts (left joins coalesced — an
+    * unseen context scores 1/V), which the oracle replays exactly.
+    */
+  val q165BigramApply: QueryDef = QueryDef(
+    "q165_bigram_apply",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      TextAnalysis.bigramNllApply(
+          docs.filter(col("doc_id") % 3 =!= 0),
+          docs.filter(col("doc_id") % 3 === 0),
+          "doc_id", "text", BigramNllMedian)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH ${TextAnalysis.bigramNllApplyCtesSql(
+        "(SELECT * FROM documents WHERE doc_id % 3 <> 0)",
+        "(SELECT * FROM documents WHERE doc_id % 3 = 0)",
+        "doc_id", "text", BigramNllMedian)}
+      SELECT doc_id, n_big, nll, kept
+      FROM bnlla
+      ORDER BY doc_id
+    """))
+
+  /** Flagship curation v6 — THE DAY-2 RUN: the pipeline a standing
+    * curation service executes when a new snapshot arrives, where
+    * every piece of model state is a WRITTEN artifact built from the
+    * base corpus and the snapshot is the only fresh data scanned.
+    * Day-1 (build): exact-fingerprint index ([[graft.operators.Dedup
+    * .exactWriteIndex]]), bigram LM ([[graft.operators.TextAnalysis
+    * .bigramWriteModel]]), BPE tokenizer ([[graft.operators.Bpe
+    * .writeTokenizer]]) — each from one base scan. Day-2 (ingest):
+    * (1) incremental exact dedup — snapshot fingerprints append
+    * delta-sized, survivors are the snapshot docs that are their
+    * cluster's GLOBAL kept id (a duplicate of any base doc drops, the
+    * q160 pruned-probe path); (2) quality — survivors scored against
+    * the written LM ([[graft.operators.TextAnalysis
+    * .bigramNllFromModel]], the q165 semantics); (3) tokenize — kept
+    * docs encoded from the written tokenizer (token counts, q164's
+    * artifact); (4) pack — the counts feed q131's concat-and-cut
+    * sequence packing. Output: the snapshot's training-sequence
+    * placement manifest. v5 (q158) is this pipeline's day-1 shape —
+    * everything trained in-session on one corpus; v6 is what runs
+    * every day after. The oracle replays all four stages CTE-for-CTE
+    * over base ∪ snapshot: a drift in any written layout, the
+    * smoothing, a merge, or a packing offset moves coordinates and
+    * hash-fails.
+    */
+  val q166CurationV6: QueryDef = QueryDef(
+    "q166_curation_v6",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val base = docs.filter(col("doc_id") % 3 =!= 0)
+      val fpPath = graft.operators.TmpWorkspaces
+        .pidScoped("graft_fpidx_q166_", dir)
+      Dedup.exactWriteIndex(base, fpPath.toString, "doc_id", "text")
+      val lmPath = graft.operators.TmpWorkspaces
+        .pidScoped("graft_bigram_q166_", dir)
+      TextAnalysis.bigramWriteModel(base, lmPath.toString, "doc_id", "text")
+      val wf = Bpe.wordFreq(base, "text").localCheckpoint()
+      val ms = Bpe.trainMergesFromWordFreq(wf, nMerges = 4)
+      val tokPath = graft.operators.TmpWorkspaces
+        .pidScoped("graft_bpetok_q166_", dir)
+      Bpe.writeTokenizer(s, tokPath.toString, ms,
+        Bpe.vocabFromWordFreq(wf, ms))
+      // ---- day-2: snapshot + written artifacts only ----
+      val snapshot = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      Dedup.exactAppendIndex(snapshot, fpPath.toString, "doc_id", "text")
+      val clusters = Dedup.exactClustersIndexed(s, fpPath.toString,
+        snapshot, "doc_id", "text")
+      val surv = snapshot
+        .withColumn("fingerprint", md5(TextOps.normalize(col("text"))))
+        .join(clusters, "fingerprint")
+        .filter(col("doc_id") === col("kept_id"))
+        .select(col("doc_id"), col("text"))
+        .localCheckpoint()
+      val keptIds = TextAnalysis.bigramNllFromModel(s, lmPath.toString,
+          surv, "doc_id", "text", BigramNllMedian)
+        .filter(col("kept")).select(col("doc_id"))
+      val kept = surv.join(keptIds, "doc_id").localCheckpoint()
+      val counts = Bpe.encodeTokenCountsFromTokenizer(s, tokPath.toString,
+        kept, "doc_id", "text")
+      Curation.packSequencesByCount(counts, "doc_id", "n_bpe", seqLen = 256)
+        .orderBy(col("shard"), col("seq_idx"), col("doc_id"))
+    },
+    Some(s"""
+      WITH fp6 AS (SELECT doc_id,
+                          md5(${TextOps.normalizeSql("text")}) AS fingerprint
+                   FROM documents),
+      keep6 AS (SELECT fingerprint, MIN(doc_id) AS kept_id
+                FROM fp6 GROUP BY 1),
+      surv AS MATERIALIZED (
+        SELECT d.doc_id, d.text
+        FROM documents d
+        JOIN fp6 f ON f.doc_id = d.doc_id
+        JOIN keep6 k ON k.fingerprint = f.fingerprint
+        WHERE d.doc_id % 3 = 0 AND d.doc_id = k.kept_id),
+      ${TextAnalysis.bigramNllApplyCtesSql(
+        "(SELECT * FROM documents WHERE doc_id % 3 <> 0)", "surv",
+        "doc_id", "text", BigramNllMedian)},
+      keptd AS MATERIALIZED (
+        SELECT s.doc_id, s.text
+        FROM surv s JOIN bnlla b USING (doc_id)
+        WHERE b.kept),
+      ${Bpe.trainOracleCtes(
+        "(SELECT * FROM documents WHERE doc_id % 3 <> 0)", "text", 4)},
+      ${Bpe.encodeOracleCtes("keptd", "doc_id", "text", 4)},
+      pt AS (SELECT doc_id,
+                    md5(CAST(doc_id AS VARCHAR)) AS key,
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS shard,
+                    n_bpe AS n
+             FROM enc),
+      po AS (SELECT doc_id, shard, n,
+                    CAST(SUM(n + 1) OVER (PARTITION BY shard ORDER BY key, doc_id)
+                      - (n + 1) AS BIGINT) AS s
+             FROM pt),
+      pe AS (SELECT doc_id, shard, s, n,
+                    unnest(generate_series(s // 256, (s + n - 1) // 256)) AS seq_idx
+             FROM po)
+      SELECT doc_id, shard, CAST(seq_idx AS BIGINT) AS seq_idx,
+             CAST(least(s + n, (seq_idx + 1) * 256)
+                  - greatest(s, seq_idx * 256) AS BIGINT) AS n_toks_in_seq
+      FROM pe
+      ORDER BY shard, seq_idx, doc_id
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
@@ -2263,5 +2438,6 @@ object PipelineQueries {
     q152CurationV4, q153Containment, q154Bm25Indexed, q155Bm25Append,
     q156Bm25Repair, q157BpeIds, q158CurationV5, q159MinhashIncremental,
     q160ExactIncremental, q161ContainmentIncremental, q162Bm25Stats,
-    q163RetrievalStack)
+    q163RetrievalStack, q164BpeTokenizerIndex, q165BigramApply,
+    q166CurationV6)
 }

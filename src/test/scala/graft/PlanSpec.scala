@@ -660,6 +660,52 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"only the output sort may exchange:\n$p")
   }
 
+  test("q164: encode-from-written-tokenizer keeps the q157 shape — the artifact rides as literals, not scans") {
+    val p = plan("q164_bpe_tokenizer_index")
+    // the tokenizer artifact loads via a BOUNDED driver collect at
+    // build time; the encode plan itself is one pruned corpus scan
+    // with the merge chain + vocab as closure literals — the written
+    // artifact must appear NOWHERE in the serving plan
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"encode-from-artifact reads the corpus once:\n$p")
+    assert(p.contains("GreaterThanOrEqual(doc_id,40)") &&
+      p.contains("LessThan(doc_id,80)"),
+      s"the gated-doc prune must reach the scan:\n$p")
+    assert(!p.contains("Join"), "merges+vocab ride as literals, not joins")
+    assert(p.contains("Generate posexplode"), "id rows come from posexplode")
+    val exchanges = "(?m)^\\s*\\+?-?\\s*Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"only the output sort may exchange:\n$p")
+  }
+
+  test("q165: bigram apply joins the materialized model vocabulary-keyed; V broadcasts") {
+    val p = plan("q165_bigram_apply")
+    // the base-trained cb frame materializes once (localCheckpoint);
+    // context counts and V derive from it, the snapshot is the only
+    // parquet scan, and nothing corpus-sized cross-joins
+    assert(p.contains("Scan ExistingRDD"),
+      s"the model frame must be the materialized input:\n$p")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"only the snapshot may scan parquet:\n$p")
+    assert(p.contains("partial_sum"), "model joins must map-side combine")
+    assert(p.contains("BroadcastNestedLoopJoin"), "the 1-row V must broadcast")
+    assert(!p.contains("CartesianProduct"), "no unbroadcast cross product")
+  }
+
+  test("q166: the day-2 capstone packs checkpointed kept docs — zero parquet scans in the final plan") {
+    val p = plan("q166_curation_v6")
+    // dedup-survivor + quality stages materialize (localCheckpoint);
+    // the final plan is the written-tokenizer encode + packing window
+    // over checkpointed rows — neither the base corpus nor any
+    // written artifact may rescan here
+    assert(!p.contains("Scan parquet") && !p.contains("FileScan parquet"),
+      s"the ingest tail must read the checkpointed survivors:\n$p")
+    assert(p.contains("Scan ExistingRDD"), "materialized kept frame expected")
+    assert(p.contains("Window"), "the packing running-sum window expected")
+    assert(p.contains("Generate explode"), "sequence spans come from the explode")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"packing must not join:\n$p")
+  }
+
   test("q158: flagship v5 packs checkpointed counts — zero parquet scans, one shard window") {
     val p = plan("q158_curation_v5")
     // all four stages compose off materialized survivors: the final

@@ -78,6 +78,23 @@ class BpeSpec extends AnyFunSuite {
     assert(got == Map(1L -> ((3L, Seq(3L, 2L, 1L))), 2L -> ((0L, Seq()))))
   }
 
+  test("writeTokenizer/loadTokenizer round-trips; encode-from-written equals in-session encode") {
+    val docs = Seq(1L -> "abab ab b", 2L -> "aaa ab").toDF("doc_id", "text")
+    val ms = Bpe.trainMerges(docs, "text", 3)
+    val v = Bpe.vocab(docs, "text", ms)
+    val path = TmpWorkspaces.pidScoped("graft_bpetok_spec_", "roundtrip")
+    Bpe.writeTokenizer(spark, path.toString, ms, v)
+    val (ms2, v2) = Bpe.loadTokenizer(spark, path.toString)
+    assert(ms2 == ms, "merges must round-trip in training order")
+    assert(v2 == v, "vocab must round-trip with stable ids")
+    val inSession = Bpe.encodeIds(docs, "doc_id", "text", ms, v)
+      .as[(Long, Long, Seq[Long])].collect().toSeq.sortBy(_._1)
+    val fromArtifact = Bpe
+      .encodeIdsFromTokenizer(spark, path.toString, docs, "doc_id", "text")
+      .as[(Long, Long, Seq[Long])].collect().toSeq.sortBy(_._1)
+    assert(fromArtifact == inSession)
+  }
+
   test("encodeIds: multi-symbol words flatten left-to-right within the word") {
     // merge only (a,l): "albal" -> [al, b, al]; "ba" -> [b, a]
     val docs = Seq(1L -> "albal ba").toDF("doc_id", "text")

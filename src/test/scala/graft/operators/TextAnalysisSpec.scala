@@ -32,6 +32,48 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(kept.getOrElse(false, 0L) > 0, "no docs dropped at the shipped cutoff")
   }
 
+  test("bigramNllApply: base-trained model scores a disjoint frame; unseen bigrams and contexts smooth at zero counts") {
+    val train = Seq(1L -> "a b", 2L -> "a b a").toDF("doc_id", "text")
+    val score = Seq(10L -> "b a c", 11L -> "z q", 12L -> "x")
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramNllApply(train, score, "doc_id", "text",
+        nllThreshold = 0.8)
+      .as[(Long, Long, Double, Boolean)].collect().toSeq.sortBy(_._1)
+    // model: cb(a,b)=2, cb(b,a)=1; cl(a)=2, cl(b)=1; V={a,b}=2.
+    // doc10 (b,a): seen, (1+1)/(1+2) -> floor(ln(2/3)*1e6) = -405466;
+    //       (a,c): unseen bigram, seen context, 1/(2+2) -> -1386295;
+    //       nll = 1791761/2e6 = 0.895881
+    // doc11 (z,q): unseen CONTEXT -> 1/(0+2) -> -693148 -> 0.693148
+    // doc12: single token, no bigram — absent
+    assert(got == Seq(
+      (10L, 2L, 0.895881, false),
+      (11L, 1L, 0.693148, true)))
+  }
+
+  test("bigramWriteModel/bigramNllFromModel: the written-model path scores identically to in-session apply") {
+    val train = Seq(1L -> "a b", 2L -> "a b a").toDF("doc_id", "text")
+    val score = Seq(10L -> "b a c", 11L -> "z q").toDF("doc_id", "text")
+    val path = TmpWorkspaces.pidScoped("graft_bigram_spec_", "roundtrip")
+    TextAnalysis.bigramWriteModel(train, path.toString, "doc_id", "text")
+    val inSession = TextAnalysis
+      .bigramNllApply(train, score, "doc_id", "text", 0.8)
+      .as[(Long, Long, Double, Boolean)].collect().toSeq.sortBy(_._1)
+    val fromModel = TextAnalysis
+      .bigramNllFromModel(spark, path.toString, score, "doc_id", "text", 0.8)
+      .as[(Long, Long, Double, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(fromModel == inSession)
+  }
+
+  test("q165's base-trained cutoff keeps both classes populated on the fixture") {
+    // same tripwire as q150's: the shipped constant is calibrated on
+    // the SELF-scored corpus; this asserts it still splits the
+    // base-model-scores-snapshot distribution, q166's filter premise
+    val kept = graft.SparkEntry.queries("q165_bigram_apply")(spark, sf)
+      .groupBy("kept").count().as[(Boolean, Long)].collect().toMap
+    assert(kept.getOrElse(true, 0L) > 0, "no snapshot docs kept at the cutoff")
+    assert(kept.getOrElse(false, 0L) > 0, "no snapshot docs dropped at the cutoff")
+  }
+
   private def metrics(texts: (Long, String)*): Map[Long, (Long, Double, Double)] =
     TextAnalysis.repetitionMetrics(texts.toDF("doc_id", "text"), "doc_id", "text")
       .select("doc_id", "n_toks", "dup3_frac", "top_frac")
