@@ -488,6 +488,238 @@ object Dedup {
       .toDF("doc_id", "simhash")
   }
 
+  /** 60-bit SimHash per document — [[simhash]] widened to the
+    * fingerprint width near-dup SEARCH needs (Manku/Jain/Sarma WWW'07,
+    * Google's web-crawl dedup: hamming-ball search over SimHash via
+    * banded tables): with 32 bits, hamming-≤3 banding forces 8-bit
+    * bands whose 256 bucket values collapse a large corpus into
+    * quadratic buckets; 60 bits gives four 15-bit bands — 32,768
+    * values each — so bucket occupancy dilutes with corpus size the
+    * way Manku's 64-bit design intends, while staying positive in a
+    * signed BIGINT on both engines ([[TextOps.hash60]]). Same
+    * zero-shuffle mapPartitions shape as [[simhash]].
+    */
+  def simhash60(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else Iterator.single((id, simhash60Str(md, text)))
+        }
+      }
+      .toDF("doc_id", "simhash")
+  }
+
+  /** Four 15-bit SimHash bands. With `maxHamming <= 3`, a pair within
+    * the ball differs in at most 3 bit positions, which can damage at
+    * most 3 of the 4 bands — so at least one band matches exactly and
+    * banded search is EXACT, not approximate (the pigeonhole argument
+    * Manku's tables are built on).
+    */
+  private val SimhashBands = 4
+  private val SimhashBandBits = 15
+  private val SimhashBandMask = (1 << SimhashBandBits) - 1
+
+  /** [[simhash60]] carrying a blocking column: (doc_id, blk, simhash);
+    * NULL-block docs drop (the q33/q153 blocked-dedup convention).
+    */
+  private def simhash60Blocked(df: DataFrame, idCol: String,
+      textCol: String, blockCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col(blockCol).isNotNull)
+      .select(col(idCol).cast("long"), col(blockCol).cast("string"),
+        col(textCol).cast("string"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, blk, text) =>
+          if (text == null) Iterator.empty
+          else Iterator.single((id, blk, simhash60Str(md, text)))
+        }
+      }
+      .toDF("doc_id", "blk", "simhash")
+  }
+
+  /** The per-document 60-bit fingerprint loop shared by [[simhash60]]
+    * and [[simhash60Blocked]].
+    */
+  private def simhash60Str(
+      md: java.security.MessageDigest, text: String): Long = {
+    val toks = TextOps.normalizeStr(text).split(" ", -1)
+    val seen = new java.util.HashSet[String]()
+    val sums = new Array[Int](60)
+    var i = 0
+    while (i < toks.length) {
+      if (seen.add(toks(i))) {
+        val h = TextOps.hash60Str(md, toks(i))
+        var j = 0
+        while (j < 60) {
+          if (((h >> j) & 1L) == 1L) sums(j) += 1 else sums(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 60) { if (sums(j) > 0) fp |= 1L << j; j += 1 }
+    fp
+  }
+
+  /** One row per (doc, band): input columns + (bidx, bval). */
+  private def simhashBandRows(fps: DataFrame): DataFrame =
+    fps.withColumn("bidx",
+        explode(lit((0 until SimhashBands).toArray)))
+      .withColumn("bval",
+        expr(s"shiftright(simhash, bidx * $SimhashBandBits) & $SimhashBandMask"))
+
+  /** The written-index partition key: 4 bands × the band value's top 6
+    * bits = ≤256 directories — the repo-standard shard fan-out (BM25's
+    * md5 shards). The first cut used the top 8 bits (1,024 dirs) and
+    * the two write rounds' small-file overhead dominated the q168
+    * lifecycle (measured ~12 s → ~7 s at sf0.1 after the cut); probe
+    * pruning keeps the same shape, one level coarser.
+    */
+  private def simhashShard(bidx: Column, bval: Column): Column =
+    (bidx * lit(64) + shiftright(bval, SimhashBandBits - 6)).cast("int")
+
+  /** SimHash near-dup pairs within a blocking key: all (doc_a < doc_b)
+    * in the same block within hamming distance `maxHamming` of each
+    * other's 60-bit fingerprints — boilerplate-level near-dups
+    * ([[minhashDedup]] catches content-overlap at lower similarity;
+    * SimHash's ball is tighter and its per-doc state is ONE long,
+    * which is why crawl-scale systems run it first). Blocked like
+    * [[ngramJaccardPairs]]/[[ngramContainmentPairs]] (source/language
+    * blocking is the standard candidate bound; NULL-block docs drop).
+    * `maxHamming` must stay ≤ 3: that is the 4-band exactness bound —
+    * above it banding would miss pairs.
+    *
+    * 100 TB posture: fingerprints are a zero-shuffle narrow pass
+    * materialized once; candidates come from the per-block 4-band
+    * bucket self-join (keyed on |blocks|·2²·2¹⁵ buckets), never
+    * all-pairs; buckets over `maxBucketSize` drop BEFORE pairing (the
+    * repo-wide skew cap — a dropped bucket's pairs can still surface
+    * via their other 3 bands; the cap errs toward missing near-dups,
+    * never false pairs, and the oracle replays it exactly);
+    * verification is `bit_count(xor)` on the pair row — no text, no
+    * signatures.
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, maxHamming: Int = 3,
+      maxBucketSize: Int = 10000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming $maxHamming breaks the 4-band exactness bound (<= 3)")
+    val fps = simhash60Blocked(df, idCol, textCol, blockCol).localCheckpoint()
+    val capped = cappedBuckets(simhashBandRows(fps), maxBucketSize)
+    val x = capped.select(col("blk"), col("bidx"), col("bval"),
+      col("doc_id").as("doc_a"), col("simhash").as("fa"))
+    val y = capped.select(col("blk"), col("bidx"), col("bval"),
+      col("doc_id").as("doc_b"), col("simhash").as("fb"))
+    pairTail(
+      x.join(y, Seq("blk", "bidx", "bval"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("blk"), col("doc_a"), col("doc_b"), col("fa"), col("fb")),
+      maxHamming)
+  }
+
+  private def cappedBuckets(bands: DataFrame, maxBucketSize: Int): DataFrame =
+    bands
+      .withColumn("bn", count(lit(1)).over(
+        Window.partitionBy(col("blk"), col("bidx"), col("bval"))))
+      .filter(col("bn") <= maxBucketSize)
+      .drop("bn")
+
+  /** Shared verify tail: distinct the multi-band candidates, compute
+    * the hamming distance, threshold — both the in-session and indexed
+    * paths end here, so their arithmetic cannot drift.
+    */
+  private def pairTail(cands: DataFrame, maxHamming: Int): DataFrame =
+    cands.distinct()
+      .withColumn("hamming",
+        expr("bit_count(fa ^ fb)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("blk"), col("doc_a"), col("doc_b"), col("hamming"))
+
+  /** Materializes the SimHash band index as a WRITTEN, shard-pruned
+    * layout — the fourth and last member of the incremental-dedup
+    * family (exact q160, MinHash q159, containment q161): `bands/` =
+    * (doc_id, blk, simhash, bidx, bval) PARTITIONED BY `pshard` =
+    * (band, top-8-bits-of-value) — ≤1,024 directories. Both columns
+    * are per-document facts, so the layout is append-stable; the
+    * fingerprint rides inline, so the PROBE never touches text (the
+    * verify is `bit_count` on stored longs — unlike MinHash, SimHash
+    * needs no signature re-read).
+    */
+  def simhashWriteIndex(df: DataFrame, path: String,
+      idCol: String, textCol: String, blockCol: String): Unit =
+    writeSimhashGeneration(df, path, idCol, textCol, blockCol, "overwrite")
+
+  /** Appends a NEW-DOCUMENT snapshot's band rows — delta-sized, zero
+    * base reads; the usual new-ids / exactly-once append contract (a
+    * replayed append duplicates band rows, which the probe's distinct
+    * masks for PAIRS but inflates bucket counts toward the cap).
+    */
+  def simhashAppendIndex(df: DataFrame, path: String,
+      idCol: String, textCol: String, blockCol: String): Unit =
+    writeSimhashGeneration(df, path, idCol, textCol, blockCol, "append")
+
+  private def writeSimhashGeneration(df: DataFrame, path: String,
+      idCol: String, textCol: String, blockCol: String, mode: String): Unit =
+    simhashBandRows(simhash60Blocked(df, idCol, textCol, blockCol))
+      .withColumn("pshard", simhashShard(col("bidx"), col("bval")))
+      .repartition(col("pshard"))
+      .write.mode(mode).partitionBy("pshard").parquet(s"$path/bands")
+
+  /** Incremental SimHash near-dup: every pair within the hamming ball
+    * that has at least one endpoint in `deltaDocs`, served from a
+    * [[simhashWriteIndex]] layout AFTER the snapshot was appended
+    * (append-then-probe, the q159/q160/q161 shape — snapshot bands in
+    * the index make snapshot×snapshot pairs fall out of the same
+    * probe). The snapshot's ≤1,024 band shards prune the scan via
+    * PartitionFilters; snapshot band rows broadcast into the probed
+    * residue; bucket caps apply to the bucket's FULL post-append
+    * membership (visible in the probed partitions), so capping equals
+    * the fresh run's. Gated ≡ the fresh whole-corpus pairs restricted
+    * to snapshot endpoints.
+    */
+  def simhashNearDupIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, deltaDocs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, maxHamming: Int = 3,
+      maxBucketSize: Int = 10000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming $maxHamming breaks the 4-band exactness bound (<= 3)")
+    val qb = simhashBandRows(
+      simhash60Blocked(deltaDocs, idCol, textCol, blockCol)
+        .localCheckpoint())
+    val shards = qb
+      .select(simhashShard(col("bidx"), col("bval")).as("pshard"))
+      .distinct().collect().map(_.getInt(0))
+    val probed = spark.read.parquet(s"$path/bands")
+      .filter(col("pshard").isin(shards.toSeq: _*))
+      .join(broadcast(
+          qb.select(col("blk"), col("bidx"), col("bval")).distinct()),
+        Seq("blk", "bidx", "bval"))
+    val capped = cappedBuckets(probed.drop("pshard"), maxBucketSize)
+    val cands = capped.join(
+        broadcast(qb.select(col("blk"), col("bidx"), col("bval"),
+          col("doc_id").as("q_id"), col("simhash").as("q_fp"))),
+        Seq("blk", "bidx", "bval"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .select(col("blk"),
+        least(col("doc_id"), col("q_id")).as("doc_a"),
+        greatest(col("doc_id"), col("q_id")).as("doc_b"),
+        when(col("doc_id") < col("q_id"), col("simhash"))
+          .otherwise(col("q_fp")).as("fa"),
+        when(col("doc_id") < col("q_id"), col("q_fp"))
+          .otherwise(col("simhash")).as("fb"))
+    pairTail(cands, maxHamming)
+  }
+
   // ------------------------------------------------------------------
   // Blocked n-gram Jaccard (no LSH; exact within blocks)
   // ------------------------------------------------------------------

@@ -81,6 +81,18 @@ object TextOps {
   def hash32Sql(s: String): String =
     s"CAST(concat('0x', substr(md5($s), 1, 8)) AS BIGINT)"
 
+  /** First 15 md5 hex chars as an unsigned 60-bit value in a BIGINT —
+    * the wider [[hash32]] for fingerprints whose individual BITS are
+    * the payload (SimHash): 60 bits stays positive in a signed 64-bit
+    * long on BOTH engines (16 chars could overflow DuckDB's BIGINT
+    * cast), and 60 = 4 × 15 splits evenly into four SimHash bands.
+    */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  def hash60Sql(s: String): String =
+    s"CAST(concat('0x', substr(md5($s), 1, 15)) AS BIGINT)"
+
   /** i-th universal hash of a 32-bit value: (a_i*(h mod P) + b_i) mod P. */
   def universalHash(h: Column, a: Long, b: Long): Column =
     (lit(a) * (h % HashP) + lit(b)) % HashP
@@ -111,6 +123,18 @@ object TextOps {
     val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** JVM twin of [[hash60]]: first 7 md5 bytes plus the high nibble of
+    * byte 7 (== first 15 hex chars parsed base-16).
+    */
+  def hash60Str(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) >> 4) & 0xfL)
   }
 
   /** Sorted distinct hashes of the word-n-gram shingles of `text` — the

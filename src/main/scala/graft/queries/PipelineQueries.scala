@@ -2425,6 +2425,93 @@ object PipelineQueries {
       ORDER BY shard, seq_idx, doc_id
     """))
 
+  /** The q167/q168 oracle: fresh blocked SimHash near-dup pairs, with
+    * an optional extra predicate (q168 restricts to snapshot-endpoint
+    * pairs — the incremental path must equal exactly this). Replays
+    * the WHOLE Spark chain: 60-bit fingerprints (the q32 sum-of-signs
+    * shape widened), the four 15-bit bands, the bucket cap, the
+    * distinct multi-band candidates, and the `bit_count(xor)` verify.
+    */
+  private def simhashPairsOracleSql(extraPred: String): String = {
+    val sums = (0 until 60).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(",\n             ")
+    val fp = (0 until 60).map(j =>
+      s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""
+      WITH shtok AS (SELECT doc_id, unnest(list_distinct(${TextOps.tokensSql("text")})) AS t
+                     FROM documents),
+      shh AS (SELECT doc_id, ${TextOps.hash60Sql("t")} AS h FROM shtok),
+      shbits AS (SELECT doc_id, $sums FROM shh GROUP BY doc_id),
+      shfp AS (SELECT f.doc_id, d.source AS blk, CAST($fp AS BIGINT) AS fp
+               FROM shbits f JOIN documents d ON d.doc_id = f.doc_id
+               WHERE d.source IS NOT NULL),
+      shbands AS (SELECT doc_id, blk, fp, j AS bidx,
+                         (fp >> (15 * j)) & 32767 AS bval
+                  FROM (SELECT doc_id, blk, fp,
+                               unnest(generate_series(0, 3)) AS j
+                        FROM shfp) t),
+      shcap AS (SELECT blk, bidx, bval, doc_id, fp FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY blk, bidx, bval) AS bn
+        FROM shbands) c
+        WHERE bn <= 10000),
+      shpairs AS (SELECT DISTINCT x.blk, x.doc_id AS doc_a,
+                         y.doc_id AS doc_b, x.fp AS fa, y.fp AS fb
+                  FROM shcap x
+                  JOIN shcap y ON y.blk = x.blk AND y.bidx = x.bidx
+                              AND y.bval = x.bval AND x.doc_id < y.doc_id)
+      SELECT blk, doc_a, doc_b,
+             CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+      FROM shpairs
+      WHERE bit_count(xor(fa, fb)) <= 3 AND ($extraPred)
+      ORDER BY blk, doc_a, doc_b
+    """
+  }
+
+  /** Blocked SimHash near-dup pairs ([[graft.operators.Dedup
+    * .simhashNearDupPairs]]): hamming-ball search over 60-bit
+    * fingerprints via four 15-bit bands (Manku/Jain/Sarma WWW'07 —
+    * banding is EXACT for the ≤3-bit ball by pigeonhole), blocked by
+    * source like the n-gram family. The boilerplate-tier near-dup
+    * detector whose per-doc state is one long — completing the
+    * near-dup spectrum: SimHash (tight ball) → MinHash (Jaccard 0.8)
+    * → containment (asymmetric).
+    */
+  val q167SimhashPairs: QueryDef = QueryDef(
+    "q167_simhash_pairs",
+    (s, dir) =>
+      Dedup.simhashNearDupPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", blockCol = "source")
+        .orderBy(col("blk"), col("doc_a"), col("doc_b")),
+    Some(simhashPairsOracleSql("TRUE")))
+
+  /** Incremental SimHash near-dup against the WRITTEN band index
+    * ([[graft.operators.Dedup.simhashWriteIndex]] /
+    * [[graft.operators.Dedup.simhashNearDupIndexed]]) — the fourth
+    * and last member of the incremental-dedup family (q160 exact,
+    * q159 MinHash, q161 containment): band rows appended delta-sized
+    * with the fingerprint inline (the probe never touches text OR
+    * signatures — `bit_count` on stored longs), pairs served from a
+    * band-shard-pruned probe. Oracle: the fresh q167 replay
+    * restricted to snapshot-endpoint pairs.
+    */
+  val q168SimhashIncremental: QueryDef = QueryDef(
+    "q168_simhash_incremental",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_shidx_q168_", dir)
+      Dedup.simhashWriteIndex(docs.filter(col("doc_id") % 4 =!= 0),
+        path.toString, "doc_id", "text", "source")
+      val snapshot = docs.filter(col("doc_id") % 4 === 0)
+      Dedup.simhashAppendIndex(snapshot, path.toString, "doc_id", "text",
+        "source")
+      Dedup.simhashNearDupIndexed(s, path.toString, snapshot, "doc_id",
+          "text", "source")
+        .orderBy(col("blk"), col("doc_a"), col("doc_b"))
+    },
+    Some(simhashPairsOracleSql("doc_a % 4 = 0 OR doc_b % 4 = 0")))
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
@@ -2439,5 +2526,5 @@ object PipelineQueries {
     q156Bm25Repair, q157BpeIds, q158CurationV5, q159MinhashIncremental,
     q160ExactIncremental, q161ContainmentIncremental, q162Bm25Stats,
     q163RetrievalStack, q164BpeTokenizerIndex, q165BigramApply,
-    q166CurationV6)
+    q166CurationV6, q167SimhashPairs, q168SimhashIncremental)
 }

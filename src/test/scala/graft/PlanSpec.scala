@@ -706,6 +706,30 @@ class PlanSpec extends AnyFunSuite {
       s"packing must not join:\n$p")
   }
 
+  test("q167: simhash pairs self-join the checkpointed band frame bucket-keyed — no corpus rescan, no cartesian") {
+    val p = plan("q167_simhash_pairs")
+    // fingerprints materialize once (localCheckpoint, one narrow
+    // mapPartitions pass); bands, the bucket cap, and both join sides
+    // derive from the checkpointed longs — text never reappears
+    assert(!p.contains("FileScan parquet"),
+      s"both join sides must read the checkpointed fingerprints:\n$p")
+    assert(p.contains("Scan ExistingRDD"), "materialized fingerprint frame expected")
+    assert(p.contains("Window"), "the bucket-cap count window expected")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the bucket equi-join:\n$p")
+  }
+
+  test("q168: incremental simhash probes pruned band shards, snapshot broadcasts, verify on stored longs") {
+    val p = plan("q168_simhash_incremental")
+    assert("PartitionFilters: \\[[^\\]]*pshard".r.findFirstIn(p).isDefined,
+      s"snapshot band shards must prune the index scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "snapshot band rows must broadcast into the probed residue")
+    assert(!p.contains("CartesianProduct"),
+      s"nothing may cross-join:\n$p")
+  }
+
   test("q158: flagship v5 packs checkpointed counts — zero parquet scans, one shard window") {
     val p = plan("q158_curation_v5")
     // all four stages compose off materialized survivors: the final

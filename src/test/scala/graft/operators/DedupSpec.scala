@@ -255,6 +255,57 @@ class DedupSpec extends AnyFunSuite {
     assert(fpDup == Set((4L, 2L, 2L)), s"exact audit drifted: $fpDup")
   }
 
+  test("hash60Str matches the hash60 Column nibble-for-nibble") {
+    val words = Seq("hello", "a", "lorem", "42", "")
+    val colVals = words.toDF("w")
+      .select(TextOps.hash60(col("w"))).as[Long].collect().toSeq
+    val md = java.security.MessageDigest.getInstance("MD5")
+    assert(colVals == words.map(TextOps.hash60Str(md, _)))
+  }
+
+  test("simhashNearDupPairs: exact dups pair at hamming 0 within a block; cross-block dups don't; ball bound enforced") {
+    val d = Seq(
+      (0L, "s1", "the quick brown fox jumps over the lazy dog"),
+      (1L, "s1", "the quick brown fox jumps over the lazy dog"),
+      (2L, "s2", "the quick brown fox jumps over the lazy dog"),
+      (3L, "s1", "an entirely different document about other things"))
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.simhashNearDupPairs(d, "doc_id", "text", "source")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("s1", 0L, 1L, 0L)), s"got $got")
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(d, "doc_id", "text", "source", maxHamming = 4)
+    }
+  }
+
+  test("simhashNearDupIndexed: snapshot probe equals fresh pairs restricted") {
+    val a = "the quick brown fox jumps over the lazy dog"
+    val b = "pack my box with five dozen liquor jugs today"
+    val corpus = Seq(
+      (0L, "s", a), (1L, "s", a), (2L, "s", b),
+      (4L, "s", a), (5L, "s", b), (7L, "s", b))
+      .toDF("doc_id", "source", "text")
+    val base = corpus.filter($"doc_id" < 4)
+    val snap = corpus.filter($"doc_id" >= 4)
+    val path = TmpWorkspaces.pidScoped("graft_shidx_spec_", "incr")
+    Dedup.simhashWriteIndex(base, path.toString, "doc_id", "text", "source")
+    Dedup.simhashAppendIndex(snap, path.toString, "doc_id", "text", "source")
+    val got = Dedup
+      .simhashNearDupIndexed(spark, path.toString, snap, "doc_id", "text",
+        "source")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val fresh = Dedup.simhashNearDupPairs(corpus, "doc_id", "text", "source")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val want = fresh.filter(p => p._2 >= 4 || p._3 >= 4)
+    assert(want.exists(p => p._2 < 4 && p._3 >= 4),
+      "fixture must produce cross base/snapshot pairs")
+    assert(want.exists(p => p._2 >= 4 && p._3 >= 4),
+      "fixture must produce snapshot-internal pairs")
+    assert(fresh.exists(p => p._2 < 4 && p._3 < 4),
+      "fixture must have a base-base pair the incremental run skips")
+    assert(got == want, s"incremental drifted:\n$got\nvs\n$want")
+  }
+
   test("clusterRepresentatives keeps best-quality doc per component, singletons survive") {
     val corpus = Seq(
       (0L, 10L), (1L, 30L), (2L, 20L), // component {0,1,2} via pairs
