@@ -457,6 +457,96 @@ object TextAnalysis {
       spark.read.parquet(s"$path/cb").localCheckpoint(),
       score, idCol, textCol, nllThreshold)
 
+  /** Drift audit of a WRITTEN bigram model ([[bigramWriteModel]])
+    * against a new snapshot — the model's staleness signal, the
+    * lexical-model member of the audit family (`bm25IndexStats`' df
+    * drift, `ivfPqAuditIndex`): per source, how much of the
+    * snapshot's bigram mass the model has never seen. `unseen_big`
+    * counts occurrences whose (w1,w2) is absent from the model (they
+    * score through smoothing — fine in isolation, but a RATE trending
+    * up means the corpus moved and NLL scores are drifting toward the
+    * 1/(cl+V) floor); `unseen_ctx` counts occurrences whose CONTEXT
+    * w1 the model never saw at all (the stronger signal — these score
+    * the flat 1/V). A standing pipeline retrains the model when these
+    * rates cross its threshold; the audit itself is one snapshot
+    * bigram pass + two model-sized left joins, never a base-corpus
+    * read.
+    */
+  def bigramModelAudit(spark: org.apache.spark.sql.SparkSession,
+      path: String, score: DataFrame,
+      idCol: String, textCol: String, sourceCol: String): DataFrame = {
+    val cb = spark.read.parquet(s"$path/cb").localCheckpoint()
+    val cl = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cl"))
+    score
+      .filter(col(sourceCol).isNotNull)
+      .select(col(sourceCol).as("source"),
+        TextOps.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("source"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("b"))
+      .select(col("source"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("source"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("btf"))
+      .join(cb.select(col("w1"), col("w2"), lit(1).as("in_cb")),
+        Seq("w1", "w2"), "left")
+      .join(cl.select(col("w1"), lit(1).as("in_cl")), Seq("w1"), "left")
+      .groupBy(col("source"))
+      .agg(sum(col("btf")).as("n_big"),
+        sum(when(col("in_cb").isNull, col("btf")).otherwise(lit(0L)))
+          .as("unseen_big"),
+        sum(when(col("in_cl").isNull, col("btf")).otherwise(lit(0L)))
+          .as("unseen_ctx"))
+      .select(col("source"), col("n_big"), col("unseen_big"),
+        round(col("unseen_big") * lit(1.0) / col("n_big"), 6)
+          .as("unseen_big_rate"),
+        col("unseen_ctx"),
+        round(col("unseen_ctx") * lit(1.0) / col("n_big"), 6)
+          .as("unseen_ctx_rate"))
+  }
+
+  /** DuckDB twin of [[bigramModelAudit]]: full statement over
+    * `trainRel` (the model's training corpus — the audit never reads
+    * it at serve time, but the oracle rebuilds cb from it) and
+    * `scoreRel`, ordered by source.
+    */
+  def bigramModelAuditSql(trainRel: String, scoreRel: String,
+      idCol: String, textCol: String, sourceCol: String): String =
+    s"""
+      WITH tat AS (SELECT $idCol AS doc_id, ${TextOps.tokensSql(textCol)} AS toks
+              FROM $trainRel),
+      tabi AS (SELECT doc_id, toks[j] AS w1, toks[j + 1] AS w2
+               FROM (SELECT doc_id, toks,
+                            unnest(generate_series(1, len(toks) - 1)) AS j
+                     FROM tat WHERE len(toks) >= 2) x),
+      tacb AS (SELECT w1, w2, COUNT(*) AS cb FROM tabi GROUP BY 1, 2),
+      tacl AS (SELECT w1, SUM(cb) AS cl FROM tacb GROUP BY 1),
+      sat AS (SELECT $sourceCol AS source, ${TextOps.tokensSql(textCol)} AS toks
+              FROM $scoreRel WHERE $sourceCol IS NOT NULL),
+      sabi AS (SELECT source, toks[j] AS w1, toks[j + 1] AS w2
+               FROM (SELECT source, toks,
+                            unnest(generate_series(1, len(toks) - 1)) AS j
+                     FROM sat WHERE len(toks) >= 2) x),
+      sabtf AS (SELECT source, w1, w2, COUNT(*) AS btf
+                FROM sabi GROUP BY 1, 2, 3),
+      saj AS (SELECT b.source, b.btf,
+                     (c.w1 IS NULL) AS no_cb, (l.w1 IS NULL) AS no_cl
+              FROM sabtf b
+              LEFT JOIN tacb c ON b.w1 = c.w1 AND b.w2 = c.w2
+              LEFT JOIN tacl l ON b.w1 = l.w1),
+      sagg AS (SELECT source, SUM(btf) AS n_big,
+                      SUM(CASE WHEN no_cb THEN btf ELSE 0 END) AS unseen_big,
+                      SUM(CASE WHEN no_cl THEN btf ELSE 0 END) AS unseen_ctx
+               FROM saj GROUP BY 1)
+      SELECT source, CAST(n_big AS BIGINT) AS n_big,
+             CAST(unseen_big AS BIGINT) AS unseen_big,
+             round(unseen_big * 1.0 / n_big, 6) AS unseen_big_rate,
+             CAST(unseen_ctx AS BIGINT) AS unseen_ctx,
+             round(unseen_ctx * 1.0 / n_big, 6) AS unseen_ctx_rate
+      FROM sagg
+      ORDER BY source"""
+
   /** DuckDB twin of [[bigramNllApply]] as a WITH-clause body: defines
     * `bnlla` = (doc_id, n_big, nll, kept) scoring `scoreRel` against
     * the model trained on `trainRel`. Same left-join + COALESCE-to-0

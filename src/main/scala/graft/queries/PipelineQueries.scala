@@ -2512,6 +2512,32 @@ object PipelineQueries {
     },
     Some(simhashPairsOracleSql("doc_a % 4 = 0 OR doc_b % 4 = 0")))
 
+  /** Drift audit of the q166 standing bigram model
+    * ([[graft.operators.TextAnalysis.bigramModelAudit]]): per source,
+    * the share of a new snapshot's bigram mass the written model has
+    * never seen — unseen (w1,w2) pairs score through smoothing, unseen
+    * CONTEXTS score the flat 1/V floor, and a rising rate is the
+    * model's retrain signal (the lexical-model member of the audit
+    * family: q145/q151 vector, q162 BM25 df-drift). One snapshot pass
+    * + two model-sized left joins; the base corpus is never read.
+    */
+  val q169BigramDrift: QueryDef = QueryDef(
+    "q169_bigram_drift",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val lmPath = graft.operators.TmpWorkspaces
+        .pidScoped("graft_bigram_q169_", dir)
+      TextAnalysis.bigramWriteModel(docs.filter(col("doc_id") % 3 =!= 0),
+        lmPath.toString, "doc_id", "text")
+      TextAnalysis.bigramModelAudit(s, lmPath.toString,
+          docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", "source")
+        .orderBy(col("source"))
+    },
+    Some(TextAnalysis.bigramModelAuditSql(
+      "(SELECT * FROM documents WHERE doc_id % 3 <> 0)",
+      "(SELECT * FROM documents WHERE doc_id % 3 = 0)",
+      "doc_id", "text", "source")))
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
@@ -2526,5 +2552,6 @@ object PipelineQueries {
     q156Bm25Repair, q157BpeIds, q158CurationV5, q159MinhashIncremental,
     q160ExactIncremental, q161ContainmentIncremental, q162Bm25Stats,
     q163RetrievalStack, q164BpeTokenizerIndex, q165BigramApply,
-    q166CurationV6, q167SimhashPairs, q168SimhashIncremental)
+    q166CurationV6, q167SimhashPairs, q168SimhashIncremental,
+    q169BigramDrift)
 }

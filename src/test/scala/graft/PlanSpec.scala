@@ -730,6 +730,20 @@ class PlanSpec extends AnyFunSuite {
       s"nothing may cross-join:\n$p")
   }
 
+  test("q169: the model drift audit reads one snapshot scan + the materialized model — no base corpus") {
+    val p = plan("q169_bigram_drift")
+    // model cb materializes from its written file (localCheckpoint);
+    // cl derives from it; the snapshot is the only parquet scan —
+    // auditing must never re-read the training corpus
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"only the snapshot may scan parquet:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"the model frame must be the materialized input:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "snapshot bigram counts must map-side combine")
+    assert(!p.contains("CartesianProduct"), "no unbroadcast cross product")
+  }
+
   test("q158: flagship v5 packs checkpointed counts — zero parquet scans, one shard window") {
     val p = plan("q158_curation_v5")
     // all four stages compose off materialized survivors: the final

@@ -64,6 +64,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fromModel == inSession)
   }
 
+  test("bigramModelAudit: unseen-bigram and unseen-context mass per source, hand-computed") {
+    val train = Seq(1L -> "a b", 2L -> "a b a").toDF("doc_id", "text")
+    val path = TmpWorkspaces.pidScoped("graft_bigram_spec_", "audit")
+    TextAnalysis.bigramWriteModel(train, path.toString, "doc_id", "text")
+    // model: cb = {(a,b), (b,a)}; contexts = {a, b}
+    val score = Seq(
+      (10L, "s1", "b a c"),   // (b,a) seen; (a,c) unseen pair, seen ctx
+      (11L, "s1", "z q"),     // (z,q) unseen pair AND unseen ctx
+      (12L, "s2", "a b a b")) // (a,b)x2, (b,a): all seen
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.bigramModelAudit(spark, path.toString, score,
+        "doc_id", "text", "source")
+      .as[(String, Long, Long, Double, Long, Double)]
+      .collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      ("s1", 3L, 2L, 0.666667, 1L, 0.333333),
+      ("s2", 3L, 0L, 0.0, 0L, 0.0)))
+  }
+
   test("q165's base-trained cutoff keeps both classes populated on the fixture") {
     // same tripwire as q150's: the shipped constant is calibrated on
     // the SELF-scored corpus; this asserts it still splits the
