@@ -270,13 +270,8 @@ object Curation {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     require(shardHexChars >= 1 && shardHexChars <= 8,
       s"shardHexChars must be in [1, 8], got $shardHexChars")
-    val w = Window.partitionBy(col("shard")).orderBy(col("__key"), col(idCol))
-    df.withColumn("__key", md5(col(idCol).cast("string")))
-      .withColumn("shard", substring(col("__key"), 1, shardHexChars))
-      .withColumn("__n", col(nCol).cast("long"))
-      // exclusive end of this doc's slot (tokens + its EOS) in the shard stream
-      .withColumn("__end", sum(col("__n") + lit(1L)).over(w))
-      .withColumn("__start", col("__end") - (col("__n") + lit(1L)))
+    packOffsets(df.withColumn("__n", col(nCol).cast("long")),
+        idCol, shardHexChars)
       .withColumn("seq_idx", explode(sequence(
         expr(s"__start div $seqLen"),
         expr(s"(__start + __n - 1) div $seqLen"))))
@@ -285,5 +280,61 @@ object Curation {
           - greatest(col("__start"), col("seq_idx") * lit(seqLen.toLong)))
       .select(col(idCol), col("shard"), col("seq_idx").cast("long").as("seq_idx"),
         col("n_toks_in_seq").cast("long").as("n_toks_in_seq"))
+  }
+
+  /** The shared packing-offset window: expects a `__n` long column;
+    * adds `shard` and `__start` (this doc's slot start — tokens + one
+    * EOS — in its shard stream, md5-then-id order). Extracted so
+    * [[packSequencesByCount]] (span coordinates) and [[packTokenIds]]
+    * (materialized content) can never disagree on placement.
+    */
+  private def packOffsets(df: DataFrame, idCol: String,
+      shardHexChars: Int): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("__key"), col(idCol))
+    df.withColumn("__key", md5(col(idCol).cast("string")))
+      .withColumn("shard", substring(col("__key"), 1, shardHexChars))
+      // exclusive end of this doc's slot (tokens + its EOS) in the shard stream
+      .withColumn("__end", sum(col("__n") + lit(1L)).over(w))
+      .withColumn("__start", col("__end") - (col("__n") + lit(1L)))
+  }
+
+  /** Packed sequences MATERIALIZED — the literal training artifact:
+    * every token id of every document placed at its (shard, seq_idx,
+    * pos_in_seq) coordinate, with one `eosId` slot closing each
+    * document (GPT-style concat-and-cut; callers pass the vocabulary
+    * size as the EOS id — the first id no real subword uses).
+    * [[packSequencesByCount]] answers "which sequences does this doc
+    * overlap"; this emits the sequences' CONTENT, which is what the
+    * data loader reads. Input is an `idsCol` ARRAY<LONG> frame
+    * ([[Bpe.encodeIds]]'s shape); empty documents emit only their EOS.
+    *
+    * 100 TB posture: one shard-keyed window for offsets (the
+    * [[packSequences]] parallelism notes apply verbatim), then a
+    * narrow posexplode — output rows = total tokens, the artifact's
+    * intrinsic size; nothing joins, nothing re-reads the corpus.
+    */
+  def packTokenIds(ids: DataFrame, idCol: String, idsCol: String,
+      seqLen: Int, eosId: Long, shardHexChars: Int = 2): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    require(shardHexChars >= 1 && shardHexChars <= 8,
+      s"shardHexChars must be in [1, 8], got $shardHexChars")
+    val offs = packOffsets(
+        ids.withColumn("__n", size(col(idsCol)).cast("long")),
+        idCol, shardHexChars)
+      .select(col(idCol), col("shard"), col("__start"), col("__n"),
+        col(idsCol))
+    val tok = offs
+      .select(col(idCol), col("shard"), col("__start"),
+        posexplode(col(idsCol)).as(Seq("__i", "token_id")))
+      .select(col(idCol), col("shard"), col("__start"),
+        col("__i").cast("long").as("__i"), col("token_id"))
+    val eos = offs.select(col(idCol), col("shard"), col("__start"),
+      col("__n").as("__i"), lit(eosId).as("token_id"))
+    tok.unionByName(eos)
+      .withColumn("__gpos", col("__start") + col("__i"))
+      .select(col("shard"),
+        expr(s"__gpos div $seqLen").cast("long").as("seq_idx"),
+        (col("__gpos") % seqLen).cast("long").as("pos_in_seq"),
+        col("token_id"), col(idCol))
   }
 }

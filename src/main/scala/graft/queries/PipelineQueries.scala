@@ -2538,6 +2538,58 @@ object PipelineQueries {
       "(SELECT * FROM documents WHERE doc_id % 3 = 0)",
       "doc_id", "text", "source")))
 
+  /** Packed sequences MATERIALIZED ([[graft.operators.Curation
+    * .packTokenIds]]): the q157 token-id sequences placed at their
+    * (shard, seq_idx, pos_in_seq) training-sequence coordinates with
+    * an EOS id (= vocabulary size) closing each document — the
+    * literal artifact a pretraining data loader reads, where q131/
+    * q158 stop at span coordinates. The oracle composes the FULL
+    * chain: 6-merge training replay → vocabulary numbering → per-doc
+    * id sequences → the packing offset window → per-token placement —
+    * a drift in any stage moves a token's coordinate and hash-fails.
+    */
+  val q170PackedIds: QueryDef = QueryDef(
+    "q170_packed_ids",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val wf = Bpe.wordFreq(docs, "text").localCheckpoint()
+      val ms = Bpe.trainMergesFromWordFreq(wf, nMerges = 6)
+      val v = Bpe.vocabFromWordFreq(wf, ms)
+      val ids = Bpe.encodeIds(docs.filter(col("doc_id") < 40),
+          "doc_id", "text", ms, v)
+        .localCheckpoint()
+      Curation.packTokenIds(ids, "doc_id", "token_ids", seqLen = 256,
+          eosId = v.size.toLong)
+        .orderBy(col("shard"), col("seq_idx"), col("pos_in_seq"))
+    },
+    Some(s"""
+      WITH ${Bpe.trainOracleCtes("documents", "text", 6)},
+      ${Bpe.vocabOracleCtes(6)},
+      ${Bpe.encodeIdsOracleCtes(
+        "(SELECT * FROM documents WHERE doc_id < 40)", "doc_id", "text", 6)},
+      idn AS (SELECT d.doc_id, COALESCE(c.n, 0) AS n
+              FROM (SELECT doc_id FROM documents WHERE doc_id < 40) d
+              LEFT JOIN (SELECT doc_id, COUNT(*) AS n
+                         FROM ids GROUP BY 1) c USING (doc_id)),
+      ipo AS (SELECT doc_id,
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS shard, n,
+                     CAST(SUM(n + 1) OVER (
+                         PARTITION BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                       - (n + 1) AS BIGINT) AS s
+              FROM idn),
+      tokrows AS (SELECT doc_id, pos, token_id FROM ids
+                  UNION ALL
+                  SELECT doc_id, n AS pos,
+                         (SELECT COUNT(*) FROM vocab) AS token_id
+                  FROM ipo)
+      SELECT o.shard, CAST((o.s + t.pos) // 256 AS BIGINT) AS seq_idx,
+             CAST((o.s + t.pos) % 256 AS BIGINT) AS pos_in_seq,
+             CAST(t.token_id AS BIGINT) AS token_id, t.doc_id
+      FROM tokrows t JOIN ipo o USING (doc_id)
+      ORDER BY shard, seq_idx, pos_in_seq
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
@@ -2553,5 +2605,5 @@ object PipelineQueries {
     q160ExactIncremental, q161ContainmentIncremental, q162Bm25Stats,
     q163RetrievalStack, q164BpeTokenizerIndex, q165BigramApply,
     q166CurationV6, q167SimhashPairs, q168SimhashIncremental,
-    q169BigramDrift)
+    q169BigramDrift, q170PackedIds)
 }

@@ -744,6 +744,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "no unbroadcast cross product")
   }
 
+  test("q170: materialized packing reads checkpointed ids — one offset window + posexplode, no joins") {
+    val p = plan("q170_packed_ids")
+    // encode-to-ids materializes (localCheckpoint); the packer is the
+    // shard offset window + a narrow posexplode/union — the corpus
+    // and the vocabulary never reappear in the final plan
+    assert(!p.contains("FileScan parquet"),
+      s"packing must read the checkpointed id arrays:\n$p")
+    assert(p.contains("Scan ExistingRDD"), "materialized id frame expected")
+    assert(p.contains("Window"), "the packing offset window expected")
+    assert(p.contains("Generate posexplode"), "token rows come from posexplode")
+    assert(p.contains("Union"), "EOS slots union in, they don't join")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"nothing may join:\n$p")
+  }
+
   test("q158: flagship v5 packs checkpointed counts — zero parquet scans, one shard window") {
     val p = plan("q158_curation_v5")
     // all four stages compose off materialized survivors: the final

@@ -65,6 +65,44 @@ class CurationSpec extends AnyFunSuite {
     assert(out.filter(_._1 == 2L) == Seq((2L, 0L, 2L, "only two")))
   }
 
+  test("packTokenIds places tokens then the EOS slot; empty docs emit only EOS") {
+    // md5("1")/md5("2")/md5("3") start c4/c8/ec — three independent
+    // shard streams, so offsets are per-doc and hand-checkable
+    val ids = Seq(
+      (1L, Seq(5L, 6L, 7L)),
+      (2L, Seq.empty[Long]),
+      (3L, Seq(8L))).toDF("doc_id", "token_ids")
+    val got = Curation
+      .packTokenIds(ids, "doc_id", "token_ids", seqLen = 4, eosId = 99L)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("c4", 0L, 0L, 5L, 1L), ("c4", 0L, 1L, 6L, 1L),
+      ("c4", 0L, 2L, 7L, 1L), ("c4", 0L, 3L, 99L, 1L),
+      ("c8", 0L, 0L, 99L, 2L),
+      ("ec", 0L, 0L, 8L, 3L), ("ec", 0L, 1L, 99L, 3L)))
+  }
+
+  test("packTokenIds content agrees with packSequencesByCount span coordinates") {
+    val ids = (0L until 60L).map(i => (i, (0L to (i % 7)).toSeq))
+      .toDF("doc_id", "token_ids")
+    val content = Curation
+      .packTokenIds(ids, "doc_id", "token_ids", seqLen = 4, eosId = 999L)
+    val spans = Curation.packSequencesByCount(
+      ids.withColumn("n", size(col("token_ids"))), "doc_id", "n", seqLen = 4)
+    val fromContent = content.filter(col("token_id") =!= 999L)
+      .groupBy(col("doc_id"), col("shard"), col("seq_idx"))
+      .agg(count(lit(1)).as("n"))
+      .as[(Long, String, Long, Long)].collect().toSet
+    val fromSpans = spans
+      .select(col("doc_id"), col("shard"), col("seq_idx"),
+        col("n_toks_in_seq"))
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(fromContent == fromSpans,
+      "materialized tokens must fill exactly the span coordinates")
+    assert(content.filter(col("token_id") === 999L).count() == 60L,
+      "exactly one EOS per document")
+  }
+
   test("redactPii replaces URLs before emails and masks long digit runs") {
     val rows = Seq(
       // the email inside the URL is consumed by the URL mask
