@@ -2590,6 +2590,54 @@ object PipelineQueries {
       ORDER BY shard, seq_idx, pos_in_seq
     """))
 
+  /** STREAMING day-2 ingest ([[graft.streaming.IndexIngest]]): the
+    * snapshot arrives as a Structured Streaming file source in two
+    * single-file micro-batches (`maxFilesPerTrigger = 1`), each batch
+    * appending one generation to the written fingerprint index via
+    * `foreachBatch` — the standing pipeline's ingest loop as an actual
+    * streaming sink. The final standing probe
+    * ([[graft.operators.Dedup.exactClustersIndexed]]) must then equal
+    * the fresh whole-corpus oracle restricted to snapshot-touched
+    * clusters — batch boundaries CANNOT move the result, because
+    * generations partition the corpus and the probe reads their union
+    * (the q160 semantics, delivered incrementally).
+    */
+  val q171StreamingIngest: QueryDef = QueryDef(
+    "q171_streaming_ingest",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val idxPath = graft.operators.TmpWorkspaces
+        .pidScoped("graft_fpidx_q171_", dir)
+      Dedup.exactWriteIndex(docs.filter(col("doc_id") % 5 =!= 1),
+        idxPath.toString, "doc_id", "text")
+      val snapshot = docs.filter(col("doc_id") % 5 === 1)
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      val inPath = graft.operators.TmpWorkspaces
+        .pidScoped("graft_ingest_in_q171_", dir)
+      // two single-file chunks → two micro-batches (the spec drives a
+      // 3-batch MemoryStream; the gate needs multi-batch, not many)
+      (0 until 2).foreach { c =>
+        snapshot.filter(col("doc_id") % 2 === c).coalesce(1)
+          .write.mode("append").parquet(inPath.toString)
+      }
+      graft.streaming.IndexIngest.ingestExactFingerprints(
+        s.readStream.schema(snapshot.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inPath.toString),
+        idxPath.toString, "doc_id", "text")
+      Dedup.exactClustersIndexed(s, idxPath.toString, snapshot,
+          "doc_id", "text")
+        .orderBy(col("fingerprint"))
+    },
+    Some(s"""
+      WITH fp AS (SELECT doc_id, md5(${TextOps.normalizeSql("text")}) AS fingerprint
+                  FROM documents)
+      SELECT fingerprint, MIN(doc_id) AS kept_id, COUNT(*) AS cluster_size
+      FROM fp
+      GROUP BY 1
+      HAVING COUNT(CASE WHEN doc_id % 5 = 1 THEN 1 END) > 0
+      ORDER BY fingerprint
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
@@ -2605,5 +2653,5 @@ object PipelineQueries {
     q160ExactIncremental, q161ContainmentIncremental, q162Bm25Stats,
     q163RetrievalStack, q164BpeTokenizerIndex, q165BigramApply,
     q166CurationV6, q167SimhashPairs, q168SimhashIncremental,
-    q169BigramDrift, q170PackedIds)
+    q169BigramDrift, q170PackedIds, q171StreamingIngest)
 }

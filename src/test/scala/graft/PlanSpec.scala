@@ -643,6 +643,16 @@ class PlanSpec extends AnyFunSuite {
       s"nothing corpus-sized may join:\n$p")
   }
 
+  test("q171: the standing probe after streaming ingest keeps q160's pruned-probe shape") {
+    val p = plan("q171_streaming_ingest")
+    assert("PartitionFilters: \\[[^\\]]*shard".r.findFirstIn(p).isDefined,
+      s"snapshot fingerprint shards must prune the index scan:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "snapshot fingerprints must broadcast-semi-join before the agg")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"nothing corpus-sized may join:\n$p")
+  }
+
   test("q157: BPE id emission is one pruned corpus scan — no join, no pre-sort shuffle") {
     val p = plan("q157_bpe_ids")
     // training/vocab happen at build time (driver collects); the final

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import graft.operators.{Dedup, TmpWorkspaces}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IndexIngestSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("multi-batch streaming ingest appends clean generations; standing probe equals the batch run") {
+    val a = "the quick brown fox jumps over the lazy dog"
+    val b = "pack my box with five dozen liquor jugs today"
+    val base = Seq((0L, a), (1L, b)).toDF("doc_id", "text")
+    val idx = TmpWorkspaces.pidScoped("graft_ingest_spec_", "multi")
+    Dedup.exactWriteIndex(base, idx.toString, "doc_id", "text")
+
+    // three EXPLICIT micro-batches: drive processAllAvailable between
+    // adds so each chunk is its own generation append
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = IndexIngest.start(
+      in.toDS().toDF("doc_id", "text"), idx.toString, "doc_id", "text")
+    try {
+      Seq(Seq(4L -> a), Seq(5L -> b, 6L -> "something else entirely new"),
+          Seq(7L -> a)).foreach { chunk =>
+        in.addData(chunk)
+        q.processAllAvailable()
+      }
+      assert(q.recentProgress.count(_.numInputRows > 0) == 3,
+        "each add must arrive as its own micro-batch")
+    } finally q.stop()
+
+    // replayed-append damage did NOT occur: the audit is empty
+    assert(Dedup.exactAuditIndex(spark, idx.toString).isEmpty)
+
+    val snap = Seq((4L, a), (5L, b), (6L, "something else entirely new"),
+      (7L, a)).toDF("doc_id", "text")
+    val got = Dedup.exactClustersIndexed(spark, idx.toString, snap,
+        "doc_id", "text")
+      .select($"kept_id", $"cluster_size")
+      .as[(Long, Long)].collect().toSet
+    // cluster of `a`: {0, 4, 7} -> kept 0, size 3; `b`: {1, 5} -> kept 1,
+    // size 2; the new text is its own singleton kept at 6
+    assert(got == Set((0L, 3L), (1L, 2L), (6L, 1L)), s"got $got")
+  }
+}
