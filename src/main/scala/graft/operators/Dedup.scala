@@ -1039,8 +1039,21 @@ object Dedup {
   def blockDedup(df: DataFrame, idCol: String, textCol: String,
       blockTokens: Int): DataFrame = {
     require(blockTokens > 0, "blockTokens must be positive")
-    val blocks = df
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+    // global keep-first over the 128-bit fingerprint: only the compact
+    // (doc_id, block_idx) pair decides the winner, deterministically
+    val w = Window.partitionBy(md5(col("block")))
+      .orderBy(col("doc_id"), col("block_idx"))
+    blockRollup(docBlocks(df, idCol, textCol, blockTokens)
+      .withColumn("__keep", row_number().over(w) === 1))
+  }
+
+  /** The fixed-size token blocks of every document: (doc_id,
+    * block_idx, block) — [[blockDedup]]'s explode, shared with the
+    * written-index path.
+    */
+  private def docBlocks(df: DataFrame, idCol: String, textCol: String,
+      blockTokens: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
       .withColumn("__start",
         explode(sequence(lit(1), greatest(size(col("__toks")), lit(1)),
           lit(blockTokens))))
@@ -1049,12 +1062,14 @@ object Dedup {
       .withColumn("block",
         concat_ws(" ", slice(col("__toks"), col("__start"), lit(blockTokens))))
       .select(col("doc_id"), col("block_idx"), col("block"))
-    // global keep-first over the 128-bit fingerprint: only the compact
-    // (doc_id, block_idx) pair decides the winner, deterministically
-    val w = Window.partitionBy(md5(col("block")))
-      .orderBy(col("doc_id"), col("block_idx"))
-    blocks
-      .withColumn("__keep", row_number().over(w) === 1)
+
+  /** Per-document rollup of a (doc_id, block_idx, block, __keep)
+    * frame: counts + the reassembled surviving text — shared by
+    * [[blockDedup]] and [[blockDedupIndexed]] so the output contract
+    * cannot drift.
+    */
+  private def blockRollup(flagged: DataFrame): DataFrame =
+    flagged
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_blocks"),
@@ -1068,6 +1083,76 @@ object Dedup {
               when(col("__keep"), struct(col("block_idx"), col("block"))))),
             s => s.getField("block")),
           " ").as("text_deduped"))
+
+  /** Materializes the block-fingerprint index as a WRITTEN,
+    * shard-pruned layout — the SUB-DOCUMENT member of the
+    * incremental-dedup family (whole-document: exact q160, MinHash
+    * q159, containment q161, SimHash q168): `blocks/` = (doc_id,
+    * block_idx, fingerprint) PARTITIONED BY the fingerprint's first
+    * 2 hex chars. The block TEXT stays OUT of the index — keep-first
+    * only needs the winner's coordinates, so the layout is
+    * md5-per-block sized whatever the corpus, and both columns are
+    * per-document facts (append-stable).
+    */
+  def blockWriteIndex(df: DataFrame, path: String, idCol: String,
+      textCol: String, blockTokens: Int): Unit =
+    writeBlockGeneration(df, path, idCol, textCol, blockTokens, "overwrite")
+
+  /** Appends a NEW-DOCUMENT snapshot's block fingerprints —
+    * delta-sized, zero base reads; the usual new-ids / exactly-once
+    * append contract.
+    */
+  def blockAppendIndex(df: DataFrame, path: String, idCol: String,
+      textCol: String, blockTokens: Int): Unit =
+    writeBlockGeneration(df, path, idCol, textCol, blockTokens, "append")
+
+  private def writeBlockGeneration(df: DataFrame, path: String,
+      idCol: String, textCol: String, blockTokens: Int,
+      mode: String): Unit =
+    docBlocks(df, idCol, textCol, blockTokens)
+      .select(col("doc_id"), col("block_idx"),
+        md5(col("block")).as("fingerprint"))
+      .withColumn("shard", substring(col("fingerprint"), 1, 2))
+      .repartition(col("shard"))
+      .write.mode(mode).partitionBy("shard").parquet(s"$path/blocks")
+
+  /** Incremental block-level exact dedup: [[blockDedup]]'s outputs
+    * for a new snapshot, computed against a [[blockWriteIndex]]
+    * layout AFTER the snapshot was appended — "has this paragraph
+    * appeared anywhere in the corpus history" as a standing day-2
+    * operation (the Lee et al. exact-substring shape a crawl
+    * pipeline actually runs per snapshot: new boilerplate dedups
+    * against every previous generation without re-reading any text).
+    * A snapshot block survives iff its (doc_id, block_idx) is the
+    * GLOBAL minimum for its fingerprint across base ∪ snapshot —
+    * exactly the fresh q123 rule restricted to snapshot documents.
+    *
+    * 100 TB posture: the probe prunes to the snapshot's fingerprint
+    * shards (≤256 by construction), semi-joins the broadcast
+    * snapshot fingerprints, and aggregates winners per fingerprint
+    * (min over the compact coordinate pair) — the index's text-free
+    * rows are all that is read; reassembly uses the snapshot's own
+    * blocks already in hand.
+    */
+  def blockDedupIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, deltaDocs: DataFrame, idCol: String,
+      textCol: String, blockTokens: Int): DataFrame = {
+    val blocks = docBlocks(deltaDocs, idCol, textCol, blockTokens)
+      .withColumn("fingerprint", md5(col("block")))
+      .localCheckpoint()
+    val shards = blocks
+      .select(substring(col("fingerprint"), 1, 2).as("shard"))
+      .distinct().collect().map(_.getString(0))
+    val mins = spark.read.parquet(s"$path/blocks")
+      .filter(col("shard").isin(shards.toSeq: _*))
+      .join(broadcast(blocks.select(col("fingerprint")).distinct()),
+        Seq("fingerprint"), "leftsemi")
+      .groupBy(col("fingerprint"))
+      .agg(min(struct(col("doc_id"), col("block_idx"))).as("m"))
+    blockRollup(blocks.join(mins, Seq("fingerprint"))
+      .withColumn("__keep",
+        col("doc_id") === col("m.doc_id") &&
+          col("block_idx") === col("m.block_idx")))
   }
 
   /** Near-dup cluster collapse, the step AFTER [[connectedComponents]]:

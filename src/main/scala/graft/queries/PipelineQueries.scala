@@ -2638,6 +2638,39 @@ object PipelineQueries {
       ORDER BY fingerprint
     """))
 
+  /** Incremental BLOCK-level exact dedup against the written
+    * block-fingerprint index ([[graft.operators.Dedup
+    * .blockWriteIndex]] / [[graft.operators.Dedup
+    * .blockDedupIndexed]]) — the SUB-DOCUMENT member of the
+    * incremental family (q159/q160/q161/q168 are whole-document):
+    * a new snapshot's paragraphs dedup against every previous
+    * generation's, with the q123 keep-first reassembly semantics and
+    * a text-free index (fingerprint + coordinates only). Oracle: the
+    * fresh whole-corpus q123 replay restricted to snapshot docs.
+    */
+  val q172BlockIncremental: QueryDef = QueryDef(
+    "q172_block_incremental",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_blkidx_q172_", dir)
+      Dedup.blockWriteIndex(docs.filter(col("doc_id") % 4 =!= 2),
+        path.toString, "doc_id", "text", blockTokens = 12)
+      val snapshot = docs.filter(col("doc_id") % 4 === 2)
+      Dedup.blockAppendIndex(snapshot, path.toString, "doc_id", "text",
+        blockTokens = 12)
+      Dedup.blockDedupIndexed(s, path.toString, snapshot, "doc_id",
+          "text", blockTokens = 12)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH ${blockDedupCtesFrom("documents", 12)}
+      SELECT doc_id, n_blocks, n_kept, text_deduped
+      FROM bd
+      WHERE doc_id % 4 = 2
+      ORDER BY doc_id
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
@@ -2653,5 +2686,6 @@ object PipelineQueries {
     q160ExactIncremental, q161ContainmentIncremental, q162Bm25Stats,
     q163RetrievalStack, q164BpeTokenizerIndex, q165BigramApply,
     q166CurationV6, q167SimhashPairs, q168SimhashIncremental,
-    q169BigramDrift, q170PackedIds, q171StreamingIngest)
+    q169BigramDrift, q170PackedIds, q171StreamingIngest,
+    q172BlockIncremental)
 }

@@ -653,6 +653,16 @@ class PlanSpec extends AnyFunSuite {
       s"nothing corpus-sized may join:\n$p")
   }
 
+  test("q172: incremental block dedup probes pruned text-free fingerprints, snapshot broadcasts") {
+    val p = plan("q172_block_incremental")
+    assert("PartitionFilters: \\[[^\\]]*shard".r.findFirstIn(p).isDefined,
+      s"snapshot fingerprint shards must prune the index scan:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "snapshot fingerprints must broadcast-semi-join before the winner agg")
+    assert(p.contains("partial_min"), "winner coordinates must map-side combine")
+    assert(!p.contains("CartesianProduct"), s"nothing may cross-join:\n$p")
+  }
+
   test("q157: BPE id emission is one pruned corpus scan — no join, no pre-sort shuffle") {
     val p = plan("q157_bpe_ids")
     // training/vocab happen at build time (driver collects); the final

@@ -306,6 +306,33 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want, s"incremental drifted:\n$got\nvs\n$want")
   }
 
+  test("blockDedupIndexed: snapshot paragraphs dedup against the corpus history, reassembly intact") {
+    // base doc 0 owns "a b c"; snapshot doc 4 repeats it (block drops)
+    // and adds "x y z" (kept — first globally); snapshot doc 6 then
+    // repeats doc 4's new block (drops — SNAPSHOT-internal keep-first)
+    val corpus = Seq(
+      (0L, "a b c d e f"),
+      (4L, "a b c x y z"),
+      (6L, "x y z")).toDF("doc_id", "text")
+    val base = corpus.filter($"doc_id" < 4)
+    val snap = corpus.filter($"doc_id" >= 4)
+    val path = TmpWorkspaces.pidScoped("graft_blkidx_spec_", "incr")
+    Dedup.blockWriteIndex(base, path.toString, "doc_id", "text", 3)
+    Dedup.blockAppendIndex(snap, path.toString, "doc_id", "text", 3)
+    val got = Dedup
+      .blockDedupIndexed(spark, path.toString, snap, "doc_id", "text", 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (4L, 2L, 1L, "x y z"),
+      (6L, 1L, 0L, "")))
+    // and the indexed path equals fresh whole-corpus blockDedup restricted
+    val fresh = Dedup.blockDedup(corpus, "doc_id", "text", 3)
+      .filter($"doc_id" >= 4).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == fresh)
+  }
+
   test("clusterRepresentatives keeps best-quality doc per component, singletons survive") {
     val corpus = Seq(
       (0L, 10L), (1L, 30L), (2L, 20L), // component {0,1,2} via pairs
