@@ -375,6 +375,13 @@ object TextAnalysis {
     * Quantization and output contract are exactly [[bigramNll]]'s;
     * only `score` docs with ≥ 2 tokens appear.
     *
+    * PRECONDITION: `train` must contain at least one bigram (some doc
+    * with ≥ 2 tokens). An empty model makes V = 0, and a score bigram
+    * with an unseen context would then divide by zero — ln(∞) — which
+    * the two engines do not overflow identically. Every caller trains
+    * on a real corpus slice; a standing pipeline should treat an
+    * empty model file as a build failure, not score with it.
+    *
     * 100 TB posture: ONE bigram explode per frame; the model frames
     * are bigram-vocabulary-sized, joined keyed on (w1,w2)/(w1); V
     * rides a broadcast 1-row frame. Nothing rescans either corpus.
