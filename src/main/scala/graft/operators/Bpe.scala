@@ -105,9 +105,8 @@ object Bpe {
   /** [[trainMerges]] over a PRECOMPUTED (word, cnt) frame — the
     * sharing point when several tokenizer products derive from one
     * corpus scan: q157 materializes ONE `wordFreq` (localCheckpoint)
-    * and feeds it to both training and [[vocabFromWordFreq]], instead
-    * of tokenizing the corpus once per derivation (measured: the
-    * duplicate pass was most of q157's cost at sf1 — the
+    * instead of tokenizing the corpus once per derivation (measured:
+    * the duplicate pass was most of q157's cost at sf1 — the
     * materialize-once rule applied to the tokenizer).
     */
   def trainMergesFromWordFreq(wf: DataFrame, nMerges: Int): Seq[Merge] = {
@@ -169,36 +168,31 @@ object Bpe {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum(col("n")).as("n_bpe"))
 
-  /** The tokenizer's VOCABULARY with stable ids: the corpus's observed
-    * base characters (sorted ascending) take ids 0..B-1, then each
+  /** The full base alphabet of the [[TextOps.normalize]] contract, in
+    * ascending order: every character normalized text can contain.
+    */
+  val BaseAlphabet: Seq[String] =
+    (('0' to '9') ++ ('a' to 'z')).map(_.toString)
+
+  /** The tokenizer's VOCABULARY with stable ids: the FULL
+    * [[BaseAlphabet]] (ids 0..35 — '0'..'9' then 'a'..'z'), then each
     * merge's product symbol in training order — deduped on SURFACE
     * FORM keeping the first occurrence (two merge paths can fuse to
     * the same string, e.g. (a,bc) and (ab,c) → "abc"; a vocabulary
     * maps surface forms to ids, so duplicates collapse exactly as a
-    * HuggingFace-style vocab file would). Deterministic given (corpus,
-    * merges). The driver-side collect is bounded by the
-    * [[TextOps.normalize]] alphabet — at most 36 base characters,
-    * enforced loudly.
+    * HuggingFace-style vocab file would). Deterministic given the
+    * MERGES ALONE — no corpus scan, no observed-character dependence.
+    *
+    * Seeding the whole alphabet (rather than the characters the
+    * training corpus happened to contain) makes [[encodeIds]] TOTAL
+    * over normalized text: any future snapshot's characters are in
+    * `[a-z0-9]` by the normalize contract, so an OOV symbol is
+    * impossible and a day-2 encode job can never crash deep in an
+    * executor on a character the reference corpus lacked.
     */
-  def vocab(df: DataFrame, textCol: String,
-      merges: Seq[Merge]): Seq[(Long, String)] =
-    vocabFromWordFreq(wordFreq(df, textCol), merges)
-
-  /** [[vocab]] over a precomputed (word, cnt) frame (see
-    * [[trainMergesFromWordFreq]] for why sharing it matters).
-    */
-  def vocabFromWordFreq(wf: DataFrame,
-      merges: Seq[Merge]): Seq[(Long, String)] = {
-    val base = wf
-      .select(explode(split(col("word"), "")).as("c"))
-      .filter(col("c") =!= "").distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
-    require(base.size <= 36,
-      s"vocab: ${base.size} base symbols exceed the [a-z0-9] alphabet — " +
-        "the corpus was not normalized with TextOps.normalize")
-    (base ++ merges.map(m => m.lft + m.rgt)).distinct
+  def vocab(merges: Seq[Merge]): Seq[(Long, String)] =
+    (BaseAlphabet ++ merges.map(m => m.lft + m.rgt)).distinct
       .zipWithIndex.map { case (s, i) => (i.toLong, s) }
-  }
 
   /** A [[vocab]] as a (token_id, sym) frame. */
   def vocabDf(spark: SparkSession, v: Seq[(Long, String)]): DataFrame = {
@@ -263,7 +257,16 @@ object Bpe {
             val syms = seq.trim.split("  ")
             var si = 0
             while (si < syms.length) {
-              ids += idBySym(syms(si))
+              // total by construction: single chars are alphabet-seeded
+              // and multi-char symbols only arise from merges, which
+              // vocab() contains — the getOrElse is a loud backstop
+              // against a vocab/merges pair from DIFFERENT tokenizers
+              val sym = syms(si)
+              ids += idBySym.getOrElse(sym, throw new IllegalArgumentException(
+                s"encodeIds: symbol '$sym' (doc $id) is not in the " +
+                  "vocabulary — the merges and vocab are from different " +
+                  "tokenizers (vocab() seeds the full alphabet and every " +
+                  "merge product, so a consistent pair cannot miss)"))
               si += 1
             }
             wi += 1
@@ -425,19 +428,20 @@ object Bpe {
               FROM encn GROUP BY $idCol)"""
 
   /** Vocabulary replay as a WITH-clause body appended AFTER
-    * [[trainOracleCtes]] (`wc` and the `b{i}` winners must be in
-    * scope): defines `vocab` = (sym, token_id) — observed base
-    * characters sorted, then merge products in training order,
-    * surface-form-deduped keeping the first, ids renumbered densely —
-    * exactly [[Bpe.vocab]]'s contract.
+    * [[trainOracleCtes]] (the `b{i}` winners must be in scope):
+    * defines `vocab` = (sym, token_id) — the full 36-char base
+    * alphabet ('0'..'9' then 'a'..'z'), then merge products in
+    * training order, surface-form-deduped keeping the first, ids
+    * renumbered densely — exactly [[Bpe.vocab]]'s contract.
     */
   def vocabOracleCtes(nMerges: Int): String = {
     val mergeRows = (1 to nMerges).map(i =>
       s"SELECT lft || rgt AS sym, 1 AS grp, '' AS bord, $i AS mstep FROM b$i")
     s"""
-      bchars AS (SELECT DISTINCT word[j] AS sym
-                 FROM (SELECT word, unnest(generate_series(1, len(word))) AS j
-                       FROM wc) t),
+      bchars AS (SELECT chr(CAST(c AS INTEGER)) AS sym
+                 FROM (SELECT unnest(generate_series(48, 57)) AS c
+                       UNION ALL
+                       SELECT unnest(generate_series(97, 122))) t),
       vsyms AS (SELECT sym, 0 AS grp, sym AS bord, 0 AS mstep FROM bchars
                 ${mergeRows.map("UNION ALL " + _).mkString("\n                ")}),
       vord AS (SELECT sym, ROW_NUMBER() OVER (ORDER BY grp, bord, mstep) AS rn

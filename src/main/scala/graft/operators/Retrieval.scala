@@ -289,6 +289,15 @@ object Retrieval {
     * append lands bit-identical (doc_id, term, tf, dl, shard) rows —
     * and if (doc_id, term) keys still collide after (payload
     * divergence), compaction REFUSES: that index needs a rebuild.
+    * The refusal also covers divergence that shares NO key: a doc id
+    * re-appended with DIFFERENT text whose terms are disjoint from
+    * the original leaves no (doc_id, term) collision, but its deduped
+    * postings then carry two distinct dl values — and even a
+    * same-length disjoint rewrite fails the per-document invariant
+    * Σtf = dl (a clean index satisfies it by construction; any extra
+    * surviving posting breaks it), so the per-doc consistency check
+    * below catches every divergent re-append, not just term-sharing
+    * ones.
     * `terms/` and `meta/stats` are REDERIVED from the deduped
     * postings (df = posting count per term, n_docs/total = distinct
     * docs and their summed lengths) — vocabulary/doc-keyed aggregates
@@ -311,6 +320,19 @@ object Retrieval {
         s"${divergent.headOption.map(_.get(1))}) has payload-divergent copies " +
         "(same key, different tf/dl) — not append-replay damage; rebuild " +
         "the index instead")
+    // the key check above misses a doc re-appended with DIFFERENT text
+    // sharing no term with the original — per-doc dl uniqueness and the
+    // Σtf = dl invariant catch that class (see the scaladoc)
+    val inconsistent = postings.groupBy(col("doc_id"))
+      .agg(count_distinct(col("dl")).as("n_dl"),
+        sum(col("tf")).as("sum_tf"), first(col("dl")).as("dl"))
+      .filter(col("n_dl") > 1 || col("sum_tf") =!= col("dl"))
+      .limit(1).collect()
+    require(inconsistent.isEmpty,
+      s"bm25CompactIndex: doc ${inconsistent.headOption.map(_.get(0))} has " +
+        "inconsistent postings (multiple distinct dl values, or summed tf " +
+        "not equal to dl) — a doc id was re-appended with different text; " +
+        "not append-replay damage; rebuild the index instead")
     postings
       .repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard")

@@ -1879,9 +1879,9 @@ object PipelineQueries {
   /** BPE tokenizer OUTPUT ([[graft.operators.Bpe.vocab]] /
     * [[graft.operators.Bpe.encodeIds]]): the artifact a pretraining
     * run consumes — per-document TOKEN-ID sequences under a stable
-    * vocabulary (observed base characters sorted, then merge products
-    * in training order, surface-form-deduped). Merges and vocabulary
-    * train on the FULL corpus; the first 40 documents emit their id
+    * vocabulary (the full [a-z0-9] alphabet, then merge products in
+    * training order, surface-form-deduped). Merges train on the FULL
+    * corpus; the first 40 documents emit their id
     * sequences as (doc_id, pos, token_id) rows. The oracle replays
     * training, the vocabulary numbering, and every document's
     * flattened symbol order — a wrong merge, a vocab id off by one,
@@ -1891,12 +1891,11 @@ object PipelineQueries {
     "q157_bpe_ids",
     (s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      // ONE corpus tokenize feeds both training and the vocabulary —
-      // the materialize-once rule (a second wordFreq pass was most of
-      // this query's sf1 cost before the share)
+      // ONE corpus tokenize feeds training (the materialize-once rule);
+      // the vocabulary derives from the merges alone (alphabet-seeded)
       val wf = Bpe.wordFreq(docs, "text").localCheckpoint()
       val ms = Bpe.trainMergesFromWordFreq(wf, nMerges = 6)
-      val v = Bpe.vocabFromWordFreq(wf, ms)
+      val v = Bpe.vocab(ms)
       Bpe.encodeIds(docs.filter(col("doc_id") < 40), "doc_id", "text", ms, v)
         .select(col("doc_id"),
           posexplode(col("token_ids")).as(Seq("pos", "token_id")))
@@ -2267,7 +2266,7 @@ object PipelineQueries {
       val docs = Tables.load(s, dir, "documents")
       val wf = Bpe.wordFreq(docs, "text").localCheckpoint()
       val ms = Bpe.trainMergesFromWordFreq(wf, nMerges = 6)
-      val v = Bpe.vocabFromWordFreq(wf, ms)
+      val v = Bpe.vocab(ms)
       val path = graft.operators.TmpWorkspaces
         .pidScoped("graft_bpetok_q164_", dir)
       Bpe.writeTokenizer(s, path.toString, ms, v)
@@ -2361,8 +2360,7 @@ object PipelineQueries {
       val ms = Bpe.trainMergesFromWordFreq(wf, nMerges = 4)
       val tokPath = graft.operators.TmpWorkspaces
         .pidScoped("graft_bpetok_q166_", dir)
-      Bpe.writeTokenizer(s, tokPath.toString, ms,
-        Bpe.vocabFromWordFreq(wf, ms))
+      Bpe.writeTokenizer(s, tokPath.toString, ms, Bpe.vocab(ms))
       // ---- day-2: snapshot + written artifacts only ----
       val snapshot = docs.filter(col("doc_id") % 3 === 0)
         .select(col("doc_id"), col("text")).localCheckpoint()
@@ -2554,7 +2552,7 @@ object PipelineQueries {
       val docs = Tables.load(s, dir, "documents")
       val wf = Bpe.wordFreq(docs, "text").localCheckpoint()
       val ms = Bpe.trainMergesFromWordFreq(wf, nMerges = 6)
-      val v = Bpe.vocabFromWordFreq(wf, ms)
+      val v = Bpe.vocab(ms)
       val ids = Bpe.encodeIds(docs.filter(col("doc_id") < 40),
           "doc_id", "text", ms, v)
         .localCheckpoint()

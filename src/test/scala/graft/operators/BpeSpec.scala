@@ -53,35 +53,55 @@ class BpeSpec extends AnyFunSuite {
     assert(counts(Seq(1L -> "alb"), ms) == Map(1L -> ((1L, 2L))))
   }
 
-  test("vocab: sorted base chars, then merge products in order; surface dedup keeps first") {
+  test("vocab: full alphabet first, then merge products in order; surface dedup keeps first") {
     val docs = Seq(1L -> "abab ab b").toDF("doc_id", "text")
     val ms = Bpe.trainMerges(docs, "text", 2)
     // round 1: (a,b)x3; round 2 after rewrite ("ab ab", "ab"): (ab,ab)x1
     assert(ms.map(m => (m.lft, m.rgt)) == Seq("a" -> "b", "ab" -> "ab"))
-    assert(Bpe.vocab(docs, "text", ms) ==
-      Seq(0L -> "a", 1L -> "b", 2L -> "ab", 3L -> "abab"))
+    val v = Bpe.vocab(ms)
+    // ids 0..35 are '0'..'9' then 'a'..'z' REGARDLESS of the corpus —
+    // the alphabet seeding that makes encodeIds total over normalized
+    // text (an unseen base char can never be OOV)
+    assert(v.size == 38)
+    assert(v(0) == ((0L, "0")) && v(9) == ((9L, "9")))
+    assert(v(10) == ((10L, "a")) && v(35) == ((35L, "z")))
+    assert(v(36) == ((36L, "ab")) && v(37) == ((37L, "abab")))
     // two merge paths fusing to the same surface form collapse to the
     // FIRST id — the HuggingFace-style vocab-file contract
     val dup = Seq(Bpe.Merge(1, "a", "b", 9L), Bpe.Merge(2, "a", "b", 5L))
-    assert(Bpe.vocab(docs, "text", dup) ==
-      Seq(0L -> "a", 1L -> "b", 2L -> "ab"))
+    assert(Bpe.vocab(dup).size == 37)
+    assert(Bpe.vocab(dup)(36) == ((36L, "ab")))
   }
 
   test("encodeIds: document-ordered subword ids; empty text emits an empty array") {
     val docs = Seq(1L -> "abab ab b", 2L -> "").toDF("doc_id", "text")
     val ms = Bpe.trainMerges(docs, "text", 2)
-    val v = Bpe.vocab(docs, "text", ms)
+    val v = Bpe.vocab(ms)
     val got = Bpe.encodeIds(docs, "doc_id", "text", ms, v)
       .as[(Long, Long, Seq[Long])].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
-    // doc 1: "abab"->[abab]=3, "ab"->[ab]=2, "b"->[b]=1
-    assert(got == Map(1L -> ((3L, Seq(3L, 2L, 1L))), 2L -> ((0L, Seq()))))
+    // doc 1: "abab"->[abab]=37, "ab"->[ab]=36, "b"->[b]=11
+    assert(got == Map(1L -> ((3L, Seq(37L, 36L, 11L))), 2L -> ((0L, Seq()))))
+  }
+
+  test("encodeIds: base chars ABSENT from the training corpus encode without OOV") {
+    // trained on "ab" only; the encoded snapshot contains x/y/z and
+    // digits the reference corpus never observed — the day-2 shape
+    // that crashed when the vocab held only observed characters
+    val train = Seq(1L -> "ab ab").toDF("doc_id", "text")
+    val ms = Bpe.trainMerges(train, "text", 1)
+    val v = Bpe.vocab(ms)
+    val snapshot = Seq(10L -> "xyz 42 ab").toDF("doc_id", "text")
+    val got = Bpe.encodeIds(snapshot, "doc_id", "text", ms, v)
+      .as[(Long, Long, Seq[Long])].collect().head
+    // x=33 y=34 z=35, '4'=4 '2'=2, "ab"->merged id 36
+    assert(got == ((10L, 6L, Seq(33L, 34L, 35L, 4L, 2L, 36L))))
   }
 
   test("writeTokenizer/loadTokenizer round-trips; encode-from-written equals in-session encode") {
     val docs = Seq(1L -> "abab ab b", 2L -> "aaa ab").toDF("doc_id", "text")
     val ms = Bpe.trainMerges(docs, "text", 3)
-    val v = Bpe.vocab(docs, "text", ms)
+    val v = Bpe.vocab(ms)
     val path = TmpWorkspaces.pidScoped("graft_bpetok_spec_", "roundtrip")
     Bpe.writeTokenizer(spark, path.toString, ms, v)
     val (ms2, v2) = Bpe.loadTokenizer(spark, path.toString)
@@ -99,10 +119,10 @@ class BpeSpec extends AnyFunSuite {
     // merge only (a,l): "albal" -> [al, b, al]; "ba" -> [b, a]
     val docs = Seq(1L -> "albal ba").toDF("doc_id", "text")
     val ms = Seq(Bpe.Merge(1, "a", "l", 1L))
-    val v = Bpe.vocab(docs, "text", ms)   // a=0, b=1, l=2, al=3
-    assert(v == Seq(0L -> "a", 1L -> "b", 2L -> "l", 3L -> "al"))
+    val v = Bpe.vocab(ms)   // a=10, b=11, l=21, al=36
+    assert(v(36) == ((36L, "al")))
     val got = Bpe.encodeIds(docs, "doc_id", "text", ms, v)
       .as[(Long, Long, Seq[Long])].collect().head
-    assert(got == ((1L, 5L, Seq(3L, 1L, 3L, 1L, 0L))))
+    assert(got == ((1L, 5L, Seq(36L, 11L, 36L, 11L, 10L))))
   }
 }

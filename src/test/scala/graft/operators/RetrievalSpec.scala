@@ -134,6 +134,24 @@ class RetrievalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("rebuild"))
   }
 
+  test("bm25CompactIndex refuses a divergent re-append sharing NO term with the original") {
+    val path = TmpWorkspaces.pidScoped("graft_bm25idx_spec_", "disjoint")
+    Retrieval.bm25WriteIndex(corpus, path.toString)
+    // doc 3 ("date date date") re-appended with text whose terms are
+    // DISJOINT from the original: no (doc_id, term) key collides, so
+    // the key-based divergence check cannot see it — the per-doc
+    // dl/Σtf consistency check must
+    Retrieval.bm25AppendIndex(
+      Seq(3L -> "elderberry fig grape").toDF("doc_id", "text"), path.toString)
+    assert(Retrieval.bm25AuditIndex(spark, path.toString).count() == 0,
+      "the key-based audit is blind to disjoint-term divergence by design")
+    val dst = TmpWorkspaces.pidScoped("graft_bm25idx_spec_", "disjointdst")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.bm25CompactIndex(spark, path.toString, dst.toString)
+    }
+    assert(e.getMessage.contains("re-appended with different text"))
+  }
+
   // plain-Scala reference model of bm25TopK: same tokenization, same
   // fixed-point arithmetic (JVM doubles are the same IEEE ops the
   // codegen'd expressions execute), same tie-breaks
