@@ -331,7 +331,8 @@ object Retrieval {
     require(inconsistent.isEmpty,
       s"bm25CompactIndex: doc ${inconsistent.headOption.map(_.get(0))} has " +
         "inconsistent postings (multiple distinct dl values, or summed tf " +
-        "not equal to dl) — a doc id was re-appended with different text; " +
+        "not equal to dl) — a doc id was re-appended with different text, " +
+        "or posting rows were lost/corrupted by partial-write damage; " +
         "not append-replay damage; rebuild the index instead")
     postings
       .repartition(col("shard"))
