@@ -170,4 +170,170 @@ object Clustering {
     assigned.join(removed, Seq(idCol), "left")
       .select(col("cid"), col(idCol), col("rm").isNull.as("kept"))
   }
+
+  // ------------------------------------------------------------------
+  // Written semantic (cluster) index — SemDeDup's day-2 layout
+  // ------------------------------------------------------------------
+
+  /** Materializes the SEMANTIC INDEX: an [[assignL2]] output persisted
+    * parquet PARTITIONED BY the cluster id — the written layout behind
+    * incremental SemDeDup, completing the incremental-dedup family
+    * (exact q160 / minhash q159 / containment q161 / simhash q168 /
+    * block q172) on its embedding side. Rows carry the exact double
+    * vector (`v` — parquet round-trips doubles bit-identically, so
+    * served cosines equal in-session ones), the assignment distance
+    * `d2` (the drift audit's raw material — it is already computed by
+    * [[assignL2]], storing it is free), and a `gen` generation tag
+    * (0 = base build; appends stamp their own — the per-generation
+    * contribution idiom of the BM25/exact layouts).
+    *
+    * 100 TB posture: the corpus pays its assignment scan once at build
+    * time; every day-2 probe ([[semDedupIndexed]]) then reads ONLY the
+    * cluster directories the new snapshot touches via static partition
+    * pruning. Directory fan-out is K — the centroid family is
+    * broadcast-class by the [[Similarity.MaxLiteralCentroids]]
+    * contract, and a SemDeDup K targets E[cluster] = N/K documents,
+    * orders of magnitude above 1, so K stays far below the corpus.
+    * Reference anchor: the partition-pruned serving shape of
+    * `flink-table`'s `supportsPartitionPushDown` sources (SURVEY §2.1);
+    * algorithm: Abbas et al. 2023 (SemDeDup), public.
+    */
+  def semanticWriteIndex(assigned: DataFrame, path: String,
+      idCol: String = "vec_id"): Unit =
+    writeSemGeneration(assigned, path, idCol, gen = 0, mode = "overwrite")
+
+  /** Appends a NEW-SNAPSHOT generation of assignments — delta-sized,
+    * zero base reads. The delta must be assigned against the SAME
+    * FROZEN centroid family as the base build (per-vector assignment
+    * is independent of the rest of the corpus, so
+    * `build(base) ⊎ append(delta) ≡ build(base ∪ delta)` under frozen
+    * centroids — q173 gates that equality); retraining centroids on
+    * the grown corpus is a REBUILD, not an append, and
+    * [[semanticDriftAudit]] is the detector that tells you when it is
+    * due. Same exactly-once append contract as
+    * [[Similarity.ivfAppendIndex]]: a replayed append lands duplicate
+    * member rows that inflate cluster sizes and can double-drop
+    * snapshot ids — run appends under an external exactly-once driver.
+    */
+  def semanticAppendIndex(assignedDelta: DataFrame, path: String,
+      gen: Int, idCol: String = "vec_id"): Unit = {
+    require(gen > 0, s"append generations start at 1 (0 is the base build), got $gen")
+    writeSemGeneration(assignedDelta, path, idCol, gen, mode = "append")
+  }
+
+  private def writeSemGeneration(assigned: DataFrame, path: String,
+      idCol: String, gen: Int, mode: String): Unit =
+    assigned
+      .select(col(idCol), col("v"), col("d2"), lit(gen).as("gen"), col("cid"))
+      .repartition(col("cid"))
+      .write.mode(mode).partitionBy("cid").parquet(path)
+
+  /** Incremental SemDeDup of a new snapshot against a semantic index
+    * that already contains it ([[semanticWriteIndex]] +
+    * [[semanticAppendIndex]]): for every snapshot vector, `kept` is
+    * decided against the FULL union membership of its cluster — a
+    * snapshot vector is dropped when ANY smaller-id union member
+    * (base or snapshot) sits at cosine ≥ `threshold`, exactly the
+    * [[semDedup]] keep-lowest-id rule, so the result hash-equals the
+    * fresh whole-union run under the same frozen centroids (q173's
+    * gate). Same cap semantics as [[semDedup]]: clusters whose FULL
+    * union size exceeds `maxClusterSize` contribute no pairs — their
+    * snapshot members come back `kept = true`, the loud
+    * recall-for-boundedness trade, measured on union membership so
+    * both the fresh run and this probe cap identically.
+    *
+    * Cost shape: one driver collect of the snapshot's DISTINCT cluster
+    * ids — structurally capped with the `limit(max + 1)` idiom and
+    * `require`d against `maxProbedClusters` (cluster ids ARE centroid
+    * ids, so the [[Similarity.MaxLiteralCentroids]] broadcast-class
+    * bound applies) — then ONE partition-pruned read of the touched
+    * cluster directories (PlanSpec pins the `PartitionFilters` shape)
+    * feeding a cluster-keyed join: |snapshot ∩ cluster| × |cluster|
+    * candidate pairs, quadratic only inside the cap, never corpus-wide.
+    */
+  def semDedupIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, snapshotAssigned: DataFrame, threshold: Double,
+      idCol: String = "vec_id", maxClusterSize: Int = 10000,
+      maxProbedClusters: Int = Similarity.MaxLiteralCentroids): DataFrame = {
+    val snap = snapshotAssigned
+      .select(col("cid").cast("long").as("cid"), col(idCol).as("id"),
+        asD(col("v")).as("xv"))
+      .withColumn("xn", Similarity.l2norm(col("xv")))
+    val probed = snap.select("cid").distinct()
+      .limit(maxProbedClusters + 1).collect().map(_.getLong(0))
+    require(probed.length <= maxProbedClusters,
+      s"semDedupIndexed probed more than $maxProbedClusters distinct " +
+        "clusters — cluster ids are centroid ids and must stay " +
+        "broadcast-class (they feed a driver collect and a literal " +
+        "partition filter); a probe this wide means the snapshot " +
+        "touches effectively every cluster, where a fresh semDedup " +
+        "run reads the same data without the index round-trip")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cid"))
+    val members = spark.read.parquet(path)
+      .filter(col("cid").isin(probed.toSeq: _*))
+      .select(col("cid").cast("long").as("cid"), col(idCol).as("uid"),
+        asD(col("v")).as("uv"))
+      .withColumn("cn", count(lit(1)).over(w))
+      .withColumn("un", Similarity.l2norm(col("uv")))
+    val removed = snap.join(members, Seq("cid"))
+      .filter(col("cn") <= maxClusterSize && col("uid") < col("id"))
+      .withColumn("sim",
+        Similarity.dot(col("xv"), col("uv")) / (col("xn") * col("un")))
+      .filter(col("sim") >= threshold)
+      .select(col("id")).distinct()
+      .withColumn("rm", lit(true))
+    snap.join(removed, Seq("id"), "left")
+      .select(col("cid"), col("id").as(idCol), col("rm").isNull.as("kept"))
+  }
+
+  /** CENTROID-STALENESS drift audit of a semantic index — the
+    * embedding-side twin of the bigram-model drift audit (q169) and of
+    * the PQ codebook-freshness discussion (q140): frozen centroids
+    * serve appends exactly (q173's equality), but a snapshot whose
+    * DISTRIBUTION has moved away from the base corpus clusters badly —
+    * shares shift and assignment distances grow — and nothing in the
+    * append path itself fails. This audit is the detector that turns
+    * "when do we retrain/rebuild?" from a guess into a measurement.
+    *
+    * One grouped scan of the index: per cluster, base (gen = 0) vs
+    * snapshot (gen > 0) member counts, corpus-share of each side, and
+    * the fixed-point MEAN assignment distance (`floor(Σfloor(d2·10⁶)/n)
+    * /10⁶` — the centroid-update quantization idiom, so the value is
+    * bit-identical cross-engine and aggregation-order-free).
+    * `drifted` flags clusters whose snapshot share moved more than
+    * `shareDrift` absolute from their base share — the standard
+    * population-stability signal; mean-d2 inflation on the snapshot
+    * side separates "cluster grew" from "cluster no longer fits".
+    * Output: (cid, n_base, n_new, share_base, share_new, mean_d2_base,
+    * mean_d2_new, drifted) — one row per cluster, K rows total, so the
+    * global-share window runs on a K-row frame, never the corpus.
+    */
+  def semanticDriftAudit(spark: org.apache.spark.sql.SparkSession,
+      path: String, shareDrift: Double = 0.05): DataFrame = {
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    val agg = spark.read.parquet(path)
+      .select(col("cid").cast("long").as("cid"), col("gen"),
+        floor(col("d2") * lit(Scale)).cast("long").as("d2f"))
+      .groupBy(col("cid"))
+      .agg(
+        count(when(col("gen") === 0, lit(1))).as("n_base"),
+        count(when(col("gen") =!= 0, lit(1))).as("n_new"),
+        sum(when(col("gen") === 0, col("d2f"))).as("sf_base"),
+        sum(when(col("gen") =!= 0, col("d2f"))).as("sf_new"))
+    agg
+      .withColumn("share_base", col("n_base") / sum(col("n_base")).over(wAll))
+      .withColumn("share_new", col("n_new") / sum(col("n_new")).over(wAll))
+      .select(col("cid"), col("n_base"), col("n_new"),
+        round(col("share_base"), 6).as("share_base"),
+        round(col("share_new"), 6).as("share_new"),
+        when(col("n_base") > 0,
+          floor(col("sf_base") / col("n_base")) / lit(Scale))
+          .as("mean_d2_base"),
+        when(col("n_new") > 0,
+          floor(col("sf_new") / col("n_new")) / lit(Scale))
+          .as("mean_d2_new"),
+        (abs(col("share_new") - col("share_base")) > lit(shareDrift))
+          .as("drifted"))
+  }
 }

@@ -673,30 +673,48 @@ object PipelineQueries {
     * Shared by the q128 summary and the q129 SemDeDup oracle so the
     * two can never drift apart.
     */
-  private def kmeansOracleCtes: String = {
+  private def kmeansAssignSql(src: String, cent: String): String = {
     def dot(x: String, y: String) = Similarity.dotSql(x, y)
-    def assign(src: String, cent: String) = {
-      val d2 = s"${dot("t.v", "t.v")} - 2.0*${dot("t.v", "c.centroid")} + ${dot("c.centroid", "c.centroid")}"
-      s"""(SELECT vec_id, v, cid, d2 FROM (
+    val d2 = s"${dot("t.v", "t.v")} - 2.0*${dot("t.v", "c.centroid")} + ${dot("c.centroid", "c.centroid")}"
+    s"""(SELECT vec_id, v, cid, d2 FROM (
           SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid) AS rn FROM (
             SELECT t.vec_id, t.v, c.cid, $d2 AS d2
             FROM $src t CROSS JOIN $cent c) z1) z2 WHERE rn = 1)"""
-    }
-    def update(a: String) =
-      s"""(WITH e AS (SELECT cid, v, unnest(generate_series(1, len(v))) AS pos FROM $a),
+  }
+
+  private def kmeansUpdateSql(a: String): String =
+    s"""(WITH e AS (SELECT cid, v, unnest(generate_series(1, len(v))) AS pos FROM $a),
           s AS (SELECT cid, pos, SUM(CAST(FLOOR(v[pos] * 1000000.0) AS BIGINT)) AS s,
                        COUNT(*) AS n
                 FROM e GROUP BY 1, 2)
           SELECT cid, array_agg(FLOOR(s / n) / 1000000.0 ORDER BY pos) AS centroid
           FROM s GROUP BY 1)"""
+
+  private def kmeansOracleCtes: String =
     s"""corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       c0 AS (SELECT vec_id AS cid, v AS centroid FROM corpus WHERE vec_id < 8),
-      a1 AS ${assign("corpus", "c0")},
-      c1 AS ${update("a1")},
-      a2 AS ${assign("corpus", "c1")},
-      c2 AS ${update("a2")},
-      a3 AS ${assign("corpus", "c2")}"""
-  }
+      a1 AS ${kmeansAssignSql("corpus", "c0")},
+      c1 AS ${kmeansUpdateSql("a1")},
+      a2 AS ${kmeansAssignSql("corpus", "c1")},
+      c2 AS ${kmeansUpdateSql("a2")},
+      a3 AS ${kmeansAssignSql("corpus", "c2")}"""
+
+  /** Day-2 split variant of [[kmeansOracleCtes]], shared by the
+    * semantic-index oracles (q173/q175): trains `c2` with 2 Lloyd
+    * rounds on the BASE slice only (`basePred` — the frozen-centroid
+    * family of the written index build), then assigns the FULL corpus
+    * to those frozen centroids (`au`) — the fresh-union replay that
+    * the build→append→serve engine path must hash-equal.
+    */
+  private def kmeansBaseTrainCtes(basePred: String): String =
+    s"""corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      base AS (SELECT * FROM corpus WHERE $basePred),
+      c0 AS (SELECT vec_id AS cid, v AS centroid FROM base WHERE vec_id < 8),
+      a1 AS ${kmeansAssignSql("base", "c0")},
+      c1 AS ${kmeansUpdateSql("a1")},
+      a2 AS ${kmeansAssignSql("base", "c1")},
+      c2 AS ${kmeansUpdateSql("a2")},
+      au AS ${kmeansAssignSql("corpus", "c2")}"""
 
   private def kmeansInit(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.load(s, dir, "embeddings").filter(col("vec_id") < 8)

@@ -45,4 +45,43 @@ object IndexIngest {
     try q.processAllAvailable()
     finally q.stop()
   }
+
+  /** Vector-side twin of [[start]]: each micro-batch of newly-arrived
+    * embeddings is assigned against the FROZEN centroid family
+    * ([[graft.operators.Similarity.ivfAssign]] — a bounded K-row
+    * centroid collect per batch, the literal-plan contract) and
+    * appended as ONE GENERATION of the written IVF index
+    * ([[graft.operators.Similarity.ivfAppendIndex]]) — the q137 append
+    * contract mapped onto Structured Streaming's unit of progress.
+    * Batch boundaries cannot move results: per-vector assignment is
+    * independent of every other vector, so any micro-batch split of
+    * the delta composes to the same index as the fresh union build
+    * (q174 gates served top-k against the q134/q137 fresh-build
+    * oracle). Same delivery contract as [[start]]: file-granularity
+    * atomic within a batch, caller owns exactly-once across sink
+    * retries (a replayed batch lands duplicate member rows — the
+    * damage the `groupBy(id).count > 1` audit localizes and a fresh
+    * [[graft.operators.Similarity.ivfWriteIndex]] compaction repairs).
+    */
+  def startIvf(vecStream: DataFrame, path: String, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): StreamingQuery =
+    vecStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Similarity.ivfAppendIndex(
+          graft.operators.Similarity.ivfAssign(batch, centroids, idCol, vecCol),
+          path)
+      }
+      .outputMode("append")
+      .start()
+
+  /** Runs the vector ingest over all currently-available input, then
+    * stops — the bounded-backfill form the q174 gate drives.
+    */
+  def ingestIvfVectors(vecStream: DataFrame, path: String,
+      centroids: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val q = startIvf(vecStream, path, centroids, idCol, vecCol)
+    try q.processAllAvailable()
+    finally q.stop()
+  }
 }
