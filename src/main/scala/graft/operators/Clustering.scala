@@ -255,10 +255,16 @@ object Clustering {
       path: String, snapshotAssigned: DataFrame, threshold: Double,
       idCol: String = "vec_id", maxClusterSize: Int = 10000,
       maxProbedClusters: Int = Similarity.MaxLiteralCentroids): DataFrame = {
+    // materialize the (delta-sized) snapshot projection once: it feeds
+    // BOTH the driver's distinct-cid collect and the pair join below,
+    // and Catalyst will not reuse the subtree across the collect — an
+    // assignL2-derived snapshot would otherwise pay its assignment
+    // scan twice (the lloydCentroids reuse idiom; ADVICE.md r14)
     val snap = snapshotAssigned
       .select(col("cid").cast("long").as("cid"), col(idCol).as("id"),
         asD(col("v")).as("xv"))
       .withColumn("xn", Similarity.l2norm(col("xv")))
+      .localCheckpoint(true)
     val probed = snap.select("cid").distinct()
       .limit(maxProbedClusters + 1).collect().map(_.getLong(0))
     require(probed.length <= maxProbedClusters,
@@ -307,6 +313,11 @@ object Clustering {
     * Output: (cid, n_base, n_new, share_base, share_new, mean_d2_base,
     * mean_d2_new, drifted) — one row per cluster, K rows total, so the
     * global-share window runs on a K-row frame, never the corpus.
+    * A generation side with no rows at all (audit before any append,
+    * or a base-less index) yields null shares on that side and
+    * `drifted = false` — absence of a snapshot is "no drift signal",
+    * never a null that breaks `!drifted` consumers. q175 gates the
+    * full table against a DuckDB replay on a label-shifted snapshot.
     */
   def semanticDriftAudit(spark: org.apache.spark.sql.SparkSession,
       path: String, shareDrift: Double = 0.05): DataFrame = {
@@ -322,8 +333,16 @@ object Clustering {
         sum(when(col("gen") === 0, col("d2f"))).as("sf_base"),
         sum(when(col("gen") =!= 0, col("d2f"))).as("sf_new"))
     agg
-      .withColumn("share_base", col("n_base") / sum(col("n_base")).over(wAll))
-      .withColumn("share_new", col("n_new") / sum(col("n_new")).over(wAll))
+      // an entirely-empty generation side (e.g. audit before any
+      // append) would make every share on that side 0/0 → null and
+      // poison `drifted` to null; guard the division and pin the flag
+      // to false — "no snapshot yet" is "no drift signal", not unknown
+      .withColumn("share_base",
+        when(sum(col("n_base")).over(wAll) > 0,
+          col("n_base") / sum(col("n_base")).over(wAll)))
+      .withColumn("share_new",
+        when(sum(col("n_new")).over(wAll) > 0,
+          col("n_new") / sum(col("n_new")).over(wAll)))
       .select(col("cid"), col("n_base"), col("n_new"),
         round(col("share_base"), 6).as("share_base"),
         round(col("share_new"), 6).as("share_new"),
@@ -333,7 +352,8 @@ object Clustering {
         when(col("n_new") > 0,
           floor(col("sf_new") / col("n_new")) / lit(Scale))
           .as("mean_d2_new"),
-        (abs(col("share_new") - col("share_base")) > lit(shareDrift))
-          .as("drifted"))
+        coalesce(
+          abs(col("share_new") - col("share_base")) > lit(shareDrift),
+          lit(false)).as("drifted"))
   }
 }

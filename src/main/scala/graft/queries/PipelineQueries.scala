@@ -2687,6 +2687,174 @@ object PipelineQueries {
       ORDER BY doc_id
     """))
 
+  /** Incremental SemDeDup against the WRITTEN semantic index — the
+    * embedding-side capstone of the incremental-dedup family (exact
+    * q160 / minhash q159 / containment q161 / simhash q168 / block
+    * q172, now 6/6 with the semantic member): centroids train on the
+    * BASE slice only (2 Lloyd rounds — the frozen family of the index
+    * build), the base assignment is written cid-partitioned
+    * ([[graft.operators.Clustering.semanticWriteIndex]]), the snapshot
+    * quarter is assigned against the SAME frozen centroids and
+    * appended as generation 1, and the probe
+    * ([[graft.operators.Clustering.semDedupIndexed]]) decides `kept`
+    * for every snapshot vector against the FULL union membership of
+    * its cluster, read back through a cid-pruned scan. The oracle is
+    * the fresh whole-union replay: assign base∪delta to the same
+    * frozen centroids, run the keep-lowest-id rule cluster-wide,
+    * restrict to snapshot ids — hash-equality IS the proof that
+    * build→append→probe composes to the fresh run (the q137/q160
+    * append-commutes contract, on the embedding side).
+    */
+  val q173SemanticIncremental: QueryDef = {
+    val cosXY = Similarity.cosineSql("x.v", "y.v")
+    QueryDef(
+      "q173_semantic_incremental",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val base = emb.filter(col("vec_id") % 4 =!= 0)
+        val init = base.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("centroid"))
+        val cent = Clustering.lloydCentroids(base, init, iters = 2)
+        val path = graft.operators.TmpWorkspaces
+          .pidScoped("graft_semidx_q173_", dir)
+        Clustering.semanticWriteIndex(Clustering.assignL2(base, cent),
+          path.toString)
+        val snap = Clustering.assignL2(
+          emb.filter(col("vec_id") % 4 === 0), cent)
+        Clustering.semanticAppendIndex(snap, path.toString, gen = 1)
+        Clustering.semDedupIndexed(s, path.toString, snap, threshold = 0.3)
+          .orderBy(col("cid"), col("vec_id"))
+      },
+      Some(s"""
+        WITH ${kmeansBaseTrainCtes("vec_id % 4 <> 0")},
+        csz AS (SELECT cid, COUNT(*) AS cn FROM au GROUP BY 1),
+        rm AS (SELECT DISTINCT y.vec_id
+               FROM au x
+               JOIN au y ON x.cid = y.cid AND x.vec_id < y.vec_id
+               JOIN csz z ON z.cid = x.cid AND z.cn <= 10000
+               WHERE $cosXY >= 0.3)
+        SELECT a.cid, a.vec_id, (r.vec_id IS NULL) AS kept
+        FROM au a LEFT JOIN rm r USING (vec_id)
+        WHERE a.vec_id % 4 = 0
+        ORDER BY cid, vec_id
+      """))
+  }
+
+  /** STREAMING day-2 ingest into the written IVF index — the vector
+    * twin of [[q171StreamingIngest]]: the delta quarter arrives as a
+    * Structured Streaming file source in two single-file micro-batches
+    * (`maxFilesPerTrigger = 1`), each batch assigned against the
+    * FROZEN centroid family and appended as one generation via
+    * `foreachBatch` ([[graft.streaming.IndexIngest.ingestIvfVectors]]).
+    * The served top-3 must then HASH-EQUAL the fresh-build-on-union
+    * oracle ([[ivfIndexOracleSql]], shared verbatim with q134/q137) —
+    * batch boundaries CANNOT move the result, because per-vector
+    * assignment is independent of every other vector and generations
+    * partition the delta (the q137 append contract delivered one
+    * micro-batch at a time).
+    */
+  val q174StreamingIvfIngest: QueryDef = QueryDef(
+    "q174_streaming_ivf_ingest",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_ivfidx_q174_", dir)
+      Similarity.ivfWriteIndex(
+        Similarity.ivfAssign(emb.filter(col("vec_id") % 4 =!= 0), centroids),
+        path.toString)
+      val delta = emb.filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id"), col("embedding")).localCheckpoint()
+      val inPath = graft.operators.TmpWorkspaces
+        .pidScoped("graft_ingest_in_q174_", dir)
+      // two single-file chunks → two micro-batches (the spec drives a
+      // 3-batch MemoryStream; the gate needs multi-batch, not many)
+      Seq(col("vec_id") % 8 === 0, col("vec_id") % 8 =!= 0).foreach { p =>
+        delta.filter(p).coalesce(1)
+          .write.mode("append").parquet(inPath.toString)
+      }
+      graft.streaming.IndexIngest.ingestIvfVectors(
+        s.readStream.schema(delta.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inPath.toString),
+        path.toString, centroids)
+      Similarity.ivfTopKIndexed(s, path.toString, centroids,
+          emb.filter(col("vec_id") < 10).select(col("vec_id"), col("embedding")),
+          k = 3, nprobe = 2)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some(ivfIndexOracleSql))
+
+  /** CENTROID-STALENESS drift audit of the written semantic index
+    * ([[graft.operators.Clustering.semanticDriftAudit]]) on a
+    * genuinely DISTRIBUTION-SHIFTED snapshot: the base slice is the
+    * half-space `embedding[1] ≤ 0`, the snapshot generation is the
+    * opposite half-space — cluster membership is embedding-direction-
+    * based, so centroids aligned with +e₁ gain snapshot share and the
+    * others starve, which is exactly the population shift the audit
+    * exists to flag (`drifted` comes back MIXED, not vacuously
+    * uniform; label-based splits don't shift anything — the fixture's
+    * labels are uncorrelated with the vectors). The oracle replays
+    * the base-slice Lloyd training, the frozen-centroid union
+    * assignment, and the per-cluster share/fixed-point-mean-d2 table.
+    */
+  val q175SemanticDrift: QueryDef = QueryDef(
+    "q175_semantic_drift",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val e1 = element_at(col("embedding"), 1).cast("double")
+      val base = emb.filter(e1 <= 0.0)
+      val init = base.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("centroid"))
+      val cent = Clustering.lloydCentroids(base, init, iters = 2)
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_semidx_q175_", dir)
+      Clustering.semanticWriteIndex(Clustering.assignL2(base, cent),
+        path.toString)
+      Clustering.semanticAppendIndex(
+        Clustering.assignL2(emb.filter(e1 > 0.0), cent),
+        path.toString, gen = 1)
+      // 0.03 sits between the fixture's real share movements (±3-4pp
+      // on the +e₁-aligned clusters, ±1pp elsewhere) so the flag is
+      // exercised MIXED — both branches live on the gate fixture
+      Clustering.semanticDriftAudit(s, path.toString, shareDrift = 0.03)
+        .orderBy(col("cid"))
+    },
+    Some(s"""
+      WITH ${kmeansBaseTrainCtes("v[1] <= 0.0")},
+      agg AS (SELECT cid,
+                     COUNT(CASE WHEN v[1] <= 0.0 THEN 1 END) AS n_base,
+                     COUNT(CASE WHEN v[1] > 0.0 THEN 1 END) AS n_new,
+                     SUM(CASE WHEN v[1] <= 0.0
+                              THEN CAST(FLOOR(d2 * 1000000.0) AS BIGINT) END)
+                       AS sf_base,
+                     SUM(CASE WHEN v[1] > 0.0
+                              THEN CAST(FLOOR(d2 * 1000000.0) AS BIGINT) END)
+                       AS sf_new
+              FROM au GROUP BY 1),
+      sh AS (SELECT cid, n_base, n_new, sf_base, sf_new,
+                    CASE WHEN SUM(n_base) OVER () > 0
+                         THEN CAST(n_base AS DOUBLE)
+                              / CAST(SUM(n_base) OVER () AS DOUBLE) END AS shb,
+                    CASE WHEN SUM(n_new) OVER () > 0
+                         THEN CAST(n_new AS DOUBLE)
+                              / CAST(SUM(n_new) OVER () AS DOUBLE) END AS shn
+             FROM agg)
+      SELECT cid, CAST(n_base AS BIGINT) AS n_base,
+             CAST(n_new AS BIGINT) AS n_new,
+             round(shb, 6) AS share_base, round(shn, 6) AS share_new,
+             CASE WHEN n_base > 0
+                  THEN FLOOR(CAST(sf_base AS DOUBLE) / n_base) / 1000000.0 END
+               AS mean_d2_base,
+             CASE WHEN n_new > 0
+                  THEN FLOOR(CAST(sf_new AS DOUBLE) / n_new) / 1000000.0 END
+               AS mean_d2_new,
+             COALESCE(ABS(shn - shb) > 0.03, FALSE) AS drifted
+      FROM sh
+      ORDER BY cid
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
@@ -2703,5 +2871,6 @@ object PipelineQueries {
     q163RetrievalStack, q164BpeTokenizerIndex, q165BigramApply,
     q166CurationV6, q167SimhashPairs, q168SimhashIncremental,
     q169BigramDrift, q170PackedIds, q171StreamingIngest,
-    q172BlockIncremental)
+    q172BlockIncremental, q173SemanticIncremental, q174StreamingIvfIngest,
+    q175SemanticDrift)
 }
