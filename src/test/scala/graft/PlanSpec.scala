@@ -663,6 +663,54 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"nothing may cross-join:\n$p")
   }
 
+  test("q173: indexed SemDeDup reads ONLY snapshot-touched cluster dirs; pair join keyed and capped") {
+    val p = plan("q173_semantic_incremental")
+    // the snapshot's distinct cluster ids must prune the index scan as
+    // PARTITION filters — the probe reads the touched cid=… dirs, not
+    // the corpus
+    assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(p).isDefined,
+      s"snapshot cluster ids must prune the index scan:\n$p")
+    // the served plan reads the WRITTEN index exclusively: the snapshot
+    // side is the materialized checkpoint (the embeddings corpus never
+    // re-scans), so exactly one parquet scan — the index itself
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"only the semantic index may scan, got $scans:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      "the snapshot probe must come from its checkpoint, not a re-assignment")
+    assert(p.contains("vec_dot"), "pair scoring must stay the native dot")
+    // the union-membership cluster-size cap must gate the pair join
+    assert("cn#\\d+L? <= 10000".r.findFirstIn(p).isDefined,
+      s"cluster-size cap filter missing:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the pair join must stay cid-keyed:\n$p")
+  }
+
+  test("q174: streamed-in IVF generations still serve through a partition-pruned scan") {
+    val p = plan("q174_streaming_ivf_ingest")
+    // generation appends land inside the same bucket=… layout, so the
+    // probed-bucket partition filter must keep pruning (q137's shape,
+    // delivered one micro-batch at a time)
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(p).isDefined,
+      s"probed buckets must prune the streamed index scan:\n$p")
+    assert("HashJoin \\[bucket".r.findFirstIn(p).isDefined,
+      s"candidate join must stay keyed on the bucket id:\n$p")
+    assert(p.contains("vec_nearest"),
+      "probe ranking must use the native literal-centroid expression")
+    assert(!p.contains("CartesianProduct"), "no unbroadcast cross product")
+  }
+
+  test("q175: drift audit is one grouped index scan — partial aggs, no join, K-row window") {
+    val p = plan("q175_semantic_drift")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"the audit reads the index once, got $scans:\n$p")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      "per-cluster stats must map-side combine before their shuffle")
+    assert(!p.contains("Join"), "the audit is a grouped scan, never a join")
+    assert(p.contains("Window"),
+      "global shares run as a window on the K-row aggregate")
+  }
+
   test("q157: BPE id emission is one pruned corpus scan — no join, no pre-sort shuffle") {
     val p = plan("q157_bpe_ids")
     // training/vocab happen at build time (driver collects); the final

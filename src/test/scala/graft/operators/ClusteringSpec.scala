@@ -53,6 +53,103 @@ class ClusteringSpec extends AnyFunSuite {
     assert(cents == Seq(0L), s"far centroid must vanish, got $cents")
   }
 
+  // shared written-index fixture: two frozen centroids, one base
+  // vector in each cluster, snapshot appended as generation 1
+  private def cents2 = Seq((0L, Array(1.0, 1.0)), (1L, Array(-5.0, 5.0)))
+    .toDF("cid", "centroid")
+  private def base2 = Seq((0L, Array(1.0f, 1.0f)), (3L, Array(-5.0f, 5.0f)))
+    .toDF("vec_id", "embedding")
+  private def snap2 = Seq(
+    (10L, Array(2.0f, 2.0f)),   // cluster 0: cos=1 vs base 0 → removed
+    (11L, Array(1.0f, 0.9f)),   // cluster 0: ~0.9986 vs base 0 → removed
+    (12L, Array(5.0f, -5.0f)),  // cluster 0: orthogonal to all base → kept
+    (13L, Array(-5.0f, 5.1f)),  // cluster 1: ~0.9999 vs base 3 → removed
+    (14L, Array(5.0f, -5.1f))   // cluster 0: removed ONLY by snapshot 12
+  ).toDF("vec_id", "embedding")
+
+  private def buildSemIndex(key: String): String = {
+    val idx = TmpWorkspaces.pidScoped("graft_semidx_spec_", key)
+    Clustering.semanticWriteIndex(Clustering.assignL2(base2, cents2),
+      idx.toString)
+    Clustering.semanticAppendIndex(Clustering.assignL2(snap2, cents2),
+      idx.toString, gen = 1)
+    idx.toString
+  }
+
+  test("semDedupIndexed decides kept against FULL union membership via the written index") {
+    val idx = buildSemIndex("union")
+    val out = Clustering.semDedupIndexed(spark, idx,
+        Clustering.assignL2(snap2, cents2), threshold = 0.95)
+      .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+    // 10/11 die to BASE member 0; 13 dies to BASE member 3; 14 dies to
+    // SNAPSHOT sibling 12 (base offers nothing in its direction) — the
+    // union semantics, both sides exercised; 12 survives
+    assert(out == Map(10L -> false, 11L -> false, 12L -> true,
+      13L -> false, 14L -> false), s"got $out")
+  }
+
+  test("semDedupIndexed cap counts UNION membership; over-cap clusters keep everything") {
+    val idx = buildSemIndex("cap")
+    val out = Clustering.semDedupIndexed(spark, idx,
+        Clustering.assignL2(snap2, cents2), threshold = 0.95,
+        maxClusterSize = 2)
+      .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+    // cluster 0's union size is 5 (> 2) → all its snapshot members come
+    // back kept, un-deduped; cluster 1's union size is exactly 2 → its
+    // dedup still runs and 13 still dies to base 3
+    assert(out == Map(10L -> true, 11L -> true, 12L -> true,
+      13L -> false, 14L -> true), s"got $out")
+  }
+
+  test("semDedupIndexed refuses a wider-than-broadcast probe set loudly") {
+    val idx = buildSemIndex("probe")
+    val ex = intercept[IllegalArgumentException] {
+      Clustering.semDedupIndexed(spark, idx,
+        Clustering.assignL2(snap2, cents2), threshold = 0.95,
+        maxProbedClusters = 1)
+    }
+    assert(ex.getMessage.contains("broadcast-class"), ex.getMessage)
+  }
+
+  test("semanticDriftAudit: shares, fixed-point mean d2, drifted per cluster") {
+    // exact-arithmetic snapshot: (3,1)/(1,3) have d2 = 10-8+2 = 4.0 to
+    // centroid (1,1); (-5,7) has d2 = 74-120+50 = 4.0 to (-5,5) — no
+    // float dust, so the quantized means are exactly 4.0
+    val cents = cents2
+    val idx = TmpWorkspaces.pidScoped("graft_semidx_spec_", "drift")
+    Clustering.semanticWriteIndex(Clustering.assignL2(base2, cents),
+      idx.toString)
+    val snap = Seq((10L, Array(3.0f, 1.0f)), (11L, Array(1.0f, 3.0f)),
+      (13L, Array(-5.0f, 7.0f))).toDF("vec_id", "embedding")
+    Clustering.semanticAppendIndex(Clustering.assignL2(snap, cents),
+      idx.toString, gen = 1)
+    val rows = Clustering.semanticDriftAudit(spark, idx.toString,
+        shareDrift = 0.05)
+      .orderBy("cid")
+      .as[(Long, Long, Long, Double, Double, Double, Double, Boolean)]
+      .collect().toSeq
+    // base shares (0.5, 0.5); snapshot shares (2/3, 1/3) → both move
+    // by 1/6 > 0.05; base members sit AT their centroids (mean d2 = 0)
+    assert(rows == Seq(
+      (0L, 1L, 2L, 0.5, 0.666667, 0.0, 4.0, true),
+      (1L, 1L, 1L, 0.5, 0.333333, 0.0, 4.0, true)), s"got $rows")
+  }
+
+  test("semanticDriftAudit before any append: null snapshot shares, drifted pinned false") {
+    val idx = TmpWorkspaces.pidScoped("graft_semidx_spec_", "noappend")
+    Clustering.semanticWriteIndex(Clustering.assignL2(base2, cents2),
+      idx.toString)
+    val rows = Clustering.semanticDriftAudit(spark, idx.toString)
+      .orderBy("cid")
+      .select($"cid", $"n_new", $"share_new".isNull.as("sn_null"),
+        $"mean_d2_new".isNull.as("md_null"), $"drifted")
+      .as[(Long, Long, Boolean, Boolean, Boolean)].collect().toSeq
+    // 0/0 must NOT surface as null drift flags (ADVICE.md r14): an
+    // empty snapshot side is "no drift signal", shares stay null
+    assert(rows == Seq((0L, 0L, true, true, false),
+      (1L, 0L, true, true, false)), s"got $rows")
+  }
+
   test("semDedup keeps the lowest id of a near-identical group per cluster") {
     val v = Array(1.0f, 1.0f)
     val df = Seq(

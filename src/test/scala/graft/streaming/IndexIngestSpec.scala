@@ -46,4 +46,49 @@ class IndexIngestSpec extends AnyFunSuite {
     // size 2; the new text is its own singleton kept at 6
     assert(got == Set((0L, 3L), (1L, 2L), (6L, 1L)), s"got $got")
   }
+
+  test("streaming IVF ingest: frozen-centroid generations per batch, serve equals the fresh union build") {
+    import graft.operators.Similarity
+    val cents = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("centroid_id", "embedding")
+    val base = Seq((0L, Array(1.0f, 0.1f)), (1L, Array(0.1f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val idx = TmpWorkspaces.pidScoped("graft_ivfingest_spec_", "ivf")
+    Similarity.ivfWriteIndex(Similarity.ivfAssign(base, cents), idx.toString)
+
+    val delta = Seq(
+      (4L, Array(0.9f, 0.2f)), (5L, Array(0.2f, 0.9f)),
+      (6L, Array(0.7f, 0.6f)), (7L, Array(1.0f, 0.0f)))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = IndexIngest.startIvf(
+      in.toDS().toDF("vec_id", "embedding"), idx.toString, cents)
+    try {
+      // three EXPLICIT micro-batches, each its own generation append
+      Seq(delta.take(1), delta.slice(1, 3), delta.drop(3)).foreach { chunk =>
+        in.addData(chunk)
+        q.processAllAvailable()
+      }
+      assert(q.recentProgress.count(_.numInputRows > 0) == 3,
+        "each add must arrive as its own micro-batch")
+    } finally q.stop()
+
+    // replayed-batch damage did NOT occur: every member lands once
+    assert(spark.read.parquet(idx.toString).groupBy("vec_id").count()
+      .filter($"count" > 1).isEmpty)
+
+    // served top-k from the streamed index ≡ the fresh union build's
+    val fresh = TmpWorkspaces.pidScoped("graft_ivfingest_spec_", "fresh")
+    Similarity.ivfWriteIndex(
+      Similarity.ivfAssign(base.union(delta.toDF("vec_id", "embedding")),
+        cents), fresh.toString)
+    val qs = Seq((0L, Array(1.0f, 0.1f)), (5L, Array(0.2f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    def serve(path: String) =
+      Similarity.ivfTopKIndexed(spark, path, cents, qs, k = 2, nprobe = 2)
+        .as[(Long, Int, Long, Double)].collect().toSet
+    val got = serve(idx.toString)
+    assert(got == serve(fresh.toString), s"got $got")
+    assert(got.nonEmpty && got.forall(_._4 > 0.0))
+  }
 }
