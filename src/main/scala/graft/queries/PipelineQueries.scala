@@ -2719,8 +2719,10 @@ object PipelineQueries {
           .pidScoped("graft_semidx_q173_", dir)
         Clustering.semanticWriteIndex(Clustering.assignL2(base, cent),
           path.toString)
+        // one delta assignment scan: the append write AND the probe
+        // both read the checkpoint (the q166 snapshot idiom)
         val snap = Clustering.assignL2(
-          emb.filter(col("vec_id") % 4 === 0), cent)
+          emb.filter(col("vec_id") % 4 === 0), cent).localCheckpoint()
         Clustering.semanticAppendIndex(snap, path.toString, gen = 1)
         Clustering.semDedupIndexed(s, path.toString, snap, threshold = 0.3)
           .orderBy(col("cid"), col("vec_id"))
@@ -2855,6 +2857,133 @@ object PipelineQueries {
       ORDER BY cid
     """))
 
+  /** Flagship curation v7 — DAY-2 INGEST ACROSS ALL THREE INDEX
+    * MODALITIES: one snapshot arrives and every standing index the
+    * engine ships ingests it delta-sized — the fingerprint index via
+    * the STREAMING sink (two micro-batch generation appends, q171's
+    * path), the lexical BM25 index via a generation append whose
+    * serve stays exact because df/stats live as per-generation
+    * contributions (q155's path), and the semantic cluster index via
+    * a frozen-centroid append probed by incremental SemDeDup (q173's
+    * path). The composed output is the snapshot ADMISSION MANIFEST a
+    * curation service hands downstream: per snapshot document, did it
+    * survive exact dedup against the full corpus, did its embedding
+    * survive semantic dedup against its cluster's union membership,
+    * is it admitted (both), and its best served BM25 rank over the
+    * standing query set (null = not lexically visible in any top-10).
+    * v6 (q166) is the day-2 run where model ARTIFACTS (LM, tokenizer)
+    * are written; v7 is the day-2 run where all three INDEXES are —
+    * together they close SURVEY §7.1 step 9's standing-pipeline
+    * story. The oracle replays all three modalities fresh over
+    * base ∪ snapshot (whole-corpus fingerprint clusters, the shared
+    * q146/q154/q155 BM25 CTEs, the frozen-centroid union SemDeDup) —
+    * a drift in ANY of the three written layouts, the streaming batch
+    * boundaries, or the admission logic hash-fails.
+    *
+    * 100 TB posture: day-2 work is delta-sized on all three paths
+    * (generation appends, zero base reads); the probes serve through
+    * pruned scans (fingerprint shards / query-term shards / touched
+    * cluster dirs); the manifest joins are snapshot-sized with the
+    * bounded-query lexical serve broadcast.
+    */
+  val q176CurationV7: QueryDef = {
+    val cosXY = Similarity.cosineSql("x.v", "y.v")
+    QueryDef(
+      "q176_curation_v7",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val emb = Tables.load(s, dir, "embeddings")
+        val baseDocs = docs.filter(col("doc_id") % 3 =!= 0)
+        val snapDocs = docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("text")).localCheckpoint()
+        // ---- fingerprint modality: day-1 build, STREAMING day-2 ----
+        val fpPath = graft.operators.TmpWorkspaces
+          .pidScoped("graft_fpidx_q176_", dir)
+        Dedup.exactWriteIndex(baseDocs, fpPath.toString, "doc_id", "text")
+        val inPath = graft.operators.TmpWorkspaces
+          .pidScoped("graft_ingest_in_q176_", dir)
+        Seq(col("doc_id") % 2 === 0, col("doc_id") % 2 =!= 0).foreach { p =>
+          snapDocs.filter(p).coalesce(1)
+            .write.mode("append").parquet(inPath.toString)
+        }
+        graft.streaming.IndexIngest.ingestExactFingerprints(
+          s.readStream.schema(snapDocs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(inPath.toString),
+          fpPath.toString, "doc_id", "text")
+        val exactKept = snapDocs
+          .withColumn("fingerprint", md5(TextOps.normalize(col("text"))))
+          .join(Dedup.exactClustersIndexed(s, fpPath.toString, snapDocs,
+            "doc_id", "text"), "fingerprint")
+          .select(col("doc_id"),
+            (col("doc_id") === col("kept_id")).as("exact_kept"))
+        // ---- lexical modality: day-1 build, generation append ----
+        val lexPath = graft.operators.TmpWorkspaces
+          .pidScoped("graft_bm25idx_q176_", dir)
+        Retrieval.bm25WriteIndex(baseDocs, lexPath.toString)
+        Retrieval.bm25AppendIndex(snapDocs, lexPath.toString)
+        val lexRank = Retrieval.bm25TopKIndexed(s, lexPath.toString,
+            docs.filter(col("doc_id") < 8), k = 10)
+          .groupBy(col("doc_id"))
+          .agg(min(col("rnk")).as("lex_best_rank"))
+        // ---- semantic modality: frozen-centroid append + probe ----
+        val baseEmb = emb.filter(col("vec_id") % 3 =!= 0)
+        val init = baseEmb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("centroid"))
+        val cent = Clustering.lloydCentroids(baseEmb, init, iters = 2)
+        val semPath = graft.operators.TmpWorkspaces
+          .pidScoped("graft_semidx_q176_", dir)
+        Clustering.semanticWriteIndex(Clustering.assignL2(baseEmb, cent),
+          semPath.toString)
+        val snapEmb = Clustering.assignL2(
+          emb.filter(col("vec_id") % 3 === 0), cent).localCheckpoint()
+        Clustering.semanticAppendIndex(snapEmb, semPath.toString, gen = 1)
+        val semKept = Clustering.semDedupIndexed(s, semPath.toString,
+            snapEmb, threshold = 0.3)
+          .select(col("vec_id").as("doc_id"), col("kept").as("sem_kept"))
+        // ---- the admission manifest ----
+        snapDocs.select(col("doc_id"))
+          .join(exactKept, "doc_id")
+          .join(semKept, Seq("doc_id"), "left")
+          .join(lexRank, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("exact_kept"), col("sem_kept"),
+            (col("exact_kept") && coalesce(col("sem_kept"), lit(true)))
+              .as("admitted"),
+            col("lex_best_rank"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH fp7 AS (SELECT doc_id,
+                            md5(${TextOps.normalizeSql("text")}) AS fingerprint
+                     FROM documents),
+        keep7 AS (SELECT fingerprint, MIN(doc_id) AS kept_id
+                  FROM fp7 GROUP BY 1),
+        ek7 AS (SELECT f.doc_id, (f.doc_id = k.kept_id) AS exact_kept
+                FROM fp7 f JOIN keep7 k USING (fingerprint)
+                WHERE f.doc_id % 3 = 0),
+        ${Retrieval.bm25CtesSql("documents", "doc_id", "text",
+          "doc_id < 8", 10)},
+        lr7 AS (SELECT doc_id, CAST(MIN(rnk) AS BIGINT) AS lex_best_rank
+                FROM bm25 GROUP BY 1),
+        ${kmeansBaseTrainCtes("vec_id % 3 <> 0")},
+        csz7 AS (SELECT cid, COUNT(*) AS cn FROM au GROUP BY 1),
+        rm7 AS (SELECT DISTINCT y.vec_id
+                FROM au x
+                JOIN au y ON x.cid = y.cid AND x.vec_id < y.vec_id
+                JOIN csz7 z ON z.cid = x.cid AND z.cn <= 10000
+                WHERE $cosXY >= 0.3),
+        sk7 AS (SELECT a.vec_id AS doc_id, (r.vec_id IS NULL) AS sem_kept
+                FROM au a LEFT JOIN rm7 r USING (vec_id)
+                WHERE a.vec_id % 3 = 0)
+        SELECT e.doc_id, e.exact_kept, s.sem_kept,
+               (e.exact_kept AND COALESCE(s.sem_kept, TRUE)) AS admitted,
+               l.lex_best_rank
+        FROM ek7 e
+        LEFT JOIN sk7 s USING (doc_id)
+        LEFT JOIN lr7 l USING (doc_id)
+        ORDER BY doc_id
+      """))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
@@ -2872,5 +3001,5 @@ object PipelineQueries {
     q166CurationV6, q167SimhashPairs, q168SimhashIncremental,
     q169BigramDrift, q170PackedIds, q171StreamingIngest,
     q172BlockIncremental, q173SemanticIncremental, q174StreamingIvfIngest,
-    q175SemanticDrift)
+    q175SemanticDrift, q176CurationV7)
 }

@@ -711,6 +711,33 @@ class PlanSpec extends AnyFunSuite {
       "global shares run as a window on the K-row aggregate")
   }
 
+  test("q176: v7 manifest serves from written indexes + checkpoints only — every probe pruned") {
+    val p = plan("q176_curation_v7")
+    // fingerprint clusters + BM25 postings/terms all prune on their
+    // md5 shards; the semantic probe prunes on the touched cluster ids
+    assert("PartitionFilters: \\[[^\\]]*shard".r.findAllIn(p).size >= 2,
+      s"fingerprint/lexical index scans must stay shard-pruned:\n$p")
+    assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(p).isDefined,
+      s"semantic index scan must stay cid-pruned:\n$p")
+    // day-2 reads: the snapshot rides its checkpoints and the ONLY
+    // corpus scan left is the bounded lexical query set (doc_id < 8);
+    // the embedding corpus never reappears after the build
+    assert(p.contains("Scan ExistingRDD"),
+      "snapshot probes must come from their checkpoints")
+    assert(!p.contains("embeddings.parquet"),
+      s"the embedding corpus must not rescan in the served plan:\n$p")
+    // (the query-terms subtree plans twice — q154's serve shape — so
+    // there can be two of these scans; both must stay bounded)
+    val docScans = p.linesIterator.filter(_.contains("documents.parquet")).toSeq
+    assert(docScans.nonEmpty && docScans.forall(_.contains("LessThan(doc_id,8)")),
+      s"every document-corpus scan must carry the doc_id<8 pushdown:\n$p")
+    // the lexical serve's 1-row stats crossJoin broadcasts (a
+    // BroadcastNestedLoopJoin over one row — q155's allowed shape);
+    // nothing may plan an unbroadcast cartesian
+    assert(!p.contains("CartesianProduct"),
+      s"every manifest join must stay keyed or broadcast:\n$p")
+  }
+
   test("q157: BPE id emission is one pruned corpus scan — no join, no pre-sort shuffle") {
     val p = plan("q157_bpe_ids")
     // training/vocab happen at build time (driver collects); the final
