@@ -292,6 +292,60 @@ object Clustering {
       .select(col("cid"), col("id").as(idCol), col("rm").isNull.as("kept"))
   }
 
+  /** Duplicate-member audit of a semantic index — the cluster-layout
+    * member of the audit family (exact `exactAuditIndex`, lexical
+    * `bm25AuditIndex`, PQ `ivfPqAuditIndex`): a REPLAYED append (the
+    * damage the exactly-once contract warns about) lands bit-identical
+    * member rows, which inflate union cluster sizes toward the
+    * [[semDedupIndexed]] cap and double-count both sides of
+    * [[semanticDriftAudit]]'s shares. One grouped scan of the index:
+    * every member id present more than once, with its copy count and
+    * how many DISTINCT payloads the copies carry — `n_payloads = 1`
+    * is clean replay damage ([[semanticCompactIndex]] repairs it);
+    * `n_payloads > 1` is divergence (the same id appended under a
+    * different generation or a retrained centroid family) that needs
+    * a rebuild, not a compaction.
+    */
+  def semanticAuditIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String = "vec_id"): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_copies"),
+        count_distinct(struct(col("cid"), col("gen"), col("d2")))
+          .as("n_payloads"))
+      .filter(col("n_copies") > 1)
+
+  /** REPAIR for a double-appended semantic index ([[semanticAuditIndex]]
+    * hits): compact `src` into a fresh layout at `dst`, dropping the
+    * replayed rows. Dedup is on WHOLE member rows — a replayed append
+    * lands bit-identical (id, v, d2, gen, cid) rows (parquet
+    * round-trips the doubles exactly) — and if an id still collides
+    * after (payload divergence: re-appended under another generation
+    * or centroid family, so the copies disagree on cid/gen/d2),
+    * compaction REFUSES loudly: a member may live in exactly ONE
+    * cluster, and silently picking a copy would move [[semDedupIndexed]]
+    * verdicts. Stage-then-swap to a NEW path (the `ivfPqCompactIndex`
+    * idiom); cost is one read + one cid-partitioned write of the
+    * member rows, as a repair op should be. q178 gates
+    * replay → audit → compact → probe ≡ the clean fresh-union oracle.
+    */
+  def semanticCompactIndex(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String, idCol: String = "vec_id"): Unit = {
+    val rows = spark.read.parquet(srcPath)
+      .select(col(idCol), col("v"), col("d2"), col("gen"), col("cid"))
+      .dropDuplicates()
+      .localCheckpoint()
+    val divergent = rows.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
+    require(divergent.isEmpty,
+      s"semanticCompactIndex: member ${divergent.headOption.map(_.get(0))} " +
+        "has payload-divergent copies (same id, different cid/gen/d2) — " +
+        "not append-replay damage; rebuild the index from a fresh " +
+        "assignment instead")
+    rows.repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(dstPath)
+  }
+
   /** CENTROID-STALENESS drift audit of a semantic index — the
     * embedding-side twin of the bigram-model drift audit (q169) and of
     * the PQ codebook-freshness discussion (q140): frozen centroids

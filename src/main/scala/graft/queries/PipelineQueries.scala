@@ -2705,8 +2705,31 @@ object PipelineQueries {
     * build→append→probe composes to the fresh run (the q137/q160
     * append-commutes contract, on the embedding side).
     */
-  val q173SemanticIncremental: QueryDef = {
+  /** Shared fresh-union SemDeDup replay (q173 AND q178's repair gate):
+    * 2 Lloyd rounds on the base 3/4, frozen-centroid assignment of the
+    * union, keep-lowest-id within capped clusters, restricted to the
+    * snapshot quarter. q178 serves from a replayed-append-then-
+    * compacted layout — hash-equality against this clean replay IS
+    * the proof the compaction restored exactly the clean index.
+    */
+  private def semanticIncrementalOracleSql: String = {
     val cosXY = Similarity.cosineSql("x.v", "y.v")
+    s"""
+      WITH ${kmeansBaseTrainCtes("vec_id % 4 <> 0")},
+      csz AS (SELECT cid, COUNT(*) AS cn FROM au GROUP BY 1),
+      rm AS (SELECT DISTINCT y.vec_id
+             FROM au x
+             JOIN au y ON x.cid = y.cid AND x.vec_id < y.vec_id
+             JOIN csz z ON z.cid = x.cid AND z.cn <= 10000
+             WHERE $cosXY >= 0.3)
+      SELECT a.cid, a.vec_id, (r.vec_id IS NULL) AS kept
+      FROM au a LEFT JOIN rm r USING (vec_id)
+      WHERE a.vec_id % 4 = 0
+      ORDER BY cid, vec_id
+    """
+  }
+
+  val q173SemanticIncremental: QueryDef = {
     QueryDef(
       "q173_semantic_incremental",
       (s, dir) => {
@@ -2727,19 +2750,7 @@ object PipelineQueries {
         Clustering.semDedupIndexed(s, path.toString, snap, threshold = 0.3)
           .orderBy(col("cid"), col("vec_id"))
       },
-      Some(s"""
-        WITH ${kmeansBaseTrainCtes("vec_id % 4 <> 0")},
-        csz AS (SELECT cid, COUNT(*) AS cn FROM au GROUP BY 1),
-        rm AS (SELECT DISTINCT y.vec_id
-               FROM au x
-               JOIN au y ON x.cid = y.cid AND x.vec_id < y.vec_id
-               JOIN csz z ON z.cid = x.cid AND z.cn <= 10000
-               WHERE $cosXY >= 0.3)
-        SELECT a.cid, a.vec_id, (r.vec_id IS NULL) AS kept
-        FROM au a LEFT JOIN rm r USING (vec_id)
-        WHERE a.vec_id % 4 = 0
-        ORDER BY cid, vec_id
-      """))
+      Some(semanticIncrementalOracleSql))
   }
 
   /** STREAMING day-2 ingest into the written IVF index — the vector
@@ -2984,6 +2995,94 @@ object PipelineQueries {
       """))
   }
 
+  /** STREAMING day-2 ingest into the written BM25 index
+    * ([[graft.streaming.IndexIngest.startBm25]]) — the LEXICAL member
+    * closing the streaming ingest loop at 3/3 index modalities
+    * (fingerprint q171, vector q174, lexical here): the snapshot
+    * third arrives as a file source in two single-file micro-batches,
+    * each appending one generation (delta postings + additive df/stats
+    * contributions, zero base reads), and the served top-10 must
+    * hash-equal the SAME fresh-whole-corpus oracle as q146/q154/q155.
+    * That equality is the r12 layout invariant doing its job one
+    * micro-batch at a time: tf/dl are per-document facts local to
+    * their batch, df and the corpus scalars sum over generations at
+    * serve, so batch boundaries provably cannot move a score.
+    */
+  val q177StreamingBm25Ingest: QueryDef = QueryDef(
+    "q177_streaming_bm25_ingest",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_bm25idx_q177_", dir)
+      Retrieval.bm25WriteIndex(docs.filter(col("doc_id") % 3 =!= 0),
+        path.toString)
+      val snapshot = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      val inPath = graft.operators.TmpWorkspaces
+        .pidScoped("graft_ingest_in_q177_", dir)
+      Seq(col("doc_id") % 2 === 0, col("doc_id") % 2 =!= 0).foreach { p =>
+        snapshot.filter(p).coalesce(1)
+          .write.mode("append").parquet(inPath.toString)
+      }
+      graft.streaming.IndexIngest.ingestBm25Docs(
+        s.readStream.schema(snapshot.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inPath.toString),
+        path.toString)
+      Retrieval.bm25TopKIndexed(s, path.toString,
+          docs.filter(col("doc_id") < 8), k = 10)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some(bm25Top10OracleSql))
+
+  /** The semantic index REPAIR path ([[graft.operators.Clustering
+    * .semanticAuditIndex]] / [[graft.operators.Clustering
+    * .semanticCompactIndex]]) — the cluster-layout member closing the
+    * audit/repair family at 4/4 (exact, lexical q156, PQ q151,
+    * semantic here): q173's lifecycle with the exactly-once failure
+    * INJECTED (the snapshot append runs twice — a blind retry), so
+    * every snapshot member row sits in its cluster directory twice,
+    * inflating union sizes toward the probe cap and double-counting
+    * drift shares. The audit must localize EXACTLY the replayed
+    * members (asserted in the closure: bit-identical copies, no
+    * payload divergence), compaction stage-and-swaps the deduped rows
+    * into a fresh cid-partitioned layout, and the incremental SemDeDup
+    * probe over THAT must hash-equal the clean fresh-union oracle
+    * (shared with q173 verbatim) — a missed duplicate, a dropped
+    * legitimate member, or a verdict moved by the inflated sizes all
+    * hash-fail.
+    */
+  val q178SemanticRepair: QueryDef = QueryDef(
+    "q178_semantic_repair",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val base = emb.filter(col("vec_id") % 4 =!= 0)
+      val init = base.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("centroid"))
+      val cent = Clustering.lloydCentroids(base, init, iters = 2)
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_semidx_q178_", dir)
+      Clustering.semanticWriteIndex(Clustering.assignL2(base, cent),
+        path.toString)
+      val snap = Clustering.assignL2(
+        emb.filter(col("vec_id") % 4 === 0), cent).localCheckpoint()
+      Clustering.semanticAppendIndex(snap, path.toString, gen = 1)
+      // the injected failure: a blind retry replays the same append
+      Clustering.semanticAppendIndex(snap, path.toString, gen = 1)
+      val damage = Clustering.semanticAuditIndex(s, path.toString)
+        .agg(count(lit(1)).as("n"),
+          max(col("n_copies")).as("mc"), max(col("n_payloads")).as("mp"))
+        .collect()(0)
+      require(damage.getLong(0) > 0 && damage.getLong(1) == 2L &&
+          damage.getLong(2) == 1L,
+        s"audit must localize the replay as bit-identical pairs, got $damage")
+      val repaired = graft.operators.TmpWorkspaces
+        .pidScoped("graft_semidx_q178r_", dir)
+      Clustering.semanticCompactIndex(s, path.toString, repaired.toString)
+      Clustering.semDedupIndexed(s, repaired.toString, snap, threshold = 0.3)
+        .orderBy(col("cid"), col("vec_id"))
+    },
+    Some(semanticIncrementalOracleSql))
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
@@ -3001,5 +3100,6 @@ object PipelineQueries {
     q166CurationV6, q167SimhashPairs, q168SimhashIncremental,
     q169BigramDrift, q170PackedIds, q171StreamingIngest,
     q172BlockIncremental, q173SemanticIncremental, q174StreamingIvfIngest,
-    q175SemanticDrift, q176CurationV7)
+    q175SemanticDrift, q176CurationV7, q177StreamingBm25Ingest,
+    q178SemanticRepair)
 }

@@ -84,4 +84,42 @@ object IndexIngest {
     try q.processAllAvailable()
     finally q.stop()
   }
+
+  /** Lexical twin of [[start]]/[[startIvf]] — the THIRD index modality
+    * on the streaming ingest loop: each micro-batch of newly-arrived
+    * documents appends ONE GENERATION to a written BM25 index
+    * ([[graft.operators.Retrieval.bm25AppendIndex]] — delta postings,
+    * df contributions, and a stats row; zero base reads). Batch
+    * boundaries cannot move served rankings: tf and dl are per-document
+    * facts computed wholly within their batch, and df / the corpus
+    * scalars are ADDITIVE per-generation contributions summed at serve
+    * time (the r12 layout invariant), so any micro-batch split of the
+    * delta sums to the fresh whole-corpus statistics — q177 gates the
+    * served top-10 against the same q146/q154/q155 fresh-corpus
+    * oracle. Delivery contract as [[start]]: batch-atomic writes,
+    * caller owns exactly-once across retries (a replayed batch is the
+    * doubled-generation damage [[graft.operators.Retrieval
+    * .bm25AuditIndex]] localizes and `bm25CompactIndex` repairs).
+    * Same new-ids contract as the batch append: a stream that re-sends
+    * an already-indexed document doubles its postings — feed this sink
+    * NEW documents only.
+    */
+  def startBm25(docsStream: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text"): StreamingQuery =
+    docsStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Retrieval.bm25AppendIndex(batch, path, idCol, textCol)
+      }
+      .outputMode("append")
+      .start()
+
+  /** Runs the lexical ingest over all currently-available input, then
+    * stops — the bounded-backfill form the q177 gate drives.
+    */
+  def ingestBm25Docs(docsStream: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val q = startBm25(docsStream, path, idCol, textCol)
+    try q.processAllAvailable()
+    finally q.stop()
+  }
 }

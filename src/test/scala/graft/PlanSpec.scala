@@ -738,6 +738,32 @@ class PlanSpec extends AnyFunSuite {
       s"every manifest join must stay keyed or broadcast:\n$p")
   }
 
+  test("q177: streamed-in BM25 generations keep the q154/q155 pruned serve shape") {
+    val p = plan("q177_streaming_bm25_ingest")
+    assert("PartitionFilters: \\[[^\\]]*shard".r.findAllIn(p).size >= 2,
+      s"the streamed index must still prune postings+terms scans:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "term/df probes must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      s"generation-summed df must stay broadcast-class:\n$p")
+    assert(p.contains("WindowGroupLimit"), "per-query top-k must push into the sort")
+    assert(!p.contains("CartesianProduct"), "the 1-row stats join must broadcast")
+  }
+
+  test("q178: the compacted semantic index serves through q173's pruned-probe shape") {
+    val p = plan("q178_semantic_repair")
+    assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(p).isDefined,
+      s"snapshot cluster ids must prune the repaired index scan:\n$p")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"only the repaired index may scan, got $scans:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      "the snapshot probe must come from its checkpoint")
+    assert("cn#\\d+L? <= 10000".r.findFirstIn(p).isDefined,
+      s"cluster-size cap filter missing:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the pair join must stay cid-keyed:\n$p")
+  }
+
   test("q157: BPE id emission is one pruned corpus scan — no join, no pre-sort shuffle") {
     val p = plan("q157_bpe_ids")
     // training/vocab happen at build time (driver collects); the final

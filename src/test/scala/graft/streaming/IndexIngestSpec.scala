@@ -47,6 +47,45 @@ class IndexIngestSpec extends AnyFunSuite {
     assert(got == Set((0L, 3L), (1L, 2L), (6L, 1L)), s"got $got")
   }
 
+  test("streaming BM25 ingest: per-batch generations sum to the fresh corpus statistics at serve") {
+    import graft.operators.Retrieval
+    val base = Seq((0L, "spark shuffles keyed data"),
+      (1L, "flink keyed state backend")).toDF("doc_id", "text")
+    val idx = TmpWorkspaces.pidScoped("graft_bm25ingest_spec_", "lex")
+    Retrieval.bm25WriteIndex(base, idx.toString)
+
+    val delta = Seq((4L, "spark broadcast joins small data"),
+      (5L, "keyed state ttl in flink"), (6L, "unrelated pelican document"),
+      (7L, "spark keyed shuffles again"))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = IndexIngest.startBm25(
+      in.toDS().toDF("doc_id", "text"), idx.toString)
+    try {
+      Seq(delta.take(1), delta.slice(1, 3), delta.drop(3)).foreach { chunk =>
+        in.addData(chunk)
+        q.processAllAvailable()
+      }
+      assert(q.recentProgress.count(_.numInputRows > 0) == 3,
+        "each add must arrive as its own micro-batch")
+    } finally q.stop()
+
+    // no replayed-batch damage
+    assert(Retrieval.bm25AuditIndex(spark, idx.toString).isEmpty)
+
+    // served ranking ≡ the fresh whole-union build's: df and the
+    // corpus scalars summed over 4 generations must equal one build
+    val fresh = TmpWorkspaces.pidScoped("graft_bm25ingest_spec_", "fresh")
+    Retrieval.bm25WriteIndex(base.union(delta.toDF("doc_id", "text")),
+      fresh.toString)
+    val qs = Seq((0L, "spark shuffles keyed data")).toDF("doc_id", "text")
+    def serve(path: String) =
+      Retrieval.bm25TopKIndexed(spark, path, qs, k = 10)
+        .as[(Long, Long, Long, Double)].collect().toSet
+    val got = serve(idx.toString)
+    assert(got == serve(fresh.toString) && got.nonEmpty, s"got $got")
+  }
+
   test("streaming IVF ingest: frozen-centroid generations per batch, serve equals the fresh union build") {
     import graft.operators.Similarity
     val cents = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
