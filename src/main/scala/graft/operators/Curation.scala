@@ -177,6 +177,58 @@ object Curation {
         if (frac <= 0) None else Some(f"${frac - 1}%02x"))
     }
 
+  /** Temperature-scaled mixture DERIVATION — the step [[weightedMix]]
+    * assumes already happened: measure each source's token mass,
+    * reweight it at temperature α = 1/2 (the T5/GPT-style
+    * `p_s ∝ n_s^α` upweighting of small sources; α is PINNED at 1/2
+    * because `sqrt` is IEEE correctly-rounded on every engine while a
+    * general `pow` is not — the determinism contract decides the
+    * knob), split a global token `budget` across sources by the
+    * reweighted shares, and admit each document by the deterministic
+    * hash draw `md5-60bit(key)/2⁶⁰ < rate_s` where
+    * `rate_s = min(1, budget·q_s / (Σq · n_s))` with
+    * `q_s = floor(sqrt(n_s)·10⁶)` — the fixed-point quantization
+    * makes Σq an exact long in any aggregation order, and every
+    * remaining product/division is a single double op on exact-valued
+    * operands, so draws are bit-identical cross-engine (q179 gates
+    * every per-document draw). Output: one row per document —
+    * (stratumCol, keyCol, n_toks, rate, admitted); feed the admitted
+    * set's realized rates to [[weightedMix]] for epoch-level
+    * replication.
+    *
+    * Scale shape: ONE tokenize pass, materialized
+    * (`localCheckpoint`) so the source-mass aggregation and the
+    * admission pass share it; the rates frame is S rows (sources are
+    * broadcast-class by construction) and broadcasts to a narrow
+    * admission projection — the corpus shuffles only for the S-row
+    * mass aggregation, partial-aggregated map-side. At 100 TB the
+    * doubles in `budget·q_s` exceed 2⁵³ and round — identically on
+    * both engines (same op order), so determinism holds even where
+    * exactness does not.
+    */
+  def temperatureMixture(df: DataFrame, stratumCol: String, keyCol: String,
+      textCol: String, budget: Long): DataFrame = {
+    val toks = df.select(col(stratumCol), col(keyCol),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_toks"))
+      .localCheckpoint()
+    val mass = toks.groupBy(col(stratumCol))
+      .agg(sum(col("n_toks")).as("src_toks"))
+      .withColumn("q",
+        floor(sqrt(col("src_toks").cast("double")) * lit(1000000.0))
+          .cast("long"))
+    val rates = mass
+      .crossJoin(broadcast(mass.agg(sum(col("q")).as("qtot"))))
+      .withColumn("rate", least(lit(1.0),
+        (col("q").cast("double") * lit(budget.toDouble)) /
+          (col("qtot").cast("double") * col("src_toks").cast("double"))))
+      .select(col(stratumCol), col("rate"))
+    toks.join(broadcast(rates), stratumCol)
+      .select(col(stratumCol), col(keyCol), col("n_toks"),
+        round(col("rate"), 6).as("rate"),
+        (TextOps.hash60(col(keyCol).cast("string")).cast("double") /
+          lit(1152921504606846976.0) < col("rate")).as("admitted"))
+  }
+
   def weightedMix(df: DataFrame, keyCol: String, stratumCol: String,
       rates: Map[String, Double]): DataFrame = {
     require(rates.values.forall(r => r >= 0 && r <= 64),

@@ -646,10 +646,51 @@ object CurationQueries {
         .orderBy(col("doc_id")),
     Some(TextAnalysis.bigramNllSql("documents", "doc_id", "text", BigramNllMedian)))
 
+  /** Temperature-scaled mixture derivation
+    * ([[graft.operators.Curation.temperatureMixture]]) — the step
+    * q124's [[graft.operators.Curation.weightedMix]] assumes already
+    * happened: per-source token masses reweighted at α = 1/2
+    * (fixed-point-quantized sqrt so Σq is an exact long), a 12k-token
+    * global budget split by the reweighted shares, and every
+    * document's deterministic hash draw against its source's rate.
+    * The oracle replays mass measurement, quantization, the budget
+    * split, and EVERY per-document draw — a one-ulp drift in any
+    * rate, or one flipped draw, hash-fails one of the 500 rows.
+    */
+  val q179TemperatureMixture: QueryDef = QueryDef(
+    "q179_temperature_mixture",
+    (s, dir) =>
+      Curation.temperatureMixture(Tables.load(s, dir, "documents"),
+          "source", "doc_id", "text", budget = 12000L)
+        .orderBy(col("doc_id")), {
+      val toks = TextOps.tokensSql("text")
+      Some(s"""
+        WITH tm AS (SELECT source, doc_id,
+                           CAST(len($toks) AS BIGINT) AS n_toks
+                    FROM documents),
+        ms AS (SELECT source, SUM(n_toks) AS src_toks,
+                      CAST(FLOOR(SQRT(CAST(SUM(n_toks) AS DOUBLE))
+                                 * 1000000.0) AS BIGINT) AS q
+               FROM tm GROUP BY 1),
+        qt AS (SELECT SUM(q) AS qtot FROM ms),
+        rt AS (SELECT source,
+                      least(1.0, (CAST(q AS DOUBLE) * 12000.0) /
+                        (CAST(qtot AS DOUBLE) * CAST(src_toks AS DOUBLE)))
+                        AS rate
+               FROM ms CROSS JOIN qt)
+        SELECT t.source, t.doc_id, t.n_toks, round(r.rate, 6) AS rate,
+               (CAST(${TextOps.hash60Sql("CAST(t.doc_id AS VARCHAR)")}
+                     AS DOUBLE) / 1152921504606846976.0 < r.rate)
+                 AS admitted
+        FROM tm t JOIN rt r USING (source)
+        ORDER BY doc_id
+      """)
+    })
+
   val all: Seq[QueryDef] =
     Seq(q109StratifiedSample, q110PiiRedaction, q111SplitLeakage,
       q112VocabTopK, q113TokenChunks, q116CurationE2e,
       q117RepetitionMetrics, q119Decontamination, q124WeightedMix,
       q127CurationV2, q130UnigramQuality, q131SeqPack, q135QualityMix,
-      q150BigramQuality)
+      q150BigramQuality, q179TemperatureMixture)
 }

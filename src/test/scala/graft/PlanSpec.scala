@@ -764,6 +764,22 @@ class PlanSpec extends AnyFunSuite {
       s"the pair join must stay cid-keyed:\n$p")
   }
 
+  test("q179: mixture derivation tokenizes once; S-row rates broadcast to a narrow admission pass") {
+    val p = plan("q179_temperature_mixture")
+    // the tokenize pass materializes (localCheckpoint): the mass agg
+    // and the admission pass both read the checkpoint — the corpus
+    // text is never re-tokenized, and no parquet scan survives
+    assert(!p.contains("FileScan parquet"),
+      s"both passes must read the checkpointed token frame:\n$p")
+    assert(p.contains("Scan ExistingRDD"), "materialized token frame expected")
+    assert(p.contains("BroadcastHashJoin"),
+      "the S-row rates frame must broadcast to the admission pass")
+    assert(p.contains("partial_sum"),
+      "source masses must map-side combine before their shuffle")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"nothing corpus-sized may shuffle for a join:\n$p")
+  }
+
   test("q157: BPE id emission is one pruned corpus scan — no join, no pre-sort shuffle") {
     val p = plan("q157_bpe_ids")
     // training/vocab happen at build time (driver collects); the final

@@ -253,4 +253,37 @@ class CurationSpec extends AnyFunSuite {
       Curation.packSequences(df, "doc_id", "text", seqLen, shardHexChars = 0)
     }
   }
+
+  test("temperatureMixture: sqrt-reweighted budget split, exact rates, deterministic draws") {
+    // source a: 2 docs x 8 tokens = 16; source b: 1 doc x 64 tokens
+    // q_a = floor(sqrt(16)*1e6) = 4e6, q_b = 8e6, qtot = 12e6
+    // budget 40: rate_a = 40*4e6/(12e6*16) = 5/6; rate_b = 40*8e6/(12e6*64) = 5/12
+    val docs = Seq(
+      (0L, "a", Seq.fill(8)("w").mkString(" ")),
+      (1L, "a", Seq.fill(8)("w").mkString(" ")),
+      (2L, "b", Seq.fill(64)("w").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.temperatureMixture(docs, "source", "doc_id", "text",
+        budget = 40L)
+      .as[(String, Long, Long, Double, Boolean)].collect()
+      .map(r => r._2 -> r).toMap
+    // α = 1/2 upweights the SMALL source: a's rate doubles b's even
+    // though b has 4x the token mass
+    assert(out(0L)._4 == 0.833333 && out(2L)._4 == 0.416667, s"got $out")
+    assert(out(0L)._3 == 8L && out(2L)._3 == 64L)
+    // draws replay the hash60 contract exactly
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def draw(id: Long, rate: Double): Boolean =
+      TextOps.hash60Str(md, id.toString).toDouble / 1152921504606846976.0 < rate
+    Seq(0L -> (5.0 / 6.0), 1L -> (5.0 / 6.0), 2L -> (5.0 / 12.0)).foreach {
+      case (id, r) => assert(out(id)._5 == draw(id, r), s"draw for $id")
+    }
+
+    // a budget beyond a source's mass clamps its rate at 1.0 — every
+    // one of its docs admitted regardless of draw
+    val all = Curation.temperatureMixture(docs, "source", "doc_id", "text",
+        budget = 1000L)
+      .as[(String, Long, Long, Double, Boolean)].collect()
+    assert(all.forall(r => r._4 == 1.0 && r._5), s"got ${all.toSeq}")
+  }
 }
