@@ -3083,6 +3083,49 @@ object PipelineQueries {
     },
     Some(semanticIncrementalOracleSql))
 
+  /** STREAMING day-2 ingest into the written SEMANTIC index
+    * ([[graft.streaming.IndexIngest.startSemantic]]) — the fourth and
+    * final written index family on the streaming ingest loop
+    * (fingerprint q171, vector q174, lexical q177, semantic here):
+    * the snapshot quarter arrives as a file source in two single-file
+    * micro-batches, each assigned against the FROZEN centroid family
+    * and appended as its own generation (gen = 1, 2 — the
+    * per-batch-id advance), and the standing incremental-SemDeDup
+    * probe must hash-equal the SAME fresh-union oracle as q173 —
+    * batch boundaries provably cannot move a verdict, because
+    * per-vector assignment is independent, generations partition the
+    * delta, and the probe reads their union.
+    */
+  val q180StreamingSemanticIngest: QueryDef = QueryDef(
+    "q180_streaming_semantic_ingest",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val base = emb.filter(col("vec_id") % 4 =!= 0)
+      val init = base.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("centroid"))
+      val cent = Clustering.lloydCentroids(base, init, iters = 2)
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_semidx_q180_", dir)
+      Clustering.semanticWriteIndex(Clustering.assignL2(base, cent),
+        path.toString)
+      val delta = emb.filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id"), col("embedding")).localCheckpoint()
+      val inPath = graft.operators.TmpWorkspaces
+        .pidScoped("graft_ingest_in_q180_", dir)
+      Seq(col("vec_id") % 8 === 0, col("vec_id") % 8 =!= 0).foreach { p =>
+        delta.filter(p).coalesce(1)
+          .write.mode("append").parquet(inPath.toString)
+      }
+      graft.streaming.IndexIngest.ingestSemanticVectors(
+        s.readStream.schema(delta.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inPath.toString),
+        path.toString, cent)
+      Clustering.semDedupIndexed(s, path.toString,
+          Clustering.assignL2(delta, cent), threshold = 0.3)
+        .orderBy(col("cid"), col("vec_id"))
+    },
+    Some(semanticIncrementalOracleSql))
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
@@ -3101,5 +3144,5 @@ object PipelineQueries {
     q169BigramDrift, q170PackedIds, q171StreamingIngest,
     q172BlockIncremental, q173SemanticIncremental, q174StreamingIvfIngest,
     q175SemanticDrift, q176CurationV7, q177StreamingBm25Ingest,
-    q178SemanticRepair)
+    q178SemanticRepair, q180StreamingSemanticIngest)
 }

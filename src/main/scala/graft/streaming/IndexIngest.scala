@@ -122,4 +122,49 @@ object IndexIngest {
     try q.processAllAvailable()
     finally q.stop()
   }
+
+  /** Semantic-cluster twin of [[startIvf]], completing the streaming
+    * ingest loop over ALL FOUR written index families (exact
+    * fingerprint, IVF, BM25, semantic cluster): each micro-batch of
+    * newly-arrived embeddings is assigned against the FROZEN centroid
+    * family ([[graft.operators.Clustering.assignL2]] — bounded K-row
+    * centroid collect per batch, the literal-plan contract) and
+    * appended as one generation of the written semantic index
+    * ([[graft.operators.Clustering.semanticAppendIndex]]). Generation
+    * numbers advance per batch (`startGen + batchId` — foreachBatch
+    * batch ids are contiguous from 0 within a run), satisfying the
+    * gen > 0 append contract. Batch boundaries cannot move
+    * [[graft.operators.Clustering.semDedupIndexed]] verdicts: per-
+    * vector assignment is independent, generations partition the
+    * delta, and the probe reads their union — q180 gates the standing
+    * probe against the same fresh-union oracle as q173. Delivery
+    * contract as the other three: batch-atomic, caller owns
+    * exactly-once across retries (a replayed batch is exactly the
+    * damage [[graft.operators.Clustering.semanticAuditIndex]]
+    * localizes and `semanticCompactIndex` repairs).
+    */
+  def startSemantic(vecStream: DataFrame, path: String,
+      centroids: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", startGen: Int = 1): StreamingQuery = {
+    require(startGen > 0, s"append generations start at 1, got $startGen")
+    vecStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Clustering.semanticAppendIndex(
+          graft.operators.Clustering.assignL2(batch, centroids, idCol, vecCol),
+          path, gen = startGen + batchId.toInt, idCol)
+      }
+      .outputMode("append")
+      .start()
+  }
+
+  /** Runs the semantic ingest over all currently-available input, then
+    * stops — the bounded-backfill form the q180 gate drives.
+    */
+  def ingestSemanticVectors(vecStream: DataFrame, path: String,
+      centroids: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val q = startSemantic(vecStream, path, centroids, idCol, vecCol)
+    try q.processAllAvailable()
+    finally q.stop()
+  }
 }

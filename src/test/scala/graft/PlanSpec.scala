@@ -780,6 +780,21 @@ class PlanSpec extends AnyFunSuite {
       s"nothing corpus-sized may shuffle for a join:\n$p")
   }
 
+  test("q180: streamed-in semantic generations keep q173's pruned-probe shape") {
+    val p = plan("q180_streaming_semantic_ingest")
+    assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(p).isDefined,
+      s"snapshot cluster ids must prune the streamed index scan:\n$p")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"only the semantic index may scan, got $scans:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      "the snapshot probe must come from its checkpoint")
+    assert("cn#\\d+L? <= 10000".r.findFirstIn(p).isDefined,
+      s"cluster-size cap filter missing:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the pair join must stay cid-keyed:\n$p")
+  }
+
   test("q157: BPE id emission is one pruned corpus scan — no join, no pre-sort shuffle") {
     val p = plan("q157_bpe_ids")
     // training/vocab happen at build time (driver collects); the final

@@ -10,6 +10,10 @@ class IndexIngestSpec extends AnyFunSuite {
   import SparkTestSession._
   import spark.implicits._
 
+  // the IVF/semantic ingest paths assign via the native vec_nearest
+  // expression; register it regardless of which suite ran first
+  graft.functions.VectorExpressions.ensureRegistered(spark)
+
   test("multi-batch streaming ingest appends clean generations; standing probe equals the batch run") {
     val a = "the quick brown fox jumps over the lazy dog"
     val b = "pack my box with five dozen liquor jugs today"
@@ -84,6 +88,55 @@ class IndexIngestSpec extends AnyFunSuite {
         .as[(Long, Long, Long, Double)].collect().toSet
     val got = serve(idx.toString)
     assert(got == serve(fresh.toString) && got.nonEmpty, s"got $got")
+  }
+
+  test("streaming semantic ingest: per-batch generations, probe equals the batch append, audit clean") {
+    import graft.operators.Clustering
+    val cents = Seq((0L, Array(1.0, 1.0)), (1L, Array(-5.0, 5.0)))
+      .toDF("cid", "centroid")
+    val base = Seq((0L, Array(1.0f, 1.0f)), (3L, Array(-5.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val idx = TmpWorkspaces.pidScoped("graft_semingest_spec_", "sem")
+    Clustering.semanticWriteIndex(Clustering.assignL2(base, cents),
+      idx.toString)
+
+    val delta = Seq(
+      (10L, Array(2.0f, 2.0f)), (11L, Array(1.0f, 0.9f)),
+      (12L, Array(5.0f, -5.0f)), (13L, Array(-5.0f, 5.1f)))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = IndexIngest.startSemantic(
+      in.toDS().toDF("vec_id", "embedding"), idx.toString, cents)
+    try {
+      Seq(delta.take(1), delta.slice(1, 3), delta.drop(3)).foreach { chunk =>
+        in.addData(chunk)
+        q.processAllAvailable()
+      }
+      assert(q.recentProgress.count(_.numInputRows > 0) == 3,
+        "each add must arrive as its own micro-batch")
+    } finally q.stop()
+
+    // three generation tags landed (1, 2, 3), every member exactly once
+    val gens = spark.read.parquet(idx.toString)
+      .filter($"gen" > 0).select("gen").distinct()
+      .as[Int].collect().toSet
+    assert(gens == Set(1, 2, 3), s"got $gens")
+    assert(Clustering.semanticAuditIndex(spark, idx.toString).isEmpty)
+
+    // verdicts equal the single-batch append path over the same delta
+    val snap = Clustering.assignL2(
+      delta.toDF("vec_id", "embedding"), cents).localCheckpoint()
+    val got = Clustering.semDedupIndexed(spark, idx.toString, snap,
+        threshold = 0.95)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val batchIdx = TmpWorkspaces.pidScoped("graft_semingest_spec_", "batch")
+    Clustering.semanticWriteIndex(Clustering.assignL2(base, cents),
+      batchIdx.toString)
+    Clustering.semanticAppendIndex(snap, batchIdx.toString, gen = 1)
+    val want = Clustering.semDedupIndexed(spark, batchIdx.toString, snap,
+        threshold = 0.95)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == want && got.nonEmpty, s"got $got")
   }
 
   test("streaming IVF ingest: frozen-centroid generations per batch, serve equals the fresh union build") {
