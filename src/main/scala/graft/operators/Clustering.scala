@@ -259,7 +259,11 @@ object Clustering {
     // BOTH the driver's distinct-cid collect and the pair join below,
     // and Catalyst will not reuse the subtree across the collect — an
     // assignL2-derived snapshot would otherwise pay its assignment
-    // scan twice (the lloydCentroids reuse idiom; ADVICE.md r14)
+    // scan twice (the lloydCentroids reuse idiom; ADVICE.md r14).
+    // Callers that already checkpointed their snapshot (to share it
+    // with an append write) pay one extra delta-sized narrow copy
+    // here — accepted so the collect-reuse guarantee is self-contained
+    // rather than a caller contract
     val snap = snapshotAssigned
       .select(col("cid").cast("long").as("cid"), col(idCol).as("id"),
         asD(col("v")).as("xv"))
@@ -300,18 +304,21 @@ object Clustering {
     * [[semDedupIndexed]] cap and double-count both sides of
     * [[semanticDriftAudit]]'s shares. One grouped scan of the index:
     * every member id present more than once, with its copy count and
-    * how many DISTINCT payloads the copies carry — `n_payloads = 1`
-    * is clean replay damage ([[semanticCompactIndex]] repairs it);
-    * `n_payloads > 1` is divergence (the same id appended under a
-    * different generation or a retrained centroid family) that needs
-    * a rebuild, not a compaction.
+    * how many DISTINCT payloads the copies carry — the payload is the
+    * FULL non-key row (v, d2, gen, cid), exactly what
+    * [[semanticCompactIndex]] dedups on, so the audit's taxonomy and
+    * the repair's agree: `n_payloads = 1` is clean replay damage
+    * (compaction repairs it); `n_payloads > 1` is divergence (the
+    * same id re-appended under a different generation, a retrained
+    * centroid family, or a corrupted vector) that needs a rebuild,
+    * not a compaction.
     */
   def semanticAuditIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String = "vec_id"): DataFrame =
     spark.read.parquet(path)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_copies"),
-        count_distinct(struct(col("cid"), col("gen"), col("d2")))
+        count_distinct(struct(col("v"), col("d2"), col("gen"), col("cid")))
           .as("n_payloads"))
       .filter(col("n_copies") > 1)
 
@@ -339,7 +346,7 @@ object Clustering {
       .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
     require(divergent.isEmpty,
       s"semanticCompactIndex: member ${divergent.headOption.map(_.get(0))} " +
-        "has payload-divergent copies (same id, different cid/gen/d2) — " +
+        "has payload-divergent copies (same id, different v/cid/gen/d2) — " +
         "not append-replay damage; rebuild the index from a fresh " +
         "assignment instead")
     rows.repartition(col("cid"))

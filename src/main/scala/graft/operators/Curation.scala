@@ -208,6 +208,11 @@ object Curation {
     */
   def temperatureMixture(df: DataFrame, stratumCol: String, keyCol: String,
       textCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget " +
+      "(a zero budget would silently admit nothing)")
+    // note: src_toks ≥ 1 for every present source — `tokens` yields at
+    // least one element even for empty text — so the rate denominator
+    // can never be 0 and no NaN reaches the least() clamp
     val toks = df.select(col(stratumCol), col(keyCol),
         size(TextOps.tokens(col(textCol))).cast("long").as("n_toks"))
       .localCheckpoint()

@@ -2687,24 +2687,25 @@ object PipelineQueries {
       ORDER BY doc_id
     """))
 
-  /** Incremental SemDeDup against the WRITTEN semantic index — the
-    * embedding-side capstone of the incremental-dedup family (exact
-    * q160 / minhash q159 / containment q161 / simhash q168 / block
-    * q172, now 6/6 with the semantic member): centroids train on the
-    * BASE slice only (2 Lloyd rounds — the frozen family of the index
-    * build), the base assignment is written cid-partitioned
-    * ([[graft.operators.Clustering.semanticWriteIndex]]), the snapshot
-    * quarter is assigned against the SAME frozen centroids and
-    * appended as generation 1, and the probe
-    * ([[graft.operators.Clustering.semDedupIndexed]]) decides `kept`
-    * for every snapshot vector against the FULL union membership of
-    * its cluster, read back through a cid-pruned scan. The oracle is
-    * the fresh whole-union replay: assign base∪delta to the same
-    * frozen centroids, run the keep-lowest-id rule cluster-wide,
-    * restrict to snapshot ids — hash-equality IS the proof that
-    * build→append→probe composes to the fresh run (the q137/q160
-    * append-commutes contract, on the embedding side).
+  /** The ONE engine-side copy of the semantic-index build recipe the
+    * five semantic gates (q173/q175/q176/q178/q180) share, so it can
+    * never drift from [[kmeansBaseTrainCtes]], its oracle twin:
+    * 2 Lloyd rounds on the base slice (init = base ∩ vec_id < 8), the
+    * base assignment written cid-partitioned. Returns the index path
+    * and the frozen centroid frame the delta must be assigned with.
     */
+  private def buildSemanticIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String, basePred: Column, prefix: String): (String, DataFrame) = {
+    val base = Tables.load(s, dir, "embeddings").filter(basePred)
+    val init = base.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("centroid"))
+    val cent = Clustering.lloydCentroids(base, init, iters = 2)
+    val path = graft.operators.TmpWorkspaces.pidScoped(prefix, dir)
+    Clustering.semanticWriteIndex(Clustering.assignL2(base, cent),
+      path.toString)
+    (path.toString, cent)
+  }
+
   /** Shared fresh-union SemDeDup replay (q173 AND q178's repair gate):
     * 2 Lloyd rounds on the base 3/4, frozen-centroid assignment of the
     * union, keep-lowest-id within capped clusters, restricted to the
@@ -2729,29 +2730,37 @@ object PipelineQueries {
     """
   }
 
-  val q173SemanticIncremental: QueryDef = {
-    QueryDef(
-      "q173_semantic_incremental",
-      (s, dir) => {
-        val emb = Tables.load(s, dir, "embeddings")
-        val base = emb.filter(col("vec_id") % 4 =!= 0)
-        val init = base.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("cid"), col("embedding").as("centroid"))
-        val cent = Clustering.lloydCentroids(base, init, iters = 2)
-        val path = graft.operators.TmpWorkspaces
-          .pidScoped("graft_semidx_q173_", dir)
-        Clustering.semanticWriteIndex(Clustering.assignL2(base, cent),
-          path.toString)
-        // one delta assignment scan: the append write AND the probe
-        // both read the checkpoint (the q166 snapshot idiom)
-        val snap = Clustering.assignL2(
-          emb.filter(col("vec_id") % 4 === 0), cent).localCheckpoint()
-        Clustering.semanticAppendIndex(snap, path.toString, gen = 1)
-        Clustering.semDedupIndexed(s, path.toString, snap, threshold = 0.3)
-          .orderBy(col("cid"), col("vec_id"))
-      },
-      Some(semanticIncrementalOracleSql))
-  }
+  /** Incremental SemDeDup against the WRITTEN semantic index — the
+    * embedding-side capstone of the incremental-dedup family (exact
+    * q160 / minhash q159 / containment q161 / simhash q168 / block
+    * q172, now 6/6 with the semantic member): centroids train on the
+    * BASE slice only ([[buildSemanticIndex]] — the frozen family of
+    * the index build), the snapshot quarter is assigned against the
+    * SAME frozen centroids and appended as generation 1, and the
+    * probe ([[graft.operators.Clustering.semDedupIndexed]]) decides
+    * `kept` for every snapshot vector against the FULL union
+    * membership of its cluster, read back through a cid-pruned scan.
+    * The oracle is the fresh whole-union replay: assign base∪delta to
+    * the same frozen centroids, run the keep-lowest-id rule
+    * cluster-wide, restrict to snapshot ids — hash-equality IS the
+    * proof that build→append→probe composes to the fresh run (the
+    * q137/q160 append-commutes contract, on the embedding side).
+    */
+  val q173SemanticIncremental: QueryDef = QueryDef(
+    "q173_semantic_incremental",
+    (s, dir) => {
+      val (path, cent) = buildSemanticIndex(s, dir,
+        col("vec_id") % 4 =!= 0, "graft_semidx_q173_")
+      // one delta assignment scan: the append write AND the probe
+      // both read the checkpoint (the q166 snapshot idiom)
+      val snap = Clustering.assignL2(
+        Tables.load(s, dir, "embeddings").filter(col("vec_id") % 4 === 0),
+        cent).localCheckpoint()
+      Clustering.semanticAppendIndex(snap, path, gen = 1)
+      Clustering.semDedupIndexed(s, path, snap, threshold = 0.3)
+        .orderBy(col("cid"), col("vec_id"))
+    },
+    Some(semanticIncrementalOracleSql))
 
   /** STREAMING day-2 ingest into the written IVF index — the vector
     * twin of [[q171StreamingIngest]]: the delta quarter arrives as a
@@ -2815,23 +2824,17 @@ object PipelineQueries {
   val q175SemanticDrift: QueryDef = QueryDef(
     "q175_semantic_drift",
     (s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
       val e1 = element_at(col("embedding"), 1).cast("double")
-      val base = emb.filter(e1 <= 0.0)
-      val init = base.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("centroid"))
-      val cent = Clustering.lloydCentroids(base, init, iters = 2)
-      val path = graft.operators.TmpWorkspaces
-        .pidScoped("graft_semidx_q175_", dir)
-      Clustering.semanticWriteIndex(Clustering.assignL2(base, cent),
-        path.toString)
+      val (path, cent) = buildSemanticIndex(s, dir, e1 <= 0.0,
+        "graft_semidx_q175_")
       Clustering.semanticAppendIndex(
-        Clustering.assignL2(emb.filter(e1 > 0.0), cent),
-        path.toString, gen = 1)
+        Clustering.assignL2(
+          Tables.load(s, dir, "embeddings").filter(e1 > 0.0), cent),
+        path, gen = 1)
       // 0.03 sits between the fixture's real share movements (±3-4pp
       // on the +e₁-aligned clusters, ±1pp elsewhere) so the flag is
       // exercised MIXED — both branches live on the gate fixture
-      Clustering.semanticDriftAudit(s, path.toString, shareDrift = 0.03)
+      Clustering.semanticDriftAudit(s, path, shareDrift = 0.03)
         .orderBy(col("cid"))
     },
     Some(s"""
@@ -2937,18 +2940,12 @@ object PipelineQueries {
           .groupBy(col("doc_id"))
           .agg(min(col("rnk")).as("lex_best_rank"))
         // ---- semantic modality: frozen-centroid append + probe ----
-        val baseEmb = emb.filter(col("vec_id") % 3 =!= 0)
-        val init = baseEmb.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("cid"), col("embedding").as("centroid"))
-        val cent = Clustering.lloydCentroids(baseEmb, init, iters = 2)
-        val semPath = graft.operators.TmpWorkspaces
-          .pidScoped("graft_semidx_q176_", dir)
-        Clustering.semanticWriteIndex(Clustering.assignL2(baseEmb, cent),
-          semPath.toString)
+        val (semPath, cent) = buildSemanticIndex(s, dir,
+          col("vec_id") % 3 =!= 0, "graft_semidx_q176_")
         val snapEmb = Clustering.assignL2(
           emb.filter(col("vec_id") % 3 === 0), cent).localCheckpoint()
-        Clustering.semanticAppendIndex(snapEmb, semPath.toString, gen = 1)
-        val semKept = Clustering.semDedupIndexed(s, semPath.toString,
+        Clustering.semanticAppendIndex(snapEmb, semPath, gen = 1)
+        val semKept = Clustering.semDedupIndexed(s, semPath,
             snapEmb, threshold = 0.3)
           .select(col("vec_id").as("doc_id"), col("kept").as("sem_kept"))
         // ---- the admission manifest ----
@@ -3054,21 +3051,15 @@ object PipelineQueries {
   val q178SemanticRepair: QueryDef = QueryDef(
     "q178_semantic_repair",
     (s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      val base = emb.filter(col("vec_id") % 4 =!= 0)
-      val init = base.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("centroid"))
-      val cent = Clustering.lloydCentroids(base, init, iters = 2)
-      val path = graft.operators.TmpWorkspaces
-        .pidScoped("graft_semidx_q178_", dir)
-      Clustering.semanticWriteIndex(Clustering.assignL2(base, cent),
-        path.toString)
+      val (path, cent) = buildSemanticIndex(s, dir,
+        col("vec_id") % 4 =!= 0, "graft_semidx_q178_")
       val snap = Clustering.assignL2(
-        emb.filter(col("vec_id") % 4 === 0), cent).localCheckpoint()
-      Clustering.semanticAppendIndex(snap, path.toString, gen = 1)
+        Tables.load(s, dir, "embeddings").filter(col("vec_id") % 4 === 0),
+        cent).localCheckpoint()
+      Clustering.semanticAppendIndex(snap, path, gen = 1)
       // the injected failure: a blind retry replays the same append
-      Clustering.semanticAppendIndex(snap, path.toString, gen = 1)
-      val damage = Clustering.semanticAuditIndex(s, path.toString)
+      Clustering.semanticAppendIndex(snap, path, gen = 1)
+      val damage = Clustering.semanticAuditIndex(s, path)
         .agg(count(lit(1)).as("n"),
           max(col("n_copies")).as("mc"), max(col("n_payloads")).as("mp"))
         .collect()(0)
@@ -3077,7 +3068,7 @@ object PipelineQueries {
         s"audit must localize the replay as bit-identical pairs, got $damage")
       val repaired = graft.operators.TmpWorkspaces
         .pidScoped("graft_semidx_q178r_", dir)
-      Clustering.semanticCompactIndex(s, path.toString, repaired.toString)
+      Clustering.semanticCompactIndex(s, path, repaired.toString)
       Clustering.semDedupIndexed(s, repaired.toString, snap, threshold = 0.3)
         .orderBy(col("cid"), col("vec_id"))
     },
@@ -3099,16 +3090,10 @@ object PipelineQueries {
   val q180StreamingSemanticIngest: QueryDef = QueryDef(
     "q180_streaming_semantic_ingest",
     (s, dir) => {
-      val emb = Tables.load(s, dir, "embeddings")
-      val base = emb.filter(col("vec_id") % 4 =!= 0)
-      val init = base.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("embedding").as("centroid"))
-      val cent = Clustering.lloydCentroids(base, init, iters = 2)
-      val path = graft.operators.TmpWorkspaces
-        .pidScoped("graft_semidx_q180_", dir)
-      Clustering.semanticWriteIndex(Clustering.assignL2(base, cent),
-        path.toString)
-      val delta = emb.filter(col("vec_id") % 4 === 0)
+      val (path, cent) = buildSemanticIndex(s, dir,
+        col("vec_id") % 4 =!= 0, "graft_semidx_q180_")
+      val delta = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") % 4 === 0)
         .select(col("vec_id"), col("embedding")).localCheckpoint()
       val inPath = graft.operators.TmpWorkspaces
         .pidScoped("graft_ingest_in_q180_", dir)
@@ -3119,8 +3104,8 @@ object PipelineQueries {
       graft.streaming.IndexIngest.ingestSemanticVectors(
         s.readStream.schema(delta.schema)
           .option("maxFilesPerTrigger", 1).parquet(inPath.toString),
-        path.toString, cent)
-      Clustering.semDedupIndexed(s, path.toString,
+        path, cent)
+      Clustering.semDedupIndexed(s, path,
           Clustering.assignL2(delta, cent), threshold = 0.3)
         .orderBy(col("cid"), col("vec_id"))
     },
