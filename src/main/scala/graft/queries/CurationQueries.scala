@@ -657,40 +657,107 @@ object CurationQueries {
     * split, and EVERY per-document draw — a one-ulp drift in any
     * rate, or one flipped draw, hash-fails one of the 500 rows.
     */
+  /** The shared q179/q181 budget: ~45% of the sf0.01 gate corpus's
+    * token mass, so admission is properly mixed per source.
+    */
+  private val MixtureBudget = 12000L
+
+  /** DuckDB replay of [[graft.operators.Curation.temperatureMixture]]
+    * as a WITH-clause body: CTEs tm (per-doc token counts) → ms
+    * (per-source mass + quantized sqrt) → qt → rt (clamped rates).
+    * Shared by q179 (the manifest gate) and q181 (the packed
+    * composition), so the arithmetic can never drift between them.
+    */
+  private def mixtureOracleCtes(budget: Long): String = {
+    val toks = TextOps.tokensSql("text")
+    s"""tm AS (SELECT source, doc_id,
+                      CAST(len($toks) AS BIGINT) AS n_toks
+               FROM documents),
+      ms AS (SELECT source, SUM(n_toks) AS src_toks,
+                    CAST(FLOOR(SQRT(CAST(SUM(n_toks) AS DOUBLE))
+                               * 1000000.0) AS BIGINT) AS q
+             FROM tm GROUP BY 1),
+      qt AS (SELECT SUM(q) AS qtot FROM ms),
+      rt AS (SELECT source,
+                    least(1.0, (CAST(q AS DOUBLE) * $budget.0) /
+                      (CAST(qtot AS DOUBLE) * CAST(src_toks AS DOUBLE)))
+                      AS rate
+             FROM ms CROSS JOIN qt)"""
+  }
+
+  /** The per-document admission predicate of the mixture replay —
+    * the hash60 draw against the source's rate, over aliases `t`
+    * (a tm row) and `r` (its rt row).
+    */
+  private def mixtureAdmittedSql: String =
+    s"""(CAST(${TextOps.hash60Sql("CAST(t.doc_id AS VARCHAR)")}
+         AS DOUBLE) / 1152921504606846976.0 < r.rate)"""
+
   val q179TemperatureMixture: QueryDef = QueryDef(
     "q179_temperature_mixture",
     (s, dir) =>
       Curation.temperatureMixture(Tables.load(s, dir, "documents"),
-          "source", "doc_id", "text", budget = 12000L)
-        .orderBy(col("doc_id")), {
-      val toks = TextOps.tokensSql("text")
-      Some(s"""
-        WITH tm AS (SELECT source, doc_id,
-                           CAST(len($toks) AS BIGINT) AS n_toks
-                    FROM documents),
-        ms AS (SELECT source, SUM(n_toks) AS src_toks,
-                      CAST(FLOOR(SQRT(CAST(SUM(n_toks) AS DOUBLE))
-                                 * 1000000.0) AS BIGINT) AS q
-               FROM tm GROUP BY 1),
-        qt AS (SELECT SUM(q) AS qtot FROM ms),
-        rt AS (SELECT source,
-                      least(1.0, (CAST(q AS DOUBLE) * 12000.0) /
-                        (CAST(qtot AS DOUBLE) * CAST(src_toks AS DOUBLE)))
-                        AS rate
-               FROM ms CROSS JOIN qt)
-        SELECT t.source, t.doc_id, t.n_toks, round(r.rate, 6) AS rate,
-               (CAST(${TextOps.hash60Sql("CAST(t.doc_id AS VARCHAR)")}
-                     AS DOUBLE) / 1152921504606846976.0 < r.rate)
-                 AS admitted
-        FROM tm t JOIN rt r USING (source)
-        ORDER BY doc_id
-      """)
-    })
+          "source", "doc_id", "text", budget = MixtureBudget)
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH ${mixtureOracleCtes(MixtureBudget)}
+      SELECT t.source, t.doc_id, t.n_toks, round(r.rate, 6) AS rate,
+             $mixtureAdmittedSql AS admitted
+      FROM tm t JOIN rt r USING (source)
+      ORDER BY doc_id
+    """))
+
+  /** The mixture composed to its product ([[graft.operators.Curation
+    * .temperatureMixture]] → [[graft.operators.Curation
+    * .packSequencesByCount]]): the admitted documents' token counts
+    * feed the concat-and-cut sequence packer, emitting the
+    * temperature-resampled corpus's training-sequence placement
+    * manifest — the blend a data loader actually reads after mixture
+    * rebalancing (q131's packing over q179's admission). The oracle
+    * replays the mixture CTEs (shared with q179 verbatim), the
+    * admission draws, and the packing offset window — a flipped draw
+    * or a moved offset relocates every downstream token span and
+    * hash-fails.
+    */
+  val q181MixturePacked: QueryDef = QueryDef(
+    "q181_mixture_packed",
+    (s, dir) => {
+      val mix = Curation.temperatureMixture(
+        Tables.load(s, dir, "documents"),
+        "source", "doc_id", "text", budget = MixtureBudget)
+      Curation.packSequencesByCount(
+          mix.filter(col("admitted")).select(col("doc_id"), col("n_toks")),
+          "doc_id", "n_toks", seqLen = 256)
+        .orderBy(col("shard"), col("seq_idx"), col("doc_id"))
+    },
+    Some(s"""
+      WITH ${mixtureOracleCtes(MixtureBudget)},
+      adm AS (SELECT t.doc_id, t.n_toks
+              FROM tm t JOIN rt r USING (source)
+              WHERE $mixtureAdmittedSql),
+      pt AS (SELECT doc_id,
+                    md5(CAST(doc_id AS VARCHAR)) AS key,
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS shard,
+                    n_toks AS n
+             FROM adm),
+      po AS (SELECT doc_id, shard, n,
+                    CAST(SUM(n + 1) OVER (PARTITION BY shard ORDER BY key, doc_id)
+                      - (n + 1) AS BIGINT) AS s
+             FROM pt),
+      pe AS (SELECT doc_id, shard, s, n,
+                    unnest(generate_series(s // 256, (s + n - 1) // 256)) AS seq_idx
+             FROM po)
+      SELECT doc_id, shard, CAST(seq_idx AS BIGINT) AS seq_idx,
+             CAST(least(s + n, (seq_idx + 1) * 256)
+                  - greatest(s, seq_idx * 256) AS BIGINT) AS n_toks_in_seq
+      FROM pe
+      ORDER BY shard, seq_idx, doc_id
+    """))
 
   val all: Seq[QueryDef] =
     Seq(q109StratifiedSample, q110PiiRedaction, q111SplitLeakage,
       q112VocabTopK, q113TokenChunks, q116CurationE2e,
       q117RepetitionMetrics, q119Decontamination, q124WeightedMix,
       q127CurationV2, q130UnigramQuality, q131SeqPack, q135QualityMix,
-      q150BigramQuality, q179TemperatureMixture)
+      q150BigramQuality, q179TemperatureMixture, q181MixturePacked)
 }

@@ -795,6 +795,19 @@ class PlanSpec extends AnyFunSuite {
       s"the pair join must stay cid-keyed:\n$p")
   }
 
+  test("q181: mixture-packed composition stays checkpoint-driven — broadcast rates, shard window, no corpus rescan") {
+    val p = plan("q181_mixture_packed")
+    assert(!p.contains("FileScan parquet"),
+      s"admission and packing must ride the checkpointed token frame:\n$p")
+    assert(p.contains("Scan ExistingRDD"), "materialized token frame expected")
+    assert(p.contains("BroadcastHashJoin"),
+      "the S-row rates frame must broadcast to the admission filter")
+    assert(p.contains("Window"), "the packing running-sum window expected")
+    assert(p.contains("Generate explode"), "sequence spans come from the explode")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"nothing corpus-sized may shuffle for a join:\n$p")
+  }
+
   test("q157: BPE id emission is one pruned corpus scan — no join, no pre-sort shuffle") {
     val p = plan("q157_bpe_ids")
     // training/vocab happen at build time (driver collects); the final
