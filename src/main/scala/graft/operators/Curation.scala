@@ -234,6 +234,104 @@ object Curation {
           lit(1152921504606846976.0) < col("rate")).as("admitted"))
   }
 
+  /** Day-2 of [[temperatureMixture]]: a snapshot lands, the per-source
+    * token masses move, and — the budget being FIXED — every source's
+    * admission rate dilutes or concentrates. This audit re-derives the
+    * rates under base-only and base∪snapshot masses in ONE pass and
+    * reports, per source, the rate movement and exactly how many
+    * STANDING (base) documents flip admission — the set a downstream
+    * training-manifest consumer must add or retire. The deterministic
+    * hash draw is the whole point here: a document's draw never moves,
+    * so admission flips are PURELY rate crossings, and re-deriving the
+    * mixture is an incremental manifest diff instead of a resample.
+    *
+    * Rates replay [[temperatureMixture]]'s contract exactly (fixed-
+    * point `q = floor(sqrt(n)·10⁶)`, same product/division tree), so
+    * `rate_union` here ≡ the rate a fresh whole-union derivation
+    * yields — q182 gates both sides of that equality plus every flip
+    * count. `rate_base` is null for a source the base never saw (its
+    * drift is trivially total → `drifted` pins true); flips count only
+    * base documents, so a union-only source reports zero flips.
+    *
+    * Output, one row per union source:
+    * (stratumCol, src_toks_base, src_toks_union, rate_base, rate_union,
+    * n_base, n_flipped_in, n_flipped_out, drifted) — S rows total.
+    *
+    * Scale shape: ONE tokenize pass over base ∪ snapshot, materialized
+    * (`localCheckpoint`) and shared by the mass aggregation and the
+    * flip pass; both rate frames live on the same S-row aggregate; the
+    * flip pass is the checkpointed frame joined to the broadcast S-row
+    * rates and partial-aggregated map-side. At 100 TB: two corpus-wide
+    * S-row aggregations riding one scan — the same cost class as the
+    * derivation itself.
+    */
+  def mixtureDriftAudit(base: DataFrame, snapshot: DataFrame,
+      stratumCol: String, keyCol: String, textCol: String,
+      budget: Long, rateDrift: Double = 0.02): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    def toks(df: DataFrame, isBase: Boolean) =
+      df.select(col(stratumCol), col(keyCol),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_toks"),
+        lit(isBase).as("is_base"))
+    val tm = toks(base, isBase = true)
+      .unionByName(toks(snapshot, isBase = false))
+      .localCheckpoint()
+    // q over a zero base mass is floor(sqrt(0))=0 — contributes nothing
+    // to qtot_base, exactly as if the source were absent from the base
+    // derivation, so no guard is needed until the rate division
+    val mass = tm.groupBy(col(stratumCol))
+      .agg(
+        sum(when(col("is_base"), col("n_toks")).otherwise(lit(0L)))
+          .as("src_toks_base"),
+        sum(col("n_toks")).as("src_toks_union"))
+      .withColumn("q_base",
+        floor(sqrt(col("src_toks_base").cast("double")) * lit(1000000.0))
+          .cast("long"))
+      .withColumn("q_union",
+        floor(sqrt(col("src_toks_union").cast("double")) * lit(1000000.0))
+          .cast("long"))
+    val rates = mass
+      .crossJoin(broadcast(mass.agg(
+        sum(col("q_base")).as("qtb"), sum(col("q_union")).as("qtu"))))
+      .withColumn("rate_base", when(col("src_toks_base") > 0,
+        least(lit(1.0),
+          (col("q_base").cast("double") * lit(budget.toDouble)) /
+            (col("qtb").cast("double") *
+              col("src_toks_base").cast("double")))))
+      .withColumn("rate_union", least(lit(1.0),
+        (col("q_union").cast("double") * lit(budget.toDouble)) /
+          (col("qtu").cast("double") *
+            col("src_toks_union").cast("double"))))
+      .select(col(stratumCol), col("src_toks_base"), col("src_toks_union"),
+        col("rate_base"), col("rate_union"))
+    // flips: base documents only — their draws are frozen, so a flip is
+    // a pure rate crossing in one direction or the other
+    val draw = TextOps.hash60(col(keyCol).cast("string")).cast("double") /
+      lit(1152921504606846976.0)
+    val flips = tm.filter(col("is_base"))
+      .join(broadcast(rates.select(col(stratumCol), col("rate_base"),
+        col("rate_union"))), stratumCol)
+      .withColumn("adm_base", draw < col("rate_base"))
+      .withColumn("adm_union", draw < col("rate_union"))
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_base"),
+        count(when(!col("adm_base") && col("adm_union"), lit(1)))
+          .as("n_flipped_in"),
+        count(when(col("adm_base") && !col("adm_union"), lit(1)))
+          .as("n_flipped_out"))
+    rates.join(broadcast(flips), Seq(stratumCol), "left")
+      .select(col(stratumCol), col("src_toks_base"), col("src_toks_union"),
+        round(col("rate_base"), 6).as("rate_base"),
+        round(col("rate_union"), 6).as("rate_union"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_flipped_in"), lit(0L)).as("n_flipped_in"),
+        coalesce(col("n_flipped_out"), lit(0L)).as("n_flipped_out"),
+        // a union-only source has no base rate: its mixture slot is
+        // brand new, which IS the drift signal — pin true, not null
+        coalesce(abs(col("rate_union") - col("rate_base")) > lit(rateDrift),
+          lit(true)).as("drifted"))
+  }
+
   def weightedMix(df: DataFrame, keyCol: String, stratumCol: String,
       rates: Map[String, Double]): DataFrame = {
     require(rates.values.forall(r => r >= 0 && r <= 64),

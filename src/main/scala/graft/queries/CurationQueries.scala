@@ -754,10 +754,89 @@ object CurationQueries {
       ORDER BY shard, seq_idx, doc_id
     """))
 
+  /** Day-2 of the mixture ([[graft.operators.Curation
+    * .mixtureDriftAudit]]): the base corpus (doc_id % 3 ≠ 0) is the
+    * standing derivation, the % 3 = 0 slice lands as the snapshot,
+    * and — the token budget held FIXED — every source's admission
+    * rate dilutes. The audit reports per source the base→union rate
+    * movement and exactly how many STANDING documents flip admission
+    * (their hash draws are frozen, so flips are pure rate crossings —
+    * the incremental manifest diff a resampling pipeline cannot
+    * give). The oracle replays BOTH mixture derivations from one
+    * conditional-mass scan plus every frozen draw; one moved rate or
+    * one phantom flip hash-fails its source row.
+    */
+  val q182MixtureDrift: QueryDef = QueryDef(
+    "q182_mixture_drift",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Curation.mixtureDriftAudit(
+          docs.filter(col("doc_id") % 3 =!= 0),
+          docs.filter(col("doc_id") % 3 === 0),
+          "source", "doc_id", "text", budget = MixtureBudget)
+        .orderBy(col("source"))
+    }, {
+      val toks = TextOps.tokensSql("text")
+      Some(s"""
+        WITH tm AS (SELECT source, doc_id,
+                           CAST(len($toks) AS BIGINT) AS n_toks,
+                           (doc_id % 3 <> 0) AS is_base
+                    FROM documents),
+        ms AS (SELECT source,
+                      CAST(SUM(CASE WHEN is_base THEN n_toks ELSE 0 END)
+                           AS BIGINT) AS src_toks_base,
+                      CAST(SUM(n_toks) AS BIGINT) AS src_toks_union
+               FROM tm GROUP BY 1),
+        qs AS (SELECT source, src_toks_base, src_toks_union,
+                      CAST(FLOOR(SQRT(CAST(src_toks_base AS DOUBLE))
+                                 * 1000000.0) AS BIGINT) AS q_base,
+                      CAST(FLOOR(SQRT(CAST(src_toks_union AS DOUBLE))
+                                 * 1000000.0) AS BIGINT) AS q_union
+               FROM ms),
+        qt AS (SELECT SUM(q_base) AS qtb, SUM(q_union) AS qtu FROM qs),
+        rt AS (SELECT source, src_toks_base, src_toks_union,
+                      CASE WHEN src_toks_base > 0 THEN
+                        least(1.0, (CAST(q_base AS DOUBLE) * $MixtureBudget.0) /
+                          (CAST(qtb AS DOUBLE) * CAST(src_toks_base AS DOUBLE)))
+                      END AS rate_base,
+                      least(1.0, (CAST(q_union AS DOUBLE) * $MixtureBudget.0) /
+                        (CAST(qtu AS DOUBLE) * CAST(src_toks_union AS DOUBLE)))
+                        AS rate_union
+               FROM qs CROSS JOIN qt),
+        fl AS (SELECT source,
+                      COUNT(*) AS n_base,
+                      COUNT(CASE WHEN NOT (draw < rate_base)
+                                  AND (draw < rate_union) THEN 1 END)
+                        AS n_flipped_in,
+                      COUNT(CASE WHEN (draw < rate_base)
+                                  AND NOT (draw < rate_union) THEN 1 END)
+                        AS n_flipped_out
+               FROM (SELECT t.source,
+                            CAST(${TextOps.hash60Sql(
+                              "CAST(t.doc_id AS VARCHAR)")} AS DOUBLE)
+                              / 1152921504606846976.0 AS draw,
+                            r.rate_base, r.rate_union
+                     FROM tm t JOIN rt r USING (source)
+                     WHERE t.is_base)
+               GROUP BY 1)
+        SELECT r.source, r.src_toks_base, r.src_toks_union,
+               round(r.rate_base, 6) AS rate_base,
+               round(r.rate_union, 6) AS rate_union,
+               CAST(COALESCE(f.n_base, 0) AS BIGINT) AS n_base,
+               CAST(COALESCE(f.n_flipped_in, 0) AS BIGINT) AS n_flipped_in,
+               CAST(COALESCE(f.n_flipped_out, 0) AS BIGINT) AS n_flipped_out,
+               COALESCE(ABS(r.rate_union - r.rate_base) > 0.02, TRUE)
+                 AS drifted
+        FROM rt r LEFT JOIN fl f USING (source)
+        ORDER BY source
+      """)
+    })
+
   val all: Seq[QueryDef] =
     Seq(q109StratifiedSample, q110PiiRedaction, q111SplitLeakage,
       q112VocabTopK, q113TokenChunks, q116CurationE2e,
       q117RepetitionMetrics, q119Decontamination, q124WeightedMix,
       q127CurationV2, q130UnigramQuality, q131SeqPack, q135QualityMix,
-      q150BigramQuality, q179TemperatureMixture, q181MixturePacked)
+      q150BigramQuality, q179TemperatureMixture, q181MixturePacked,
+      q182MixtureDrift)
 }

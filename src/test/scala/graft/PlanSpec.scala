@@ -808,6 +808,19 @@ class PlanSpec extends AnyFunSuite {
       s"nothing corpus-sized may shuffle for a join:\n$p")
   }
 
+  test("q182: mixture drift audit rides one checkpointed token frame — S-row joins broadcast, map-side mass combine") {
+    val p = plan("q182_mixture_drift")
+    assert(!p.contains("FileScan parquet"),
+      s"both mass sides and the flip pass must read the checkpointed token frame:\n$p")
+    assert(p.contains("Scan ExistingRDD"), "materialized token frame expected")
+    assert(p.contains("BroadcastHashJoin"),
+      "the S-row rates frame must broadcast to the flip pass")
+    assert(p.contains("partial_sum"),
+      "conditional source masses must map-side combine before their shuffle")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"nothing corpus-sized may shuffle for a join:\n$p")
+  }
+
   test("q157: BPE id emission is one pruned corpus scan — no join, no pre-sort shuffle") {
     val p = plan("q157_bpe_ids")
     // training/vocab happen at build time (driver collects); the final

@@ -286,4 +286,58 @@ class CurationSpec extends AnyFunSuite {
       .as[(String, Long, Long, Double, Boolean)].collect()
     assert(all.forall(r => r._4 == 1.0 && r._5), s"got ${all.toSeq}")
   }
+
+  test("mixtureDriftAudit: frozen draws, rate crossings, new-source drift pin") {
+    // base: a = 2 docs x 8 toks (16), b = 1 doc x 64 toks
+    //   q_a = 4e6, q_b = 8e6, qtb = 12e6; budget 40 →
+    //   rate_base_a = 5/6, rate_base_b = 5/12 (the q179 fixture)
+    // snapshot: b gains a 36-tok doc (union 100), c arrives with 16
+    //   q_a = 4e6, q_b = 10e6, q_c = 4e6, qtu = 18e6 →
+    //   rate_union_a = 5/9, rate_union_b = 2/9, rate_union_c = 5/9
+    val base = Seq(
+      (0L, "a", Seq.fill(8)("w").mkString(" ")),
+      (1L, "a", Seq.fill(8)("w").mkString(" ")),
+      (2L, "b", Seq.fill(64)("w").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val snapshot = Seq(
+      (3L, "b", Seq.fill(36)("w").mkString(" ")),
+      (4L, "c", Seq.fill(16)("w").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    // rateDrift 0.25 splits the fixture: a moves |5/9 - 5/6| ≈ 0.278
+    // (drifted), b moves |2/9 - 5/12| ≈ 0.194 (not), c is new (pinned)
+    val out = Curation.mixtureDriftAudit(base, snapshot,
+        "source", "doc_id", "text", budget = 40L, rateDrift = 0.25)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("a", "b", "c"))
+    assert(out("a").getLong(1) == 16L && out("a").getLong(2) == 16L)
+    assert(out("b").getLong(1) == 64L && out("b").getLong(2) == 100L)
+    assert(out("c").getLong(1) == 0L && out("c").getLong(2) == 16L)
+    assert(out("a").getDouble(3) == 0.833333 &&
+      out("a").getDouble(4) == 0.555556)
+    assert(out("b").getDouble(3) == 0.416667 &&
+      out("b").getDouble(4) == 0.222222)
+    assert(out("c").isNullAt(3) && out("c").getDouble(4) == 0.555556)
+    assert(out("a").getBoolean(8) && !out("b").getBoolean(8) &&
+      out("c").getBoolean(8), "drift flags")
+    // flips replay the frozen hash60 draws: a rate crossing in either
+    // direction is a flip, anything else is not
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def draw(id: Long): Double =
+      TextOps.hash60Str(md, id.toString).toDouble / 1152921504606846976.0
+    def flips(ids: Seq[Long], rb: Double, ru: Double): (Long, Long) = (
+      ids.count(i => !(draw(i) < rb) && draw(i) < ru).toLong,
+      ids.count(i => draw(i) < rb && !(draw(i) < ru)).toLong)
+    val (aIn, aOut) = flips(Seq(0L, 1L), 5.0 / 6.0, 5.0 / 9.0)
+    val (bIn, bOut) = flips(Seq(2L), 5.0 / 12.0, 2.0 / 9.0)
+    assert(out("a").getLong(5) == 2L &&
+      out("a").getLong(6) == aIn && out("a").getLong(7) == aOut)
+    assert(out("b").getLong(5) == 1L &&
+      out("b").getLong(6) == bIn && out("b").getLong(7) == bOut)
+    // c has no standing documents: zero flips by construction
+    assert(out("c").getLong(5) == 0L &&
+      out("c").getLong(6) == 0L && out("c").getLong(7) == 0L)
+    // the budget is fixed while mass grew: rates only dilute here, so
+    // no standing document can flip IN
+    assert(aIn == 0L && bIn == 0L)
+  }
 }
