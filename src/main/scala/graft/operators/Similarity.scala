@@ -378,6 +378,61 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** QUALITY audit of a written IVF index: recall@k of the pruned
+    * serve against exact brute force over the SAME index. The
+    * structural audits (duplicate members, payload divergence) say the
+    * artifact is intact; this one says the artifact is GOOD — the
+    * number an ANN operator actually watches, because recall decays
+    * silently as appends drift members away from the frozen centroids
+    * (the failure [[graft.operators.Clustering.semanticDriftAudit]]
+    * detects on distributions, measured here on retrieval results).
+    *
+    * Per query: the exact top-k (ONE full scan of the index — ground
+    * truth, which is the audit's irreducible cost) and the served
+    * top-k ([[ivfTopKIndexed]], partition-pruned at `nprobe`), then
+    * `n_hit = |exact ∩ served|` and `recall = n_hit / n_exact`. Both
+    * rankings break ties on neighbor id, so both SETS are total-order
+    * deterministic and the intersection count is exact — q183 gates
+    * every per-query row against a DuckDB replay of both rankings.
+    *
+    * Scale shape: the query set is broadcast-class (the
+    * [[bruteForceTopK]] contract — an audit runs on a SAMPLE of
+    * queries, not the corpus); the exact side is one narrow scan of
+    * the index with the queries broadcast, partial top-k per
+    * partition via the rank window's shuffle being |Q|-keyed; the
+    * served side prunes as in serving. Both per-query shortlists are
+    * |Q|·k rows — the intersection join broadcasts.
+    */
+  def ivfRecallAudit(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      centroids: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      centroidIdCol: String = "centroid_id"): DataFrame = {
+    val served = ivfTopKIndexed(spark, path, centroids, queries, k,
+        nprobe, idCol, vecCol, centroidIdCol)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val q = queries
+      .select(col(idCol).as("query_id"), asD(col(vecCol)).as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val exact = spark.read.parquet(path)
+      .select(col(idCol).as("neighbor_id"), asD(col(vecCol)).as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+    exact.join(broadcast(served), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+      .select(col("query_id"), lit(k).as("k"), col("n_exact"),
+        col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact").cast("double"),
+          6).as("recall"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within a blocking column
     * (e.g. a cluster label): pairs with cosine >= threshold. Blocks
     * larger than `maxBlockSize` are dropped before pairing — the same

@@ -1062,6 +1062,80 @@ object PipelineQueries {
     Some(ivfIndexOracleSql))
 
   // ------------------------------------------------------------------
+  // q183 IVF recall@k audit (pruned serve vs exact over the index)
+  // ------------------------------------------------------------------
+
+  /** The QUALITY audit the structural ones (q142 duplicates, q145
+    * stats) don't give: recall@k of the nprobe-pruned serve against
+    * exact brute force over the SAME written index
+    * ([[graft.operators.Similarity.ivfRecallAudit]]). Recall decays
+    * silently as the data distribution leaves the frozen centroids —
+    * this is the measurement that turns "retrain the centroids?" into
+    * a number, on the retrieval results themselves. The oracle replays
+    * BOTH rankings (assignment → probe → pruned top-5, and the exact
+    * top-5) and the per-query intersection counts; one neighbor
+    * swapped by a ranking or a partition-value corruption moves
+    * n_hit and hash-fails that query's row.
+    */
+  val q183IvfRecall: QueryDef = QueryDef(
+    "q183_ivf_recall",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_ivfidx_q183_", dir)
+      Similarity.ivfWriteIndex(Similarity.ivfAssign(emb, centroids),
+        path.toString)
+      Similarity.ivfRecallAudit(s, path.toString, centroids,
+          emb.filter(col("vec_id") < 10).select(col("vec_id"), col("embedding")),
+          k = 5, nprobe = 2)
+        .orderBy(col("query_id"))
+    }, {
+      val cosEC = Similarity.cosineSql("e.embedding", "c.centv")
+      val cosQC = Similarity.cosineSql("q.qv", "c.centv")
+      val cosQA = Similarity.cosineSql("p.qv", "a.embedding")
+      val cosQE = Similarity.cosineSql("qq.qv", "e.embedding")
+      Some(s"""
+        WITH cent AS (SELECT vec_id AS cid, embedding AS centv
+                      FROM embeddings WHERE vec_id % 50 = 0),
+        assign AS (SELECT vec_id, embedding, cid AS bucket FROM (
+          SELECT e.vec_id, e.embedding, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                    ORDER BY $cosEC DESC, c.cid) AS crn
+          FROM embeddings e CROSS JOIN cent c) t WHERE crn = 1),
+        q AS (SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id < 10),
+        probes AS (SELECT query_id, qv, cid AS bucket FROM (
+          SELECT q.query_id, q.qv, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                    ORDER BY $cosQC DESC, c.cid) AS prn
+          FROM q CROSS JOIN cent c) t WHERE prn <= 2),
+        served AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id) AS rnk
+          FROM (SELECT p.query_id, a.vec_id AS neighbor_id, $cosQA AS sim
+                FROM assign a JOIN probes p ON a.bucket = p.bucket
+                 AND a.vec_id <> p.query_id)) WHERE rnk <= 5),
+        ex AS (SELECT query_id, neighbor_id FROM (
+          SELECT qq.query_id, e.vec_id AS neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY qq.query_id
+                                    ORDER BY $cosQE DESC, e.vec_id) AS rn
+          FROM q qq CROSS JOIN embeddings e
+          WHERE e.vec_id <> qq.query_id) WHERE rn <= 5)
+        SELECT x.query_id, CAST(5 AS INT) AS k,
+               CAST(COUNT(*) AS BIGINT) AS n_exact,
+               CAST(COUNT(s.neighbor_id) AS BIGINT) AS n_hit,
+               round(CAST(COUNT(s.neighbor_id) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+        FROM ex x LEFT JOIN served s
+          ON x.query_id = s.query_id AND x.neighbor_id = s.neighbor_id
+        GROUP BY 1 ORDER BY 1
+      """)
+    })
+
+  // ------------------------------------------------------------------
   // Shared DuckDB replay of the fixed-point PQ training arithmetic
   // ------------------------------------------------------------------
 
@@ -3129,5 +3203,5 @@ object PipelineQueries {
     q169BigramDrift, q170PackedIds, q171StreamingIngest,
     q172BlockIncremental, q173SemanticIncremental, q174StreamingIvfIngest,
     q175SemanticDrift, q176CurationV7, q177StreamingBm25Ingest,
-    q178SemanticRepair, q180StreamingSemanticIngest)
+    q178SemanticRepair, q180StreamingSemanticIngest, q183IvfRecall)
 }

@@ -340,6 +340,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "no unbroadcast cross product")
   }
 
+  test("q183: recall audit — served side prunes to probed buckets, exact side broadcasts the query sample") {
+    val p = plan("q183_ivf_recall")
+    // the served shortlist must keep q134's pruned-serve shape: the
+    // audit measures serving as deployed, not a special read path
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(p).isDefined,
+      s"served side must prune as partition filters:\n$p")
+    assert(p.contains("vec_nearest"),
+      "probe ranking must use the native literal-centroid expression")
+    assert(p.contains("WindowGroupLimit"), "both top-k sides push group limits")
+    // the exact side is ONE full index scan with the |Q|-row query
+    // sample broadcast — never a shuffle of the corpus against queries
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"exact side must broadcast the query sample over one scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"nothing corpus-sized may shuffle for a join:\n$p")
+  }
+
   test("q135: quality bucketing is a narrow map over the NLL pass — no corpus sort") {
     val p = plan("q135_quality_mix")
     // fixed NLL cutoffs keep bucketing out of any global window: a

@@ -108,6 +108,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(served.select("neighbor_id").as[Long].collect().nonEmpty)
   }
 
+  test("ivfRecallAudit: pruned-serve recall against exact over the same index, by hand") {
+    // 2-d cosine geometry, centroids on the axes: buckets are the
+    // half-quadrants. v2 sits on the x-axis side but its 2nd/3rd exact
+    // neighbors live in bucket 1 — nprobe=1 MUST miss them, so the
+    // audit has to report recall 1/3 for v2 and 2/3 for v1 (whose
+    // bucket holds only 2 candidates for k=3).
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val df = Seq(0L -> v(1, 0), 1L -> v(0, 1), 2L -> v(1, 0.1),
+      3L -> v(0.1, 1), 4L -> v(0.6, 0.8)).toDF("vec_id", "embedding")
+    // buckets: {0, 2} on x, {1, 3, 4} on y
+    val cents = Seq(0L -> v(1, 0), 1L -> v(0, 1))
+      .toDF("centroid_id", "embedding")
+    val path = TmpWorkspaces.pidScoped("graft_ivfidx_recall_", "spec")
+    Similarity.ivfWriteIndex(Similarity.ivfAssign(df, cents),
+      path.toString)
+    val out = Similarity.ivfRecallAudit(spark, path.toString, cents,
+        df.filter(col("vec_id").isin(1L, 2L)), k = 3, nprobe = 1)
+      .as[(Long, Int, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // v2 exact top-3 = {0 (.995), 4 (.677), 3 (.198)}; bucket 0 serves
+    // only {0} → 1 of 3
+    assert(out(2L) == ((2L, 3, 3L, 1L, 0.333333)), s"got ${out(2L)}")
+    // v1 exact top-3 = {3 (.995), 4 (.8), 2 (.0995)}; bucket 1 serves
+    // {3, 4} → 2 of 3
+    assert(out(1L) == ((1L, 3, 3L, 2L, 0.666667)), s"got ${out(1L)}")
+    // widening the probe to both buckets recovers exact: recall 1.0
+    val full = Similarity.ivfRecallAudit(spark, path.toString, cents,
+        df.filter(col("vec_id").isin(1L, 2L)), k = 3, nprobe = 2)
+      .as[(Long, Int, Long, Long, Double)].collect()
+    assert(full.forall(r => r._4 == r._3 && r._5 == 1.0), s"got ${full.toSeq}")
+  }
+
   test("ivfAppendIndex: build(base) + append(delta) serves identically to build(union)") {
     // 20 vectors on 4 axes of dim 4, 2 centroids; split base/delta by
     // id parity — the served top-k from the appended layout must equal
