@@ -332,6 +332,86 @@ object Curation {
           lit(true)).as("drifted"))
   }
 
+  /** Dataset RELEASE manifest: per shard, the document count, token
+    * count, and an ORDER-FREE content checksum — `bit_xor` of
+    * `hash60(key ∥ md5(normalized text))`. This is the artifact a
+    * pipeline publishes with a dataset release: two replicas (or two
+    * re-runs) hold the identical corpus iff their manifests are
+    * row-equal, and a divergence localizes to its shard instead of
+    * demanding a corpus diff. XOR makes the checksum both
+    * aggregation-order-free (any plan, any partitioning — same value)
+    * and COMPOSITIONAL: manifest(base) ⊕ manifest(delta) =
+    * manifest(base ∪ delta) per shard ([[manifestMerge]]), so a day-2
+    * append updates the release manifest from the delta alone — the
+    * base corpus is never rescanned. q184 gates exactly that equality
+    * against a fresh whole-union replay.
+    *
+    * Caveat (documented, by design): XOR cancels EVEN multiplicities
+    * of an identical (key, content) row, but `n_docs` moves with any
+    * cardinality change, so the pair (count, checksum) still detects
+    * it; exact duplicate hunting is the dedup family's job, not the
+    * manifest's.
+    *
+    * Scale shape: one narrow scan, group by a ≤16^shardHexChars-key
+    * shard id with map-side partial count/sum/xor — the shuffle
+    * carries one row per shard per task. At 100 TB this is scan-bound.
+    */
+  def releaseManifest(df: DataFrame, keyCol: String, textCol: String,
+      shardHexChars: Int = 2): DataFrame = {
+    require(shardHexChars >= 1 && shardHexChars <= 4,
+      s"shardHexChars must be in [1, 4], got $shardHexChars")
+    val key = col(keyCol).cast("string")
+    df.select(
+        substring(md5(key), 1, shardHexChars).as("shard"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_toks"),
+        TextOps.hash60(concat_ws("\u0001", key,
+          TextAnalysis.fingerprint(col(textCol)))).as("h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        expr("bit_xor(h)").as("checksum"))
+  }
+
+  /** Combine two [[releaseManifest]]s over DISJOINT corpora into the
+    * union's manifest: counts add, checksums XOR — an S-row full-outer
+    * join, so a day-2 append folds into the standing release manifest
+    * at delta cost with zero base reads. Disjointness is the caller's
+    * contract (the same append-exactly-once ownership as every index
+    * append here); merging overlapping corpora double-counts exactly
+    * like appending twice does.
+    */
+  def manifestMerge(a: DataFrame, b: DataFrame): DataFrame = {
+    val bb = b.select(col("shard"), col("n_docs").as("nd_b"),
+      col("n_tokens").as("nt_b"), col("checksum").as("ck_b"))
+    a.join(bb, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        (coalesce(col("n_docs"), lit(0L)) + coalesce(col("nd_b"), lit(0L)))
+          .as("n_docs"),
+        (coalesce(col("n_tokens"), lit(0L)) + coalesce(col("nt_b"), lit(0L)))
+          .as("n_tokens"),
+        coalesce(col("checksum"), lit(0L))
+          .bitwiseXOR(coalesce(col("ck_b"), lit(0L))).as("checksum"))
+  }
+
+  /** Replica verification: the shards where two manifests disagree —
+    * empty iff the corpora are manifest-identical. Null-safe on every
+    * field, so a shard present on one side only IS a difference.
+    * Output: (shard, n_docs_a, n_docs_b, n_tokens_a, n_tokens_b,
+    * checksum_a, checksum_b) — S rows at most, driver-safe to collect.
+    */
+  def manifestDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    val aa = a.select(col("shard"), col("n_docs").as("n_docs_a"),
+      col("n_tokens").as("n_tokens_a"), col("checksum").as("checksum_a"))
+    val bb = b.select(col("shard"), col("n_docs").as("n_docs_b"),
+      col("n_tokens").as("n_tokens_b"), col("checksum").as("checksum_b"))
+    aa.join(bb, Seq("shard"), "full_outer")
+      .filter(!(col("n_docs_a") <=> col("n_docs_b")) ||
+        !(col("n_tokens_a") <=> col("n_tokens_b")) ||
+        !(col("checksum_a") <=> col("checksum_b")))
+      .select(col("shard"), col("n_docs_a"), col("n_docs_b"),
+        col("n_tokens_a"), col("n_tokens_b"),
+        col("checksum_a"), col("checksum_b"))
+  }
+
   def weightedMix(df: DataFrame, keyCol: String, stratumCol: String,
       rates: Map[String, Double]): DataFrame = {
     require(rates.values.forall(r => r >= 0 && r <= 64),

@@ -832,11 +832,46 @@ object CurationQueries {
       """)
     })
 
+  /** The dataset release manifest, gated through its INCREMENTAL path
+    * ([[graft.operators.Curation.releaseManifest]] →
+    * [[graft.operators.Curation.manifestMerge]]): the base corpus
+    * (doc_id % 4 ≠ 0) and the appended delta are manifested
+    * separately and MERGED (counts add, checksums XOR), and the
+    * result must hash-equal the oracle's fresh whole-union manifest —
+    * the compositionality that lets a 100 TB release update its
+    * manifest from the delta alone. A single bit anywhere in any
+    * document's normalized content, a lost row, or a broken XOR fold
+    * moves that shard's row and hash-fails.
+    */
+  val q184ReleaseManifest: QueryDef = QueryDef(
+    "q184_release_manifest",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Curation.manifestMerge(
+          Curation.releaseManifest(
+            docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text"),
+          Curation.releaseManifest(
+            docs.filter(col("doc_id") % 4 === 0), "doc_id", "text"))
+        .orderBy(col("shard"))
+    }, {
+      val toks = TextOps.tokensSql("text")
+      val content = TextOps.hash60Sql(
+        s"concat(CAST(doc_id AS VARCHAR), chr(1), ${TextAnalysis.fingerprintSql("text")})")
+      Some(s"""
+        SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CAST(len($toks) AS BIGINT)) AS BIGINT) AS n_tokens,
+               bit_xor($content) AS checksum
+        FROM documents
+        GROUP BY 1 ORDER BY shard
+      """)
+    })
+
   val all: Seq[QueryDef] =
     Seq(q109StratifiedSample, q110PiiRedaction, q111SplitLeakage,
       q112VocabTopK, q113TokenChunks, q116CurationE2e,
       q117RepetitionMetrics, q119Decontamination, q124WeightedMix,
       q127CurationV2, q130UnigramQuality, q131SeqPack, q135QualityMix,
       q150BigramQuality, q179TemperatureMixture, q181MixturePacked,
-      q182MixtureDrift)
+      q182MixtureDrift, q184ReleaseManifest)
 }

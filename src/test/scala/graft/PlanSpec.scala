@@ -838,6 +838,19 @@ class PlanSpec extends AnyFunSuite {
       s"nothing corpus-sized may shuffle for a join:\n$p")
   }
 
+  test("q184: manifest merge — one scan per side, map-side XOR fold, S-row join only") {
+    val p = plan("q184_release_manifest")
+    // one corpus scan per manifested side (base + delta) and nothing
+    // else — the merge itself must never read documents again
+    assert("FileScan parquet".r.findAllIn(p).length == 2,
+      s"exactly two corpus scans (base + delta) expected:\n$p")
+    assert(p.contains("partial_bit_xor") || p.contains("partial_sum"),
+      "shard checksums must partial-aggregate map-side before the shuffle")
+    // the full-outer merge join runs on two ≤256-row manifest frames —
+    // an SMJ there is S-row work; what must NOT appear is a cartesian
+    assert(!p.contains("CartesianProduct"), s"no cross product:\n$p")
+  }
+
   test("q157: BPE id emission is one pruned corpus scan — no join, no pre-sort shuffle") {
     val p = plan("q157_bpe_ids")
     // training/vocab happen at build time (driver collects); the final

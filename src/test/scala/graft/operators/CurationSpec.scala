@@ -287,6 +287,57 @@ class CurationSpec extends AnyFunSuite {
     assert(all.forall(r => r._4 == 1.0 && r._5), s"got ${all.toSeq}")
   }
 
+  test("releaseManifest: twin-replayed checksums, XOR merge ≡ fresh union, diff localizes") {
+    val docs = Seq(1L -> "alpha beta gamma", 2L -> "delta", 3L -> "x y",
+      4L -> "one two three four", 5L -> "w w w", 6L -> "zed")
+    val df = docs.toDF("doc_id", "text")
+    val got = Curation.releaseManifest(df, "doc_id", "text")
+      .as[(String, Long, Long, Long)].collect().toSet
+    // JVM-twin replay: md5-prefix shard, hash60(key ∥  ∥ md5(norm)),
+    // XOR fold per shard
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String = {
+      md.reset()
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val expected = docs.groupBy { case (id, _) => md5hex(id.toString).take(2) }
+      .map { case (shard, rows) =>
+        (shard, rows.size.toLong,
+          rows.map(_._2.split(" ").length.toLong).sum,
+          rows.map { case (id, t) =>
+            TextOps.hash60Str(md, id.toString + "\u0001" +
+              md5hex(TextOps.normalizeStr(t)))
+          }.reduce(_ ^ _))
+      }.toSet
+    assert(got == expected, s"got $got\nexpected $expected")
+    // merge of disjoint manifests ≡ the fresh union manifest (the q184
+    // compositionality gate, pinned at the engine level)
+    val merged = Curation.manifestMerge(
+        Curation.releaseManifest(df.filter(col("doc_id") % 2 === 0), "doc_id", "text"),
+        Curation.releaseManifest(df.filter(col("doc_id") % 2 =!= 0), "doc_id", "text"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(merged == got, "XOR merge must equal the fresh union manifest")
+    // identical replicas diff empty
+    val m = Curation.releaseManifest(df, "doc_id", "text")
+    assert(Curation.manifestDiff(m, m).isEmpty)
+    // one flipped byte in one document localizes to its shard: same
+    // n_docs, different checksum — and ONLY that shard reported
+    val corrupted = Curation.releaseManifest(
+      df.withColumn("text",
+        when(col("doc_id") === 2L, lit("delta!!!CORRUPT")).otherwise(col("text"))),
+      "doc_id", "text")
+    val diff = Curation.manifestDiff(m, corrupted).collect()
+    assert(diff.length == 1 && diff.head.getString(0) == md5hex("2").take(2))
+    assert(diff.head.getLong(1) == diff.head.getLong(2), "counts unchanged")
+    assert(diff.head.getLong(5) != diff.head.getLong(6), "checksums differ")
+    // a lost document whose shard held only it: the shard appears on
+    // one side only — null-safe diff reports it
+    val lost = Curation.releaseManifest(df.filter(col("doc_id") =!= 6L),
+      "doc_id", "text")
+    val dl = Curation.manifestDiff(m, lost).collect()
+    assert(dl.exists(r => r.getString(0) == md5hex("6").take(2) && r.isNullAt(2)))
+  }
+
   test("mixtureDriftAudit: frozen draws, rate crossings, new-source drift pin") {
     // base: a = 2 docs x 8 toks (16), b = 1 doc x 64 toks
     //   q_a = 4e6, q_b = 8e6, qtb = 12e6; budget 40 →
