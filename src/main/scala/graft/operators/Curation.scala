@@ -207,14 +207,30 @@ object Curation {
     * exactness does not.
     */
   def temperatureMixture(df: DataFrame, stratumCol: String, keyCol: String,
-      textCol: String, budget: Long): DataFrame = {
-    require(budget > 0, s"token budget must be positive, got $budget " +
-      "(a zero budget would silently admit nothing)")
+      textCol: String, budget: Long): DataFrame =
     // note: src_toks ≥ 1 for every present source — `tokens` yields at
     // least one element even for empty text — so the rate denominator
     // can never be 0 and no NaN reaches the least() clamp
-    val toks = df.select(col(stratumCol), col(keyCol),
-        size(TextOps.tokens(col(textCol))).cast("long").as("n_toks"))
+    mixtureFromCounts(
+      df.select(col(stratumCol), col(keyCol),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_toks")),
+      stratumCol, keyCol, budget)
+
+  /** The mixture derivation's arithmetic tail over an ALREADY-COUNTED
+    * frame (stratumCol, keyCol, n_toks) — the part
+    * [[temperatureMixture]] runs after its tokenize pass, and
+    * [[mixtureServeIndex]] runs over a written token-count payload
+    * (where the tokenize happened once, at ingest). Masses are exact
+    * long sums, so ANY partitioning of the counts — one frame, a
+    * day-2 union, or streamed generations — derives identical rates
+    * and draws.
+    */
+  def mixtureFromCounts(counts: DataFrame, stratumCol: String,
+      keyCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget " +
+      "(a zero budget would silently admit nothing)")
+    val toks = counts.select(col(stratumCol), col(keyCol),
+        col("n_toks").cast("long").as("n_toks"))
       .localCheckpoint()
     val mass = toks.groupBy(col(stratumCol))
       .agg(sum(col("n_toks")).as("src_toks"))
@@ -233,6 +249,41 @@ object Curation {
         (TextOps.hash60(col(keyCol).cast("string")).cast("double") /
           lit(1152921504606846976.0) < col("rate")).as("admitted"))
   }
+
+  /** Appends one GENERATION of the written mixture-manifest payload:
+    * per document, (stratumCol, keyCol, n_toks) — the tokenize pass
+    * runs HERE, once, at ingest, and never again; serving
+    * ([[mixtureServeIndex]]) re-derives rates from the stored counts
+    * alone. Per the written-index layout rule, the payload carries
+    * only PER-ITEM facts (a document's token count never moves when
+    * the corpus grows); the corpus-movable source masses are summed at
+    * serve time — and being exact long sums, they are additive across
+    * any generation split, which is why batch boundaries provably
+    * cannot move a rate or a draw (q185 gates the streamed ingest
+    * against the fresh q179 derivation).
+    *
+    * NOT idempotent — the standard append contract: a replayed batch
+    * doubles its documents' mass contributions and duplicates their
+    * keys; audit with `groupBy(keyCol).count > 1` over the payload and
+    * repair by rewriting it deduplicated.
+    */
+  def mixtureAppendIndex(batch: DataFrame, path: String,
+      stratumCol: String, keyCol: String, textCol: String): Unit =
+    batch.select(col(stratumCol), col(keyCol),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_toks"))
+      .write.mode("append").parquet(path)
+
+  /** Serves the standing admission manifest from a written mixture
+    * payload ([[mixtureAppendIndex]] generations): derive rates from
+    * the summed stored counts and flag every stored document's frozen
+    * draw — [[temperatureMixture]] minus the tokenize pass, which
+    * already happened at ingest. Output and arithmetic are exactly the
+    * fresh derivation's, so the q179 oracle gates this path verbatim.
+    */
+  def mixtureServeIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, stratumCol: String, keyCol: String,
+      budget: Long): DataFrame =
+    mixtureFromCounts(spark.read.parquet(path), stratumCol, keyCol, budget)
 
   /** Day-2 of [[temperatureMixture]]: a snapshot lands, the per-source
     * token masses move, and — the budget being FIXED — every source's

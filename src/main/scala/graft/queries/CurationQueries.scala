@@ -693,19 +693,59 @@ object CurationQueries {
     s"""(CAST(${TextOps.hash60Sql("CAST(t.doc_id AS VARCHAR)")}
          AS DOUBLE) / 1152921504606846976.0 < r.rate)"""
 
+  /** The full q179 oracle — ALSO the q185 oracle verbatim: the
+    * streamed ingest's served manifest must equal the fresh
+    * derivation, which is the whole point of the generation-additive
+    * mass layout.
+    */
+  private def mixtureManifestOracleSql: String = s"""
+    WITH ${mixtureOracleCtes(MixtureBudget)}
+    SELECT t.source, t.doc_id, t.n_toks, round(r.rate, 6) AS rate,
+           $mixtureAdmittedSql AS admitted
+    FROM tm t JOIN rt r USING (source)
+    ORDER BY doc_id
+  """
+
   val q179TemperatureMixture: QueryDef = QueryDef(
     "q179_temperature_mixture",
     (s, dir) =>
       Curation.temperatureMixture(Tables.load(s, dir, "documents"),
           "source", "doc_id", "text", budget = MixtureBudget)
         .orderBy(col("doc_id")),
-    Some(s"""
-      WITH ${mixtureOracleCtes(MixtureBudget)}
-      SELECT t.source, t.doc_id, t.n_toks, round(r.rate, 6) AS rate,
-             $mixtureAdmittedSql AS admitted
-      FROM tm t JOIN rt r USING (source)
-      ORDER BY doc_id
-    """))
+    Some(mixtureManifestOracleSql))
+
+  /** The ingest loop's DERIVED-ARTIFACT member ([[graft.streaming
+    * .IndexIngest.startMixture]]): the corpus arrives as a stream in
+    * micro-batches, each batch tokenized once and appended as a
+    * mixture-payload generation, then the standing admission manifest
+    * is served from stored counts alone — and must hash-equal the
+    * fresh whole-corpus q179 derivation (same oracle text). Source
+    * masses are exact long sums, so generations add; draws are frozen
+    * per-key hashes; batch boundaries provably cannot move a rate or
+    * an admission.
+    */
+  val q185StreamingMixtureIngest: QueryDef = QueryDef(
+    "q185_streaming_mixture_ingest",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("text")).localCheckpoint()
+      val inPath = graft.operators.TmpWorkspaces
+        .pidScoped("graft_ingest_in_q185_", dir)
+      Seq(col("doc_id") % 3 === 0, col("doc_id") % 3 =!= 0).foreach { p =>
+        docs.filter(p).coalesce(1)
+          .write.mode("append").parquet(inPath.toString)
+      }
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_miximidx_q185_", dir)
+      graft.streaming.IndexIngest.ingestMixtureDocs(
+        s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inPath.toString),
+        path.toString)
+      Curation.mixtureServeIndex(s, path.toString, "source", "doc_id",
+          budget = MixtureBudget)
+        .orderBy(col("doc_id"))
+    },
+    Some(mixtureManifestOracleSql))
 
   /** The mixture composed to its product ([[graft.operators.Curation
     * .temperatureMixture]] → [[graft.operators.Curation
@@ -873,5 +913,5 @@ object CurationQueries {
       q117RepetitionMetrics, q119Decontamination, q124WeightedMix,
       q127CurationV2, q130UnigramQuality, q131SeqPack, q135QualityMix,
       q150BigramQuality, q179TemperatureMixture, q181MixturePacked,
-      q182MixtureDrift, q184ReleaseManifest)
+      q182MixtureDrift, q184ReleaseManifest, q185StreamingMixtureIngest)
 }

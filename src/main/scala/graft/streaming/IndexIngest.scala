@@ -167,4 +167,45 @@ object IndexIngest {
     try q.processAllAvailable()
     finally q.stop()
   }
+
+  /** The DERIVED-ARTIFACT member of the ingest loop: where the four
+    * index sinks above maintain retrieval/dedup state, this one
+    * maintains the mixture manifest ([[graft.operators.Curation
+    * .mixtureAppendIndex]]) — each micro-batch of newly-arrived
+    * documents is tokenized ONCE and its (source, key, n_toks) payload
+    * appended as one generation; the standing admission manifest is
+    * then served from stored counts alone
+    * ([[graft.operators.Curation.mixtureServeIndex]]), re-deriving
+    * rates as the corpus grows without ever re-reading text. Batch
+    * boundaries cannot move a rate or a draw: source masses are exact
+    * long sums (additive over any generation split) and draws are
+    * frozen per-key hashes — q185 gates the streamed ingest's serve
+    * against the fresh whole-corpus q179 derivation. Same delivery
+    * contract as the other sinks: batch-atomic parquet append, caller
+    * owns exactly-once across retries (a replayed batch doubles its
+    * documents' mass and duplicates keys — the `groupBy(key).count >
+    * 1` audit localizes it).
+    */
+  def startMixture(docsStream: DataFrame, path: String,
+      stratumCol: String = "source", idCol: String = "doc_id",
+      textCol: String = "text"): StreamingQuery =
+    docsStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Curation.mixtureAppendIndex(batch, path,
+          stratumCol, idCol, textCol)
+      }
+      .outputMode("append")
+      .start()
+
+  /** Runs the mixture-manifest ingest over all currently-available
+    * input, then stops — the bounded-backfill form the q185 gate
+    * drives.
+    */
+  def ingestMixtureDocs(docsStream: DataFrame, path: String,
+      stratumCol: String = "source", idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val q = startMixture(docsStream, path, stratumCol, idCol, textCol)
+    try q.processAllAvailable()
+    finally q.stop()
+  }
 }

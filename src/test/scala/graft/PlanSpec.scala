@@ -838,6 +838,21 @@ class PlanSpec extends AnyFunSuite {
       s"nothing corpus-sized may shuffle for a join:\n$p")
   }
 
+  test("q185: streamed mixture manifest serves from stored counts — no text rescan, broadcast rates") {
+    val p = plan("q185_streaming_mixture_ingest")
+    // the tokenize happened at ingest; serving reads the materialized
+    // count frame and must never touch text again
+    assert(!p.contains("FileScan parquet"),
+      s"serve must ride the checkpointed stored-count frame:\n$p")
+    assert(p.contains("Scan ExistingRDD"), "materialized count frame expected")
+    assert(p.contains("BroadcastHashJoin"),
+      "the S-row rates frame must broadcast to the admission pass")
+    assert(p.contains("partial_sum"),
+      "generation masses must map-side combine before their shuffle")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"nothing corpus-sized may shuffle for a join:\n$p")
+  }
+
   test("q184: manifest merge — one scan per side, map-side XOR fold, S-row join only") {
     val p = plan("q184_release_manifest")
     // one corpus scan per manifested side (base + delta) and nothing

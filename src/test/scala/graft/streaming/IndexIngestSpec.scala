@@ -183,4 +183,46 @@ class IndexIngestSpec extends AnyFunSuite {
     assert(got == serve(fresh.toString), s"got $got")
     assert(got.nonEmpty && got.forall(_._4 > 0.0))
   }
+
+  test("streaming mixture ingest: generation masses add, served manifest equals the fresh derivation") {
+    import graft.operators.Curation
+    // the q179 fixture geometry: a = 2x8 tokens, b = 1x64 — streamed
+    // in three micro-batches that SPLIT source a across batches, the
+    // hardest case for mass additivity
+    val docs = Seq(
+      (0L, "a", Seq.fill(8)("w").mkString(" ")),
+      (1L, "a", Seq.fill(8)("w").mkString(" ")),
+      (2L, "b", Seq.fill(64)("w").mkString(" ")))
+    val idx = TmpWorkspaces.pidScoped("graft_mixingest_spec_", "mix")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    val q = IndexIngest.startMixture(
+      in.toDS().toDF("doc_id", "source", "text"), idx.toString)
+    try {
+      Seq(docs.take(1), docs.slice(1, 2), docs.drop(2)).foreach { chunk =>
+        in.addData(chunk)
+        q.processAllAvailable()
+      }
+      assert(q.recentProgress.count(_.numInputRows > 0) == 3,
+        "each add must arrive as its own micro-batch")
+    } finally q.stop()
+
+    // stored payload is per-item facts only: one row per doc, no text
+    val payload = spark.read.parquet(idx.toString)
+    assert(payload.count() == 3 && payload.columns.toSet ==
+      Set("source", "doc_id", "n_toks"))
+
+    // the served manifest equals the fresh whole-corpus derivation:
+    // rate_a = 5/6, rate_b = 5/12 at budget 40 (the q179 hand values)
+    val served = Curation.mixtureServeIndex(spark, idx.toString,
+        "source", "doc_id", budget = 40L)
+      .as[(String, Long, Long, Double, Boolean)].collect().toSet
+    val fresh = Curation.temperatureMixture(
+        docs.toDF("doc_id", "source", "text"), "source", "doc_id", "text",
+        budget = 40L)
+      .as[(String, Long, Long, Double, Boolean)].collect().toSet
+    assert(served == fresh && served.nonEmpty, s"got $served")
+    assert(served.find(_._2 == 0L).get._4 == 0.833333)
+    assert(served.find(_._2 == 2L).get._4 == 0.416667)
+  }
 }
