@@ -232,22 +232,67 @@ object Curation {
     val toks = counts.select(col(stratumCol), col(keyCol),
         col("n_toks").cast("long").as("n_toks"))
       .localCheckpoint()
-    val mass = toks.groupBy(col(stratumCol))
+    toks.join(broadcast(mixtureRatesFromCounts(toks, stratumCol, budget)),
+        stratumCol)
+      .select(col(stratumCol), col(keyCol), col("n_toks"),
+        round(col("rate"), 6).as("rate"),
+        (mixtureDraw(col(keyCol)) < col("rate")).as("admitted"))
+  }
+
+  /** The S-row rate frame of the mixture derivation — the fixed-point
+    * sqrt reweighting and budget split over a (stratumCol, …, n_toks)
+    * frame. THE single arithmetic tree every mixture path shares
+    * ([[mixtureFromCounts]], [[admitByMixture]]); the oracle replays
+    * it CTE-for-CTE.
+    */
+  private def mixtureRatesFromCounts(counts: DataFrame,
+      stratumCol: String, budget: Long): DataFrame = {
+    val mass = counts.groupBy(col(stratumCol))
       .agg(sum(col("n_toks")).as("src_toks"))
       .withColumn("q",
         floor(sqrt(col("src_toks").cast("double")) * lit(1000000.0))
           .cast("long"))
-    val rates = mass
+    mass
       .crossJoin(broadcast(mass.agg(sum(col("q")).as("qtot"))))
       .withColumn("rate", least(lit(1.0),
         (col("q").cast("double") * lit(budget.toDouble)) /
           (col("qtot").cast("double") * col("src_toks").cast("double"))))
       .select(col(stratumCol), col("rate"))
-    toks.join(broadcast(rates), stratumCol)
-      .select(col(stratumCol), col(keyCol), col("n_toks"),
-        round(col("rate"), 6).as("rate"),
-        (TextOps.hash60(col(keyCol).cast("string")).cast("double") /
-          lit(1152921504606846976.0) < col("rate")).as("admitted"))
+  }
+
+  /** The frozen per-key admission draw: `hash60(key) / 2⁶⁰` —
+    * uniform in [0, 1), deterministic across runs and engines.
+    */
+  private def mixtureDraw(key: Column): Column =
+    TextOps.hash60(key.cast("string")).cast("double") /
+      lit(1152921504606846976.0)
+
+  /** Admission as a FILTER that keeps the caller's columns (text
+    * included): derive the S-row rates, broadcast them onto `df`, and
+    * keep the rows whose frozen draw clears their source's rate — the
+    * form a downstream stage (tokenizer encode, packing) consumes when
+    * it needs the documents THEMSELVES, not the manifest.
+    * [[temperatureMixture]] emits the decision table; this emits the
+    * admitted corpus. Same rates, same draws — the q186 oracle replays
+    * both stages from one CTE chain.
+    *
+    * Scale shape: TWO narrow corpus scans (the mass pass tokenizes to
+    * counts; the admit pass re-reads rows with text) instead of
+    * checkpointing the corpus WITH its text between passes — at
+    * 100 TB, re-scanning columnar text beats materializing it, and
+    * both passes are scan-bound with only the S-row mass shuffle.
+    */
+  def admitByMixture(df: DataFrame, stratumCol: String, keyCol: String,
+      textCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget " +
+      "(a zero budget would silently admit nothing)")
+    val rates = mixtureRatesFromCounts(
+      df.select(col(stratumCol),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_toks")),
+      stratumCol, budget)
+    df.join(broadcast(rates), stratumCol)
+      .filter(mixtureDraw(col(keyCol)) < col("rate"))
+      .drop("rate")
   }
 
   /** Appends one GENERATION of the written mixture-manifest payload:

@@ -907,11 +907,98 @@ object CurationQueries {
       """)
     })
 
+  /** Flagship curation v8 — the RELEASED TRAINING SET: temperature
+    * mixture admits a budgeted resample of the corpus
+    * ([[graft.operators.Curation.admitByMixture]] — the filter form
+    * that keeps text), the BPE tokenizer encodes ONLY the admitted
+    * documents to ids, the packer places every id at its training
+    * coordinate ([[graft.operators.Curation.packTokenIds]], EOS slots
+    * included), and the output is the per-SEQUENCE release manifest —
+    * token count, contributing-document count, and the order-free XOR
+    * content checksum of (position : token id) pairs per sequence
+    * slot. This is the artifact a training run actually consumes plus
+    * the proof it is the right one: q184's manifest idea applied at
+    * sequence granularity to the packed product.
+    *
+    * Scale story: the budget is FIXED, so as the corpus grows the
+    * admission rate shrinks and the expensive encode/pack stages stay
+    * budget-sized — only the two narrow mass/admission scans are
+    * corpus-linear. The oracle replays the ENTIRE composition from one
+    * CTE chain — merge training, vocabulary, mixture rates, every
+    * admission draw, greedy encoding, packing offsets, and the
+    * per-sequence XOR — so one moved token coordinate anywhere
+    * hash-fails its sequence row.
+    */
+  val q186CurationV8: QueryDef = QueryDef(
+    "q186_curation_v8",
+    (s, dir) => {
+      import graft.operators.Bpe
+      val docs = Tables.load(s, dir, "documents")
+      val admitted = Curation.admitByMixture(docs, "source", "doc_id",
+        "text", budget = MixtureBudget)
+      val wf = Bpe.wordFreq(docs, "text").localCheckpoint()
+      val ms = Bpe.trainMergesFromWordFreq(wf, nMerges = 6)
+      val v = Bpe.vocab(ms)
+      val ids = Bpe.encodeIds(admitted, "doc_id", "text", ms, v)
+        .localCheckpoint()
+      Curation.packTokenIds(ids, "doc_id", "token_ids", seqLen = 256,
+          eosId = v.size.toLong)
+        .select(col("shard"), col("seq_idx"), col("doc_id"),
+          TextOps.hash60(concat_ws(":", col("pos_in_seq").cast("string"),
+            col("token_id").cast("string"))).as("h"))
+        .groupBy(col("shard"), col("seq_idx"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          expr("bit_xor(h)").as("checksum"))
+        .orderBy(col("shard"), col("seq_idx"))
+    }, {
+      import graft.operators.Bpe
+      Some(s"""
+        WITH ${Bpe.trainOracleCtes("documents", "text", 6)},
+        ${Bpe.vocabOracleCtes(6)},
+        ${mixtureOracleCtes(MixtureBudget)},
+        adm AS (SELECT t.doc_id FROM tm t JOIN rt r USING (source)
+                WHERE $mixtureAdmittedSql),
+        ${Bpe.encodeIdsOracleCtes(
+          "(SELECT d.doc_id, d.text FROM documents d JOIN adm ON d.doc_id = adm.doc_id)",
+          "doc_id", "text", 6)},
+        idn AS (SELECT a.doc_id, COALESCE(c.n, 0) AS n
+                FROM adm a
+                LEFT JOIN (SELECT doc_id, COUNT(*) AS n
+                           FROM ids GROUP BY 1) c USING (doc_id)),
+        ipo AS (SELECT doc_id,
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS shard, n,
+                       CAST(SUM(n + 1) OVER (
+                           PARTITION BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                         - (n + 1) AS BIGINT) AS s
+                FROM idn),
+        tokrows AS (SELECT doc_id, pos, token_id FROM ids
+                    UNION ALL
+                    SELECT doc_id, n AS pos,
+                           (SELECT COUNT(*) FROM vocab) AS token_id
+                    FROM ipo),
+        pl AS (SELECT o.shard,
+                      CAST((o.s + t.pos) // 256 AS BIGINT) AS seq_idx,
+                      CAST((o.s + t.pos) % 256 AS BIGINT) AS pos_in_seq,
+                      CAST(t.token_id AS BIGINT) AS token_id, t.doc_id
+               FROM tokrows t JOIN ipo o USING (doc_id))
+        SELECT shard, seq_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               bit_xor(${TextOps.hash60Sql(
+                 "concat(CAST(pos_in_seq AS VARCHAR), ':', CAST(token_id AS VARCHAR))")})
+                 AS checksum
+        FROM pl GROUP BY 1, 2 ORDER BY shard, seq_idx
+      """)
+    })
+
   val all: Seq[QueryDef] =
     Seq(q109StratifiedSample, q110PiiRedaction, q111SplitLeakage,
       q112VocabTopK, q113TokenChunks, q116CurationE2e,
       q117RepetitionMetrics, q119Decontamination, q124WeightedMix,
       q127CurationV2, q130UnigramQuality, q131SeqPack, q135QualityMix,
       q150BigramQuality, q179TemperatureMixture, q181MixturePacked,
-      q182MixtureDrift, q184ReleaseManifest, q185StreamingMixtureIngest)
+      q182MixtureDrift, q184ReleaseManifest, q185StreamingMixtureIngest,
+      q186CurationV8)
 }

@@ -853,6 +853,22 @@ class PlanSpec extends AnyFunSuite {
       s"nothing corpus-sized may shuffle for a join:\n$p")
   }
 
+  test("q186: v8 release — packing and the sequence manifest ride the checkpointed id frame") {
+    val p = plan("q186_curation_v8")
+    // admission + encode happened before the checkpoint; the packed
+    // manifest must never rescan the corpus
+    assert(!p.contains("FileScan parquet"),
+      s"packing must ride the checkpointed token-id frame:\n$p")
+    assert(p.contains("Scan ExistingRDD"), "materialized id frame expected")
+    assert(p.contains("Window"), "the packing running-sum window expected")
+    assert(p.contains("Generate posexplode"),
+      "token placement comes from the positional explode")
+    assert(p.contains("partial_bit_xor"),
+      "sequence checksums must partial-aggregate map-side")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"nothing corpus-sized may shuffle for a join:\n$p")
+  }
+
   test("q184: manifest merge — one scan per side, map-side XOR fold, S-row join only") {
     val p = plan("q184_release_manifest")
     // one corpus scan per manifested side (base + delta) and nothing

@@ -338,6 +338,28 @@ class CurationSpec extends AnyFunSuite {
     assert(dl.exists(r => r.getString(0) == md5hex("6").take(2) && r.isNullAt(2)))
   }
 
+  test("admitByMixture keeps exactly the manifest's admitted rows, text intact") {
+    // the q179 fixture: rates 5/6 (a) and 5/12 (b) at budget 40
+    val docs = Seq(
+      (0L, "a", Seq.fill(8)("w").mkString(" ")),
+      (1L, "a", Seq.fill(8)("w").mkString(" ")),
+      (2L, "b", Seq.fill(64)("w").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val manifest = Curation.temperatureMixture(docs, "source", "doc_id",
+        "text", budget = 40L)
+      .filter(col("admitted")).select("doc_id").as[Long].collect().toSet
+    val admitted = Curation.admitByMixture(docs, "source", "doc_id",
+      "text", budget = 40L)
+    assert(admitted.columns.toSet == Set("doc_id", "source", "text"),
+      "the filter form must keep the caller's columns")
+    assert(admitted.select("doc_id").as[Long].collect().toSet == manifest,
+      "filter and manifest must admit the same rows")
+    // text survives untouched for the downstream encode
+    val t = admitted.filter(col("doc_id") === manifest.head)
+      .select("text").as[String].head()
+    assert(t.startsWith("w w"))
+  }
+
   test("mixtureDriftAudit: frozen draws, rate crossings, new-source drift pin") {
     // base: a = 2 docs x 8 toks (16), b = 1 doc x 64 toks
     //   q_a = 4e6, q_b = 8e6, qtb = 12e6; budget 40 →
