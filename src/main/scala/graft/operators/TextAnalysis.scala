@@ -247,7 +247,19 @@ object TextAnalysis {
     * total is a one-row aggregate broadcast into the plan.
     */
   def unigramNll(df: DataFrame, idCol: String, textCol: String,
-      nllThreshold: Double): DataFrame = {
+      nllThreshold: Double): DataFrame =
+    unigramNllScores(df, idCol, textCol)
+      .select(col("doc_id"), col("n_tok"), col("nll"),
+        (col("nll") <= lit(nllThreshold)).as("kept"))
+
+  /** The scoring core of [[unigramNll]] without a threshold decision:
+    * (doc_id, n_tok, nll) — shared by the fixed-threshold gate (q130)
+    * and the distribution-adaptive percentile gate
+    * ([[qualityPercentileGate]], q187), so the fixed-point NLL
+    * arithmetic lives once.
+    */
+  def unigramNllScores(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val wTok = org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))
     val tf = df.select(col(idCol).as("doc_id"),
         explode(TextOps.tokens(col(textCol))).as("tok"))
@@ -261,8 +273,41 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("lpf")).as("s"), sum(col("tf")).as("n_tok"))
       .withColumn("nll", round(-col("s") / (lit(1000000.0) * col("n_tok")), 6))
-      .select(col("doc_id"), col("n_tok"), col("nll"),
-        (col("nll") <= lit(nllThreshold)).as("kept"))
+      .select(col("doc_id"), col("n_tok"), col("nll"))
+  }
+
+  /** DISTRIBUTION-ADAPTIVE quality gate (the CCNet-style cut, where
+    * q130/q135 use FIXED thresholds): per stratum, keep the best
+    * `keepFrac` of documents by unigram NLL — the threshold is
+    * wherever the stratum's score distribution puts it, so a uniformly
+    * noisy source still surrenders its worst tail and a uniformly
+    * clean one isn't over-cut. Ranking is `cume_dist` over
+    * (nll ASC, doc_id) — the composite key is total-ordered, so ranks
+    * (and therefore keeps) are deterministic under ties, and
+    * cume_dist has no single-row 0/0 edge. Output: one row per
+    * document (stratumCol, doc_id, n_tok, nll, q_rank, kept);
+    * `kept = cume_dist <= keepFrac` on the UNROUNDED rank.
+    *
+    * Scale shape: the NLL pass is q130's (one tokenize + vocabulary-
+    * keyed aggregation); the rank adds one doc-id-keyed join of two
+    * slim frames and one per-stratum window sort. At 100 TB the exact
+    * window is the honest gate-scale form; substituting an
+    * `approx_percentile`-derived per-stratum threshold (S rows,
+    * broadcast back) trades exactness for removing the window sort —
+    * the documented production knob.
+    */
+  def qualityPercentileGate(df: DataFrame, idCol: String,
+      textCol: String, stratumCol: String, keepFrac: Double): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"keepFrac must be in (0, 1], got $keepFrac")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(col("nll"), col("doc_id"))
+    df.select(col(stratumCol), col(idCol).as("doc_id"))
+      .join(unigramNllScores(df, idCol, textCol), "doc_id")
+      .withColumn("cd", cume_dist().over(w))
+      .select(col(stratumCol), col("doc_id"), col("n_tok"), col("nll"),
+        round(col("cd"), 6).as("q_rank"),
+        (col("cd") <= lit(keepFrac)).as("kept"))
   }
 
   /** Per-document bigram negative log-likelihood against an add-one-

@@ -477,6 +477,28 @@ object CurationQueries {
     * log-probs are quantized to longs before the per-doc sum so the
     * result is order-independent and engine-exact.
     */
+  /** The fixed-point unigram-NLL scoring CTEs (ending in `scores` =
+    * (doc_id, n_tok, nll)) — shared by q130's fixed-threshold gate and
+    * q187's percentile gate, so the quantized-log arithmetic is ONE
+    * text on the oracle side exactly as `unigramNllScores` is one tree
+    * on the engine side.
+    */
+  private def unigramNllOracleCtes: String = s"""
+    toks AS (SELECT doc_id, unnest(${TextOps.tokensSql("text")}) AS tok
+             FROM documents),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    tot AS (SELECT SUM(tf) AS total_toks FROM tf),
+    cnts AS (SELECT tok, SUM(tf) AS cnt FROM tf GROUP BY 1),
+    sc AS (SELECT t.doc_id, t.tf,
+                  CAST(FLOOR(ln(CAST(c.cnt AS DOUBLE) / tt.total_toks)
+                             * 1000000.0) AS BIGINT) AS lpf
+           FROM tf t JOIN cnts c USING (tok) CROSS JOIN tot tt),
+    agg AS (SELECT doc_id, SUM(tf * lpf) AS s, SUM(tf) AS n_tok
+            FROM sc GROUP BY 1),
+    scores AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+                      round(-(s) / (1000000.0 * n_tok), 6) AS nll
+               FROM agg)"""
+
   val q130UnigramQuality: QueryDef = QueryDef(
     "q130_unigram_quality",
     (s, dir) =>
@@ -484,21 +506,36 @@ object CurationQueries {
           "doc_id", "text", nllThreshold = 3.404)
         .orderBy(col("doc_id")),
     Some(s"""
-      WITH toks AS (SELECT doc_id, unnest(${TextOps.tokensSql("text")}) AS tok
-                    FROM documents),
-      tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
-      tot AS (SELECT SUM(tf) AS total_toks FROM tf),
-      cnts AS (SELECT tok, SUM(tf) AS cnt FROM tf GROUP BY 1),
-      sc AS (SELECT t.doc_id, t.tf,
-                    CAST(FLOOR(ln(CAST(c.cnt AS DOUBLE) / tt.total_toks)
-                               * 1000000.0) AS BIGINT) AS lpf
-             FROM tf t JOIN cnts c USING (tok) CROSS JOIN tot tt),
-      agg AS (SELECT doc_id, SUM(tf * lpf) AS s, SUM(tf) AS n_tok
-              FROM sc GROUP BY 1)
-      SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
-             round(-(s) / (1000000.0 * n_tok), 6) AS nll,
-             (round(-(s) / (1000000.0 * n_tok), 6) <= 3.404) AS kept
-      FROM agg
+      WITH $unigramNllOracleCtes
+      SELECT doc_id, n_tok, nll, (nll <= 3.404) AS kept
+      FROM scores
+      ORDER BY doc_id
+    """))
+
+  /** The DISTRIBUTION-ADAPTIVE quality cut ([[graft.operators
+    * .TextAnalysis.qualityPercentileGate]]): per source, keep the best
+    * half by unigram NLL — the threshold is wherever each source's
+    * score distribution puts it (the CCNet-style cut; q130/q135 use
+    * fixed thresholds). The oracle replays the shared NLL scoring CTEs
+    * plus the per-source cume_dist ranking over the total-ordered
+    * (nll, doc_id) key; one moved rank or one flipped keep decision
+    * hash-fails its document row.
+    */
+  val q187QualityPercentile: QueryDef = QueryDef(
+    "q187_quality_percentile",
+    (s, dir) =>
+      TextAnalysis.qualityPercentileGate(Tables.load(s, dir, "documents"),
+          "doc_id", "text", "source", keepFrac = 0.5)
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH $unigramNllOracleCtes,
+      j AS (SELECT d.source, sc.doc_id, sc.n_tok, sc.nll,
+                   cume_dist() OVER (PARTITION BY d.source
+                                     ORDER BY sc.nll, sc.doc_id) AS cd
+            FROM scores sc JOIN documents d USING (doc_id))
+      SELECT source, doc_id, n_tok, nll, round(cd, 6) AS q_rank,
+             (cd <= 0.5) AS kept
+      FROM j
       ORDER BY doc_id
     """))
 
@@ -1000,5 +1037,5 @@ object CurationQueries {
       q127CurationV2, q130UnigramQuality, q131SeqPack, q135QualityMix,
       q150BigramQuality, q179TemperatureMixture, q181MixturePacked,
       q182MixtureDrift, q184ReleaseManifest, q185StreamingMixtureIngest,
-      q186CurationV8)
+      q186CurationV8, q187QualityPercentile)
 }

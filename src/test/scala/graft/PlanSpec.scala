@@ -869,6 +869,15 @@ class PlanSpec extends AnyFunSuite {
       s"nothing corpus-sized may shuffle for a join:\n$p")
   }
 
+  test("q187: percentile gate — NLL pass partial-aggregates, one window, no cartesian") {
+    val p = plan("q187_quality_percentile")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "the tf aggregation must map-side combine before its shuffle")
+    assert(p.contains("Window"), "the per-stratum cume_dist window expected")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row total must broadcast, never cross:\n$p")
+  }
+
   test("q184: manifest merge — one scan per side, map-side XOR fold, S-row join only") {
     val p = plan("q184_release_manifest")
     // one corpus scan per manifested side (base + delta) and nothing

@@ -157,6 +157,34 @@ class TextAnalysisSpec extends AnyFunSuite {
       ("ab", 2L, 1L), ("an", 2L, 2L), ("na", 2L, 3L), ("ba", 1L, 4L)))
   }
 
+  test("qualityPercentileGate: per-stratum cume_dist keep, hand-computed NLL ranks") {
+    // corpus: w appears 7 times, z twice, total 9
+    //   lpf(w) = floor(ln(7/9)·1e6) = -251315
+    //   lpf(z) = floor(ln(2/9)·1e6) = -1504078
+    // nll: doc1 "w w" = 0.251315, doc2 "w" = 0.251315,
+    //      doc3 "w z" = (251315+1504078)/2e6 = 0.877697 (rounded)
+    //      doc4 "w w w" = 0.251315, doc5 "z" = 1.504078
+    // source a ranks (nll, doc_id): 1 → 1/3, 2 → 2/3, 3 → 3/3
+    // source b: 4 → 1/2, 5 → 2/2; keepFrac 0.5 keeps docs 1 and 4
+    val df = Seq(
+      (1L, "a", "w w"), (2L, "a", "w"), (3L, "a", "w z"),
+      (4L, "b", "w w w"), (5L, "b", "z")).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.qualityPercentileGate(df, "doc_id", "text",
+        "source", keepFrac = 0.5)
+      .as[(String, Long, Long, Double, Double, Boolean)].collect()
+      .map(r => r._2 -> r).toMap
+    assert(out(1L) == (("a", 1L, 2L, 0.251315, 0.333333, true)), s"got ${out(1L)}")
+    assert(out(2L) == (("a", 2L, 1L, 0.251315, 0.666667, false)), s"got ${out(2L)}")
+    assert(out(3L) == (("a", 3L, 2L, 0.877697, 1.0, false)), s"got ${out(3L)}")
+    assert(out(4L) == (("b", 4L, 3L, 0.251315, 0.5, true)), s"got ${out(4L)}")
+    assert(out(5L) == (("b", 5L, 1L, 1.504078, 1.0, false)), s"got ${out(5L)}")
+    // keepFrac = 1.0 keeps everything — the adaptive cut never
+    // over-cuts a uniformly clean source
+    val allKept = TextAnalysis.qualityPercentileGate(df, "doc_id", "text",
+      "source", keepFrac = 1.0)
+    assert(allKept.filter(!org.apache.spark.sql.functions.col("kept")).isEmpty)
+  }
+
   private def round6(d: Double): Double =
     BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
