@@ -120,6 +120,60 @@ object TextAnalysis {
       "quality_score" -> s"round($lengthScore * 0.4 + $alphaRatio * 0.3 + $stopRatio * 0.2 + $lenOk * 0.1, 6)")
   }
 
+  /** The DATASET CARD: the per-source profile a release ships next to
+    * its manifest — document count, token mass, mean and EXACT median
+    * token count, the argmax language with its count, and the
+    * fixed-point mean quality score. Every statistic is
+    * engine-reproducible: the median is the windowed pick at row
+    * `(n+1) div 2` of the total-ordered (n_toks, doc_id) key (never an
+    * interpolating `median()`, whose tie/interpolation rules differ
+    * across engines); the quality mean quantizes each score to a
+    * 1e-6-scaled long BEFORE summing (aggregation-order-free) and
+    * divides with integer floor; the top language breaks count ties
+    * lexicographically. q188 gates all of it per source.
+    *
+    * Scale shape: ONE narrow scan computes per-doc facts,
+    * materialized (`localCheckpoint`) and shared by the rank window,
+    * the source aggregation, and the language mode; the windows and
+    * groupings are all stratum-keyed (one shuffle class), outputs are
+    * S rows. The exact-median window sort is the honest form at gate
+    * scale; at 100 TB swap the pick for `approx_percentile` per
+    * stratum — the same production knob as the percentile gate.
+    */
+  def datasetCard(df: DataFrame, stratumCol: String, idCol: String,
+      textCol: String): DataFrame = {
+    val q = qualityColumns(col(textCol)).toMap
+    val base = df.select(col(stratumCol), col(idCol).as("doc_id"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_toks"),
+        languageId(col(textCol)).as("lang"),
+        round(q("quality_score") * lit(1000000.0), 0).cast("long").as("qs"))
+      .localCheckpoint()
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+    val ranked = base
+      .withColumn("rn",
+        row_number().over(wSrc.orderBy(col("n_toks"), col("doc_id"))))
+      .withColumn("cnt", count(lit(1)).over(wSrc))
+      .withColumn("mid", expr("(cnt + 1) div 2"))
+    val agg = ranked.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_toks"),
+        max(when(col("rn") === col("mid"), col("n_toks"))).as("p50_toks"),
+        sum(col("qs")).as("qsum"))
+    val topLang = base.groupBy(col(stratumCol), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lr", row_number().over(
+        wSrc.orderBy(col("n").desc, col("lang"))))
+      .filter(col("lr") === 1)
+      .select(col(stratumCol), col("lang").as("top_lang"),
+        col("n").as("n_top_lang"))
+    agg.join(broadcast(topLang), stratumCol)
+      .select(col(stratumCol), col("n_docs"), col("total_toks"),
+        expr("total_toks div n_docs").as("mean_toks"), col("p50_toks"),
+        col("top_lang"), col("n_top_lang"),
+        (expr("qsum div n_docs") / lit(1000000.0)).as("mean_quality"))
+  }
+
   /** Content fingerprint: md5 of the normalized text (stable across
     * whitespace/punctuation variants), plus a 32-bit rolling-style hash.
     */

@@ -1030,6 +1030,55 @@ object CurationQueries {
       """)
     })
 
+  /** The dataset card ([[graft.operators.TextAnalysis.datasetCard]]):
+    * the per-source profile a release ships next to its q184 manifest.
+    * The oracle replays every statistic — the exact windowed median
+    * pick, the fixed-point quality mean, the lexicographic language
+    * tie-break — so a drifted quantile rule or a moved tie hash-fails
+    * its source row.
+    */
+  val q188DatasetCard: QueryDef = QueryDef(
+    "q188_dataset_card",
+    (s, dir) =>
+      TextAnalysis.datasetCard(Tables.load(s, dir, "documents"),
+          "source", "doc_id", "text")
+        .orderBy(col("source")), {
+      val toks = TextOps.tokensSql("text")
+      val qScore = TextAnalysis.qualitySqls("text").toMap.apply("quality_score")
+      Some(s"""
+        WITH base AS (SELECT source, doc_id,
+                             CAST(len($toks) AS BIGINT) AS n_toks,
+                             ${TextAnalysis.languageIdSql("text")} AS lang,
+                             CAST(round($qScore * 1000000.0, 0) AS BIGINT)
+                               AS qs
+                      FROM documents),
+        r AS (SELECT *,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY n_toks, doc_id) AS rn,
+                     COUNT(*) OVER (PARTITION BY source) AS cnt
+              FROM base),
+        a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(n_toks) AS BIGINT) AS total_toks,
+                     MAX(CASE WHEN rn = (cnt + 1) // 2
+                              THEN n_toks END) AS p50_toks,
+                     CAST(SUM(qs) AS BIGINT) AS qsum
+              FROM r GROUP BY 1),
+        l AS (SELECT source, lang AS top_lang,
+                     CAST(n AS BIGINT) AS n_top_lang FROM (
+                SELECT source, lang, COUNT(*) AS n,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                                          ORDER BY COUNT(*) DESC, lang) AS lr
+                FROM base GROUP BY 1, 2) t WHERE lr = 1)
+        SELECT a.source, a.n_docs, a.total_toks,
+               CAST(a.total_toks // a.n_docs AS BIGINT) AS mean_toks,
+               CAST(a.p50_toks AS BIGINT) AS p50_toks,
+               l.top_lang, l.n_top_lang,
+               (a.qsum // a.n_docs) / 1000000.0 AS mean_quality
+        FROM a JOIN l USING (source)
+        ORDER BY source
+      """)
+    })
+
   val all: Seq[QueryDef] =
     Seq(q109StratifiedSample, q110PiiRedaction, q111SplitLeakage,
       q112VocabTopK, q113TokenChunks, q116CurationE2e,
@@ -1037,5 +1086,5 @@ object CurationQueries {
       q127CurationV2, q130UnigramQuality, q131SeqPack, q135QualityMix,
       q150BigramQuality, q179TemperatureMixture, q181MixturePacked,
       q182MixtureDrift, q184ReleaseManifest, q185StreamingMixtureIngest,
-      q186CurationV8, q187QualityPercentile)
+      q186CurationV8, q187QualityPercentile, q188DatasetCard)
 }

@@ -878,6 +878,18 @@ class PlanSpec extends AnyFunSuite {
       s"the 1-row total must broadcast, never cross:\n$p")
   }
 
+  test("q188: dataset card rides one checkpointed per-doc frame — stratum windows, S-row join") {
+    val p = plan("q188_dataset_card")
+    assert(!p.contains("FileScan parquet"),
+      s"all three aggregations must read the checkpointed per-doc frame:\n$p")
+    assert(p.contains("Scan ExistingRDD"), "materialized per-doc frame expected")
+    assert(p.contains("Window"), "the median-pick window expected")
+    assert(p.contains("BroadcastHashJoin"),
+      "the S-row language-mode frame must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"nothing corpus-sized may shuffle for a join:\n$p")
+  }
+
   test("q184: manifest merge — one scan per side, map-side XOR fold, S-row join only") {
     val p = plan("q184_release_manifest")
     // one corpus scan per manifested side (base + delta) and nothing

@@ -185,6 +185,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(allKept.filter(!org.apache.spark.sql.functions.col("kept")).isEmpty)
   }
 
+  test("datasetCard: exact median pick, fixed-point quality mean, language mode — by hand") {
+    // source a: "the the the" (en, 3 toks, score .612), "the the"
+    // (en, 2, .608), "zzzz zzzz zzzz zzzz" (und, 4, .416)
+    //   total 9, mean 9 div 3 = 3; median order (n_toks, doc_id) =
+    //   doc2(2), doc1(3), doc3(4), mid = 2 → p50 = 3; top lang en ×2;
+    //   qsum = 612000+608000+416000 = 1636000 → mean .545333
+    // source b: "und und" (de via the de stopword list, 2 toks, .608)
+    val df = Seq(
+      (1L, "a", "the the the"), (2L, "a", "the the"),
+      (3L, "a", "zzzz zzzz zzzz zzzz"), (4L, "b", "und und"))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.datasetCard(df, "source", "doc_id", "text")
+      .as[(String, Long, Long, Long, Long, String, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 3L, 9L, 3L, 3L, "en", 2L, 0.545333)),
+      s"got ${got("a")}")
+    assert(got("b") == (("b", 1L, 2L, 2L, 2L, "de", 1L, 0.608)),
+      s"got ${got("b")}")
+    // even-count source: the pick is the LOWER middle ((n+1) div 2)
+    val even = TextAnalysis.datasetCard(
+      df.filter(org.apache.spark.sql.functions.col("doc_id") <= 2L),
+      "source", "doc_id", "text")
+      .as[(String, Long, Long, Long, Long, String, Long, Double)].head()
+    assert(even._5 == 2L, s"lower-middle pick expected, got $even")
+  }
+
   private def round6(d: Double): Double =
     BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
