@@ -23,6 +23,7 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     graft.functions.VectorExpressions.ensureRegistered(spark)
     graft.functions.WinnowExpression.ensureRegistered(spark)
+    graft.functions.TextExpressions.ensureRegistered(spark)
     if (name == "events") {
       // events.ts has shipped as TIMESTAMP(NANOS) (fixtures ≤ r8) and as
       // naive timestamp[us] → TIMESTAMP_NTZ (r9 regeneration); the legacy

@@ -22,9 +22,15 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
     "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "pour", "dans", "avec"))
 
-  /** Count of token occurrences (not distinct) that appear in `words`. */
+  /** Count of token occurrences (not distinct) that appear in `words`.
+    * Native codegen expression ([[graft.functions.CountInSet]]): one
+    * hash probe per token against a plan-constant word set — the
+    * `size(filter(toks, …))` HOF it replaces paid |words| interpreted
+    * lambda equalities per token (languageId runs this once per
+    * registered language per document). Identical counting semantics.
+    */
   private def hits(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => words.map(w => t === w).reduce(_ || _)))
+    call_function("count_in_set", toks, typedLit(words))
 
   private def hitsSql(toks: String, words: Seq[String]): String = {
     val set = words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -86,8 +92,11 @@ object TextAnalysis {
     val nChars = length(text).cast("double")
     val alnum = length(regexp_replace(lower(text), "[^a-z0-9 ]", "")).cast("double")
     val allStops = stopwords.flatMap(_._2)
-    val stopHits = size(filter(toks, t => allStops.map(w => t === w).reduce(_ || _))).cast("double")
-    val meanLen = aggregate(transform(toks, t => length(t).cast("double")), lit(0.0), _ + _) / nTok
+    // native codegen twins of the HOF folds they replace: exact-integer
+    // hit counts and length sums, so the double arithmetic downstream
+    // is bit-identical to the interpreted composition's
+    val stopHits = hits(toks, allStops).cast("double")
+    val meanLen = call_function("sum_strlen", toks).cast("double") / nTok
     val lengthScore = least(nTok / 100.0, lit(1.0))
     val alphaRatio = alnum / nChars
     val stopRatio = least(stopHits / nTok * 5.0, lit(1.0))

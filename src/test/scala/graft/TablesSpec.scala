@@ -15,6 +15,11 @@ object SparkTestSession {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // text-expression registration is unconditional here: languageId/
+    // qualityColumns resolve count_in_set/sum_strlen on frames that
+    // never pass through Tables.load (the vec_* family stays per-suite
+    // opt-in — see the IndexIngestSpec ordering note)
+    graft.functions.TextExpressions.ensureRegistered(s)
     s
   }
   val sf: String = "/root/testdata/sf0.001"
