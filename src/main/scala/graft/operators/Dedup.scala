@@ -1181,4 +1181,149 @@ object Dedup {
       .withColumn("kept", row_number().over(w) === 1)
       .select(col("doc_id"), col("cluster"), col("kept"))
   }
+
+  // ------------------------------------------------------------------
+  // Winnowing pair family: PAIRS from the q108 fingerprints, plus the
+  // written postings index — the 7th incremental-dedup member
+  // ------------------------------------------------------------------
+
+  /** Per-document winnowing fingerprint sets (blk, doc_id, hs, n) via
+    * the native `winnow_fp` expression over the normalized,
+    * space-stripped text — one codegen'd projection, no shuffle. The
+    * set is sorted-distinct by the expression's contract, so `n` is
+    * the distinct-fingerprint count and posting multiplicities below
+    * equal set-intersection sizes.
+    */
+  private def winnowSets(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, k: Int, w: Int): DataFrame =
+    df.select(col(blockCol).cast("string").as("blk"),
+        col(idCol).cast("long").as("doc_id"),
+        regexp_replace(TextOps.normalize(col(textCol)), " ", "").as("norm"))
+      .withColumn("hs", expr(s"winnow_fp(norm, $k, $w)"))
+      .select(col("blk"), col("doc_id"), col("hs"),
+        size(col("hs")).cast("long").as("n"))
+
+  /** Winnowing near-dup PAIRS (the pair layer q108's per-doc
+    * fingerprints lacked): per block, documents sharing at least
+    * `minShared` winnowing fingerprints — by the winnowing guarantee,
+    * each shared fingerprint witnesses a shared substring of length
+    * ≥ w + k − 1, so this is the LOCAL-overlap gate (plagiarism-style
+    * partial copies) that global Jaccard and MinHash structurally
+    * miss. `minShared` ≥ 2 by default: one shared fingerprint can be a
+    * polynomial-hash collision; two independent witnesses make the
+    * pair real. Output (blk, doc_a, doc_b, na, nb, i) — all exact
+    * integers.
+    *
+    * Same 100 TB shape as [[ngramJaccardPairs]]: one keyed posting
+    * pass, capped lists (a boilerplate fingerprint shared by a viral
+    * block would otherwise go quadratic — the LSH-cap trade), bucket-
+    * local pair emission via [[emitSortedPairs]], source-blocked per
+    * the q33/q153/q167 precedent.
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, k: Int = 7, w: Int = 4, minShared: Long = 2L,
+      maxPostingSize: Int = 10000): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val hd = winnowSets(df, idCol, textCol, blockCol, k, w)
+      .filter(col("blk").isNotNull)
+      .select(col("blk"), col("doc_id"), col("n"),
+        explode(col("hs")).as("h"))
+    emitSortedPairs(hd, keys = Seq("blk", "h"),
+      item = struct(col("doc_id"), col("n")), capCol = "posting_n",
+      maxGroupSize = maxPostingSize, aName = "a", bName = "b",
+      carry = Seq("blk"), dedupPairs = false)
+      .groupBy(col("blk"), col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"), col("a.n").as("na"),
+        col("b.n").as("nb"))
+      .agg(count(lit(1)).as("i"))
+      .filter(col("i") >= minShared)
+      .select(col("blk"), col("doc_a"), col("doc_b"),
+        col("na"), col("nb"), col("i"))
+  }
+
+  /** Materializes the winnowing postings as a WRITTEN layout — one row
+    * per (blk, doc, fingerprint), PARTITIONED BY `shard = h mod 256`
+    * (the fingerprint hash is uniform — its own shard key), the
+    * distinct-fingerprint count `n` denormalized inline (a per-document
+    * fact, append-stable). NULL-block rows excluded at write time —
+    * the in-session never-paired semantics.
+    */
+  def winnowWriteIndex(df: DataFrame, path: String, idCol: String,
+      textCol: String, blockCol: String, k: Int = 7, w: Int = 4): Unit =
+    writeWinnowGeneration(df, path, idCol, textCol, blockCol, k, w,
+      "overwrite")
+
+  /** Appends a NEW-DOCUMENT snapshot's postings — delta-sized, zero
+    * base reads; the standard new-ids / exactly-once append contract
+    * (a replayed append doubles pair multiplicities = intersection
+    * counts; [[winnowAuditIndex]] localizes that damage).
+    */
+  def winnowAppendIndex(df: DataFrame, path: String, idCol: String,
+      textCol: String, blockCol: String, k: Int = 7, w: Int = 4): Unit =
+    writeWinnowGeneration(df, path, idCol, textCol, blockCol, k, w,
+      "append")
+
+  private def writeWinnowGeneration(df: DataFrame, path: String,
+      idCol: String, textCol: String, blockCol: String, k: Int, w: Int,
+      mode: String): Unit =
+    winnowSets(df, idCol, textCol, blockCol, k, w)
+      .filter(col("blk").isNotNull)
+      .select(col("blk"), col("doc_id"), col("n"),
+        explode(col("hs")).as("h"))
+      .withColumn("shard", pmod(col("h"), lit(256)).cast("int"))
+      .repartition(col("shard"))
+      .write.mode(mode).partitionBy("shard").parquet(s"$path/postings")
+
+  /** Replay audit of a [[winnowWriteIndex]] layout: duplicate
+    * (blk, doc_id, h) posting rows. One narrow grouped scan.
+    */
+  def winnowAuditIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(s"$path/postings")
+      .groupBy(col("blk"), col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+
+  /** Incremental [[winnowPairs]] of a new snapshot against
+    * (base ∪ snapshot), from a written layout that already holds the
+    * snapshot's postings. Completeness: every SHARED fingerprint of a
+    * snapshot-endpoint pair is one of the snapshot document's
+    * fingerprints, so the probed shards (the snapshot's fingerprint
+    * shards — a collect bounded by the 256-value shard alphabet) cover
+    * every intersecting posting, and each probed shard holds its
+    * ENTIRE posting lists — same cap accounting, same multiplicities
+    * as the fresh run. q190 gates equality with the fresh q189 replay
+    * restricted to snapshot-endpoint pairs.
+    */
+  def winnowPairsIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, deltaDocs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, k: Int = 7, w: Int = 4, minShared: Long = 2L,
+      maxPostingSize: Int = 10000): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val shards = winnowSets(deltaDocs, idCol, textCol, blockCol, k, w)
+      .select(explode(col("hs")).as("h"))
+      .select(pmod(col("h"), lit(256)).cast("int").as("shard"))
+      .distinct().collect().map(_.getInt(0))
+    val probe = spark.read.parquet(s"$path/postings")
+      .filter(col("shard").isin(shards.toSeq: _*))
+    val pairs = emitSortedPairs(probe, keys = Seq("blk", "h"),
+      item = struct(col("doc_id"), col("n")), capCol = "posting_n",
+      maxGroupSize = maxPostingSize, aName = "a", bName = "b",
+      carry = Seq("blk"), dedupPairs = false)
+      .groupBy(col("blk"), col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"), col("a.n").as("na"),
+        col("b.n").as("nb"))
+      .agg(count(lit(1)).as("i"))
+      .filter(col("i") >= minShared)
+    val fa = deltaDocs.select(col(idCol).cast("long").as("doc_a"))
+      .distinct().withColumn("fa", lit(1))
+    val fb = deltaDocs.select(col(idCol).cast("long").as("doc_b"))
+      .distinct().withColumn("fb", lit(1))
+    pairs
+      .join(broadcast(fa), Seq("doc_a"), "left")
+      .join(broadcast(fb), Seq("doc_b"), "left")
+      .filter(col("fa").isNotNull || col("fb").isNotNull)
+      .select(col("blk"), col("doc_a"), col("doc_b"),
+        col("na"), col("nb"), col("i"))
+  }
 }

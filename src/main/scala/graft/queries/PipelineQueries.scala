@@ -453,14 +453,42 @@ object PipelineQueries {
     * recomputes the polynomial hash definitionally (unrolled k terms)
     * and the window minima via inclusive list slices.
     */
-  val q108WinnowFingerprint: QueryDef = {
-    val (k, w) = (7, 4)
+  /** Definitional DuckDB replay of the `winnow_fp` contract as a
+    * WITH-clause body ending in `fp` = (doc_id, f) with `f` the
+    * sorted-distinct fingerprint list — the polynomial k-gram hash
+    * unrolled term-by-term, window minima via inclusive list slices.
+    * Shared by q108 (per-doc summary) and the q189/q190 pair gates.
+    */
+  private def winnowFpCtes(k: Int, w: Int): String = {
     val M = graft.functions.Winnow.M
     val pows = Iterator.iterate(1L)(p => p * graft.functions.Winnow.B % M)
       .take(k).toSeq // pows(j) = B^j mod M
     val terms = (0 until k)
       .map(j => s"CAST(ord(s[i + $j]) AS BIGINT) * ${pows(k - 1 - j)}")
       .mkString(" + ")
+    s"""wn AS (
+        SELECT doc_id, replace(${TextOps.normalizeSql("text")}, ' ', '') AS s
+        FROM documents),
+      wh AS (
+        SELECT doc_id,
+          CASE WHEN length(s) >= $k THEN
+            [ ($terms) % $M
+              for i in generate_series(1, length(s) - ${k - 1}) ]
+          ELSE [] END AS hs
+        FROM wn),
+      wmins AS (
+        SELECT doc_id,
+          CASE WHEN len(hs) = 0 THEN []
+               WHEN len(hs) <= $w THEN [list_min(hs)]
+               ELSE [ list_min(hs[i:i + ${w - 1}])
+                      for i in generate_series(1, len(hs) - ${w - 1}) ]
+          END AS ms
+        FROM wh),
+      fp AS (SELECT doc_id, list_sort(list_distinct(ms)) AS f FROM wmins)"""
+  }
+
+  val q108WinnowFingerprint: QueryDef = {
+    val (k, w) = (7, 4)
     QueryDef(
       "q108_winnow_fingerprint",
       (s, dir) =>
@@ -478,25 +506,7 @@ object PipelineQueries {
               .as("fp_sum"))
           .orderBy(col("doc_id")),
       Some(s"""
-      WITH n AS (
-        SELECT doc_id, replace(${TextOps.normalizeSql("text")}, ' ', '') AS s
-        FROM documents),
-      h AS (
-        SELECT doc_id,
-          CASE WHEN length(s) >= $k THEN
-            [ ($terms) % $M
-              for i in generate_series(1, length(s) - ${k - 1}) ]
-          ELSE [] END AS hs
-        FROM n),
-      mins AS (
-        SELECT doc_id,
-          CASE WHEN len(hs) = 0 THEN []
-               WHEN len(hs) <= $w THEN [list_min(hs)]
-               ELSE [ list_min(hs[i:i + ${w - 1}])
-                      for i in generate_series(1, len(hs) - ${w - 1}) ]
-          END AS ms
-        FROM h),
-      fp AS (SELECT doc_id, list_sort(list_distinct(ms)) AS f FROM mins)
+      WITH ${winnowFpCtes(k, w)}
       SELECT doc_id,
              len(f) AS fp_n,
              list_min(f) AS fp_min,
@@ -506,6 +516,78 @@ object PipelineQueries {
       ORDER BY doc_id
     """))
   }
+
+  /** The q189/q190 oracle: fresh whole-corpus winnowing pairs
+    * (source-blocked, capped, i >= 2), with an optional extra
+    * predicate (q190 restricts to snapshot-endpoint pairs — the
+    * incremental path must equal exactly this).
+    */
+  private def winnowPairOracleSql(extraPred: String): String = s"""
+      WITH ${winnowFpCtes(7, 4)},
+      wblk AS (SELECT doc_id, source FROM documents WHERE source IS NOT NULL),
+      whd AS (SELECT doc_id, unnest(f) AS h FROM fp),
+      wcnts AS (SELECT doc_id, CAST(len(f) AS BIGINT) AS n FROM fp),
+      wpb AS (SELECT b.source AS blk, whd.doc_id, whd.h
+              FROM whd JOIN wblk b ON b.doc_id = whd.doc_id),
+      wcap AS (SELECT blk, doc_id, h FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY blk, h) AS pn FROM wpb) t
+        WHERE pn <= 10000),
+      winter AS (SELECT x.blk, x.doc_id AS doc_a, y.doc_id AS doc_b,
+                        COUNT(*) AS i
+                 FROM wcap x
+                 JOIN wcap y ON y.blk = x.blk AND y.h = x.h
+                            AND x.doc_id < y.doc_id
+                 GROUP BY 1, 2, 3)
+      SELECT t.blk, t.doc_a, t.doc_b, ca.n AS na, cb.n AS nb,
+             CAST(t.i AS BIGINT) AS i
+      FROM winter t
+      JOIN wcnts ca ON ca.doc_id = t.doc_a
+      JOIN wcnts cb ON cb.doc_id = t.doc_b
+      WHERE t.i >= 2 AND ($extraPred)
+      ORDER BY blk, doc_a, doc_b
+    """
+
+  /** Winnowing PAIRS ([[graft.operators.Dedup.winnowPairs]]): the pair
+    * layer over q108's fingerprints — per source block, documents
+    * sharing ≥ 2 winnowing fingerprints, i.e. at least two independent
+    * witnesses of a shared ≥ 10-char substring. The local-overlap gate
+    * (quotes, partial copies) that global Jaccard/MinHash miss; all
+    * output columns are exact integers.
+    */
+  val q189WinnowPairs: QueryDef = QueryDef(
+    "q189_winnow_pairs",
+    (s, dir) =>
+      Dedup.winnowPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", blockCol = "source")
+        .orderBy(col("blk"), col("doc_a"), col("doc_b")),
+    Some(winnowPairOracleSql("TRUE")))
+
+  /** Incremental winnowing pairs against the WRITTEN postings index —
+    * the SEVENTH incremental-dedup family member (exact, minhash,
+    * containment, simhash, block, semantic, now winnowing): base 2/3
+    * indexed, the % 3 = 0 snapshot appended delta-sized, pairs served
+    * from a shard-pruned probe of the snapshot's fingerprint shards.
+    * Every shared fingerprint of a snapshot-endpoint pair is a
+    * snapshot fingerprint, so the pruned scan is COMPLETE for exactly
+    * the pairs the day-2 run owes. Oracle: the fresh q189 replay
+    * restricted to snapshot-endpoint pairs.
+    */
+  val q190WinnowIncremental: QueryDef = QueryDef(
+    "q190_winnow_incremental",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_wnidx_q190_", dir)
+      Dedup.winnowWriteIndex(docs.filter(col("doc_id") % 3 =!= 0),
+        path.toString, "doc_id", "text", "source")
+      val snapshot = docs.filter(col("doc_id") % 3 === 0)
+      Dedup.winnowAppendIndex(snapshot, path.toString, "doc_id", "text",
+        "source")
+      Dedup.winnowPairsIndexed(s, path.toString, snapshot,
+          "doc_id", "text", "source")
+        .orderBy(col("blk"), col("doc_a"), col("doc_b"))
+    },
+    Some(winnowPairOracleSql("doc_a % 3 = 0 OR doc_b % 3 = 0")))
 
   // ------------------------------------------------------------------
   // q114 hyperplane-LSH near-dup pairs (global, no blocking column)
@@ -3203,5 +3285,6 @@ object PipelineQueries {
     q169BigramDrift, q170PackedIds, q171StreamingIngest,
     q172BlockIncremental, q173SemanticIncremental, q174StreamingIvfIngest,
     q175SemanticDrift, q176CurationV7, q177StreamingBm25Ingest,
-    q178SemanticRepair, q180StreamingSemanticIngest, q183IvfRecall)
+    q178SemanticRepair, q180StreamingSemanticIngest, q183IvfRecall, q189WinnowPairs,
+    q190WinnowIncremental)
 }

@@ -890,6 +890,31 @@ class PlanSpec extends AnyFunSuite {
       s"nothing corpus-sized may shuffle for a join:\n$p")
   }
 
+  test("q189: winnow pairs — one codegen fingerprint pass, capped postings, no cartesian") {
+    val p = plan("q189_winnow_pairs")
+    assert(p.contains("winnow_fp"),
+      s"fingerprints must come from the native expression:\n$p")
+    assert("posting_n#\\d+L? <= \\d+".r.findFirstIn(p).isDefined,
+      s"posting-size cap filter missing:\n$p")
+    assert(p.contains("Generate posexplode") && "slice\\(ds#".r.findFirstIn(p).isDefined,
+      s"pair emission must be incremental (posexplode + slice):\n$p")
+    assert(!p.contains("CartesianProduct"), "no all-pairs fallback")
+  }
+
+  test("q190: incremental winnow probes pruned postings — index-driven, caps intact") {
+    val p = plan("q190_winnow_incremental")
+    assert("PartitionFilters: \\[[^\\]]*shard".r.findFirstIn(p).isDefined,
+      s"snapshot fingerprint shards must prune the postings scan:\n$p")
+    // the snapshot fingerprint pass feeds only the driver-bounded shard
+    // collect; the served plan reads the written postings exclusively
+    assert(!p.contains("winnow_fp"),
+      s"the served plan must be purely index-driven:\n$p")
+    assert("posting_n#\\d+L? <= \\d+".r.findFirstIn(p).isDefined,
+      s"posting-size cap filter missing:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "snapshot-id flags must broadcast")
+    assert(!p.contains("CartesianProduct"), "no all-pairs fallback")
+  }
+
   test("q184: manifest merge — one scan per side, map-side XOR fold, S-row join only") {
     val p = plan("q184_release_manifest")
     // one corpus scan per manifested side (base + delta) and nothing

@@ -376,4 +376,60 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source",
       shingleN = 3, threshold = 0.6).isEmpty)
   }
+
+  test("winnowPairs: shared long substrings pair within a block, cross-block never") {
+    graft.functions.WinnowExpression.ensureRegistered(spark)
+    // docs 0/1 share a 30+-char run (≥ 2 fingerprint witnesses at
+    // k=7, w=4); doc 2 shares it too but lives in another block;
+    // doc 3 is unrelated text of similar length
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (0L, "s", shared + " alpha beta gamma"),
+      (1L, "s", "prefix words here " + shared),
+      (2L, "t", shared + " delta"),
+      (3L, "s", "completely different sentence about winter weather patterns"))
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.winnowPairs(docs, "doc_id", "text", "source")
+      .select($"blk", $"doc_a", $"doc_b", $"i")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got.map(p => (p._1, p._2, p._3)) == Seq(("s", 0L, 1L)),
+      s"exactly the in-block shared-substring pair expected, got $got")
+    assert(got.head._4 >= 2L, "at least two fingerprint witnesses")
+    // a prohibitive minShared suppresses the pair
+    assert(Dedup.winnowPairs(docs, "doc_id", "text", "source",
+      minShared = 1000L).isEmpty)
+  }
+
+  test("winnowPairsIndexed: snapshot probe equals fresh pairs restricted; audit clean") {
+    graft.functions.WinnowExpression.ensureRegistered(spark)
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val corpus = Seq(
+      (0L, "s", shared + " alpha beta gamma"),
+      (1L, "s", "prefix words here " + shared),
+      (4L, "s", shared + " snapshot arrival text"),
+      (5L, "s", "another copy includes " + shared + " too"),
+      (6L, "s", "completely different sentence about winter weather patterns"))
+      .toDF("doc_id", "source", "text")
+    val base = corpus.filter($"doc_id" < 4)
+    val snap = corpus.filter($"doc_id" >= 4)
+    val path = TmpWorkspaces.pidScoped("graft_wnidx_spec_", "incr")
+    Dedup.winnowWriteIndex(base, path.toString, "doc_id", "text", "source")
+    Dedup.winnowAppendIndex(snap, path.toString, "doc_id", "text", "source")
+    assert(Dedup.winnowAuditIndex(spark, path.toString).isEmpty)
+    val got = Dedup.winnowPairsIndexed(spark, path.toString, snap,
+        "doc_id", "text", "source")
+      .select($"doc_a", $"doc_b", $"i")
+      .as[(Long, Long, Long)].collect().toSet
+    val fresh = Dedup.winnowPairs(corpus, "doc_id", "text", "source")
+      .select($"doc_a", $"doc_b", $"i")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = fresh.filter(p => p._1 >= 4 || p._2 >= 4)
+    assert(fresh.exists(p => p._1 < 4 && p._2 < 4), "need a skipped base-base pair")
+    assert(want.exists(p => p._1 < 4 && p._2 >= 4), "need a cross pair")
+    assert(want.exists(p => p._1 >= 4 && p._2 >= 4), "need a snapshot-internal pair")
+    assert(got == want, s"incremental drifted:\n$got\nvs\n$want")
+    // a doubled append is exactly what the audit localizes
+    Dedup.winnowAppendIndex(snap, path.toString, "doc_id", "text", "source")
+    assert(!Dedup.winnowAuditIndex(spark, path.toString).isEmpty)
+  }
 }
