@@ -589,6 +589,41 @@ object PipelineQueries {
     },
     Some(winnowPairOracleSql("doc_a % 3 = 0 OR doc_b % 3 = 0")))
 
+  /** Streaming ingest into the winnowing postings index
+    * ([[graft.streaming.IndexIngest.startWinnow]]): the % 3 = 0
+    * snapshot arrives as a stream in micro-batch chunks, each appended
+    * as its own posting generation, and the standing probe must
+    * hash-equal the SAME fresh-restricted oracle as q190 — posting
+    * rows depend only on their own document, generations partition the
+    * delta, and the probe reads their union, so batch boundaries
+    * provably cannot move a pair.
+    */
+  val q191StreamingWinnowIngest: QueryDef = QueryDef(
+    "q191_streaming_winnow_ingest",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_wnidx_q191_", dir)
+      Dedup.winnowWriteIndex(docs.filter(col("doc_id") % 3 =!= 0),
+        path.toString, "doc_id", "text", "source")
+      val snapshot = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("source"), col("text")).localCheckpoint()
+      val inPath = graft.operators.TmpWorkspaces
+        .pidScoped("graft_ingest_in_q191_", dir)
+      Seq(col("doc_id") % 9 === 0, col("doc_id") % 9 =!= 0).foreach { p =>
+        snapshot.filter(p).coalesce(1)
+          .write.mode("append").parquet(inPath.toString)
+      }
+      graft.streaming.IndexIngest.ingestWinnowDocs(
+        s.readStream.schema(snapshot.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inPath.toString),
+        path.toString)
+      Dedup.winnowPairsIndexed(s, path.toString, snapshot,
+          "doc_id", "text", "source")
+        .orderBy(col("blk"), col("doc_a"), col("doc_b"))
+    },
+    Some(winnowPairOracleSql("doc_a % 3 = 0 OR doc_b % 3 = 0")))
+
   // ------------------------------------------------------------------
   // q114 hyperplane-LSH near-dup pairs (global, no blocking column)
   // ------------------------------------------------------------------
@@ -3286,5 +3321,5 @@ object PipelineQueries {
     q172BlockIncremental, q173SemanticIncremental, q174StreamingIvfIngest,
     q175SemanticDrift, q176CurationV7, q177StreamingBm25Ingest,
     q178SemanticRepair, q180StreamingSemanticIngest, q183IvfRecall, q189WinnowPairs,
-    q190WinnowIncremental)
+    q190WinnowIncremental, q191StreamingWinnowIngest)
 }

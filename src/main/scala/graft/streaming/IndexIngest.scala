@@ -168,6 +168,42 @@ object IndexIngest {
     finally q.stop()
   }
 
+  /** Winnowing twin of [[start]] — the pair-index families' streaming
+    * member alongside the exact-fingerprint one: each micro-batch of
+    * newly-arrived documents appends ONE GENERATION of winnowing
+    * postings ([[graft.operators.Dedup.winnowAppendIndex]] — fingerprints
+    * computed wholly within the batch, shard = h mod 256). Batch
+    * boundaries cannot move pair results: a posting row depends only on
+    * its own document, generations partition the delta, and the probe
+    * ([[graft.operators.Dedup.winnowPairsIndexed]]) reads their union —
+    * q191 gates the standing probe against the same fresh-restricted
+    * oracle as q190. Delivery contract as the other sinks:
+    * batch-atomic parquet append, caller owns exactly-once across
+    * retries (a replayed batch doubles pair multiplicities — exactly
+    * what [[graft.operators.Dedup.winnowAuditIndex]] localizes).
+    */
+  def startWinnow(docsStream: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      blockCol: String = "source"): StreamingQuery =
+    docsStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Dedup.winnowAppendIndex(batch, path, idCol,
+          textCol, blockCol)
+      }
+      .outputMode("append")
+      .start()
+
+  /** Runs the winnowing ingest over all currently-available input,
+    * then stops — the bounded-backfill form the q191 gate drives.
+    */
+  def ingestWinnowDocs(docsStream: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      blockCol: String = "source"): Unit = {
+    val q = startWinnow(docsStream, path, idCol, textCol, blockCol)
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
   /** The DERIVED-ARTIFACT member of the ingest loop: where the four
     * index sinks above maintain retrieval/dedup state, this one
     * maintains the mixture manifest ([[graft.operators.Curation

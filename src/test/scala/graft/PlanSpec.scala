@@ -915,6 +915,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "no all-pairs fallback")
   }
 
+  test("q191: streamed-in winnow generations keep q190's pruned-probe shape") {
+    val p = plan("q191_streaming_winnow_ingest")
+    assert("PartitionFilters: \\[[^\\]]*shard".r.findFirstIn(p).isDefined,
+      s"snapshot fingerprint shards must prune the postings scan:\n$p")
+    assert(!p.contains("winnow_fp"),
+      s"the served plan must be purely index-driven:\n$p")
+    assert("posting_n#\\d+L? <= \\d+".r.findFirstIn(p).isDefined,
+      s"posting-size cap filter missing:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "snapshot-id flags must broadcast")
+    assert(!p.contains("CartesianProduct"), "no all-pairs fallback")
+  }
+
   test("q184: manifest merge — one scan per side, map-side XOR fold, S-row join only") {
     val p = plan("q184_release_manifest")
     // one corpus scan per manifested side (base + delta) and nothing

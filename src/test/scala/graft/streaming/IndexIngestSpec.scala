@@ -184,6 +184,49 @@ class IndexIngestSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall(_._4 > 0.0))
   }
 
+  test("streaming winnow ingest: per-batch posting generations, probe equals the batch append, audit clean") {
+    graft.functions.WinnowExpression.ensureRegistered(spark)
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val base = Seq((0L, "s", shared + " alpha beta gamma"),
+      (1L, "s", "prefix words here " + shared)).toDF("doc_id", "source", "text")
+    val idx = TmpWorkspaces.pidScoped("graft_wningest_spec_", "wn")
+    Dedup.winnowWriteIndex(base, idx.toString, "doc_id", "text", "source")
+
+    val delta = Seq(
+      (4L, "s", shared + " snapshot arrival text"),
+      (5L, "s", "another copy includes " + shared + " too"),
+      (6L, "s", "completely different sentence about winter weather patterns"))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    val q = IndexIngest.startWinnow(
+      in.toDS().toDF("doc_id", "source", "text"), idx.toString)
+    try {
+      Seq(delta.take(1), delta.slice(1, 2), delta.drop(2)).foreach { chunk =>
+        in.addData(chunk)
+        q.processAllAvailable()
+      }
+      assert(q.recentProgress.count(_.numInputRows > 0) == 3,
+        "each add must arrive as its own micro-batch")
+    } finally q.stop()
+
+    assert(Dedup.winnowAuditIndex(spark, idx.toString).isEmpty)
+
+    // pairs equal the single-batch append path over the same delta
+    val snap = delta.toDF("doc_id", "source", "text")
+    val got = Dedup.winnowPairsIndexed(spark, idx.toString, snap,
+        "doc_id", "text", "source")
+      .select($"doc_a", $"doc_b", $"i")
+      .as[(Long, Long, Long)].collect().toSet
+    val batchIdx = TmpWorkspaces.pidScoped("graft_wningest_spec_", "batch")
+    Dedup.winnowWriteIndex(base, batchIdx.toString, "doc_id", "text", "source")
+    Dedup.winnowAppendIndex(snap, batchIdx.toString, "doc_id", "text", "source")
+    val want = Dedup.winnowPairsIndexed(spark, batchIdx.toString, snap,
+        "doc_id", "text", "source")
+      .select($"doc_a", $"doc_b", $"i")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty, s"got $got")
+  }
+
   test("streaming mixture ingest: generation masses add, served manifest equals the fresh derivation") {
     import graft.operators.Curation
     // the q179 fixture geometry: a = 2x8 tokens, b = 1x64 — streamed
