@@ -330,6 +330,50 @@ object Curation {
       budget: Long): DataFrame =
     mixtureFromCounts(spark.read.parquet(path), stratumCol, keyCol, budget)
 
+  /** Replay audit of a written mixture payload ([[mixtureAppendIndex]]
+    * generations): duplicate keys, with copy count and DISTINCT-payload
+    * count. The failure it catches is SILENT: a replayed ingest batch
+    * doubles its documents' mass contributions, which moves EVERY
+    * source's rate — admission decisions corrupt corpus-wide with no
+    * error anywhere. Taxonomy matches the other audit/repair pairs:
+    * `n_payloads = 1` is replay damage ([[mixtureCompactIndex]]
+    * repairs it); `n_payloads > 1` is divergence (the same key
+    * re-ingested with different text or source) that needs re-ingest,
+    * not compaction.
+    */
+  def mixtureAuditIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, stratumCol: String = "source",
+      keyCol: String = "doc_id"): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_copies"),
+        count_distinct(struct(col(stratumCol), col("n_toks")))
+          .as("n_payloads"))
+      .filter(col("n_copies") > 1)
+
+  /** Compacting repair for replay damage: whole-row dedup of the
+    * payload, staged to `dstPath` (stage-and-swap — the
+    * `semanticCompactIndex` idiom). REFUSES payload-divergent keys
+    * loudly: deduping them would silently pick an arbitrary token
+    * count per document and rates would still be wrong.
+    */
+  def mixtureCompactIndex(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String, stratumCol: String = "source",
+      keyCol: String = "doc_id"): Unit = {
+    val rows = spark.read.parquet(srcPath)
+      .select(col(stratumCol), col(keyCol), col("n_toks"))
+      .dropDuplicates()
+      .localCheckpoint()
+    val divergent = rows.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
+    require(divergent.isEmpty,
+      s"mixtureCompactIndex: key ${divergent.headOption.map(_.get(0))} " +
+        "has payload-divergent copies (same key, different source/" +
+        "n_toks) — not append-replay damage; re-ingest the corpus " +
+        "instead")
+    rows.write.mode("overwrite").parquet(dstPath)
+  }
+
   /** Day-2 of [[temperatureMixture]]: a snapshot lands, the per-source
     * token masses move, and — the budget being FIXED — every source's
     * admission rate dilutes or concentrates. This audit re-derives the

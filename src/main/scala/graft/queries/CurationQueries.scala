@@ -1079,6 +1079,48 @@ object CurationQueries {
       """)
     })
 
+  /** Mixture-manifest REPAIR lifecycle (the q156/q178 shape on the
+    * mixture artifact): base payload ingested, snapshot appended, then
+    * the injected failure — a blind retry replays the snapshot append,
+    * silently doubling its documents' mass and moving EVERY source's
+    * rate. [[graft.operators.Curation.mixtureAuditIndex]] must
+    * localize the damage as bit-identical copies,
+    * [[graft.operators.Curation.mixtureCompactIndex]] stage-and-swaps
+    * the dedup, and the served manifest from the REPAIRED payload must
+    * hash-equal the clean fresh derivation (the q179/q185 oracle
+    * verbatim) — a missed duplicate or a dropped legitimate row moves
+    * a rate and hash-fails.
+    */
+  val q192MixtureRepair: QueryDef = QueryDef(
+    "q192_mixture_repair",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_miximidx_q192_", dir)
+      Curation.mixtureAppendIndex(docs.filter(col("doc_id") % 3 =!= 0),
+        path.toString, "source", "doc_id", "text")
+      val snapshot = docs.filter(col("doc_id") % 3 === 0).localCheckpoint()
+      Curation.mixtureAppendIndex(snapshot, path.toString,
+        "source", "doc_id", "text")
+      // the injected failure: a blind retry replays the same append
+      Curation.mixtureAppendIndex(snapshot, path.toString,
+        "source", "doc_id", "text")
+      val damage = Curation.mixtureAuditIndex(s, path.toString)
+        .agg(count(lit(1)).as("n"),
+          max(col("n_copies")).as("mc"), max(col("n_payloads")).as("mp"))
+        .collect()(0)
+      require(damage.getLong(0) > 0 && damage.getLong(1) == 2L &&
+          damage.getLong(2) == 1L,
+        s"audit must localize the replay as bit-identical pairs, got $damage")
+      val repaired = graft.operators.TmpWorkspaces
+        .pidScoped("graft_miximidx_q192r_", dir)
+      Curation.mixtureCompactIndex(s, path.toString, repaired.toString)
+      Curation.mixtureServeIndex(s, repaired.toString, "source", "doc_id",
+          budget = MixtureBudget)
+        .orderBy(col("doc_id"))
+    },
+    Some(mixtureManifestOracleSql))
+
   val all: Seq[QueryDef] =
     Seq(q109StratifiedSample, q110PiiRedaction, q111SplitLeakage,
       q112VocabTopK, q113TokenChunks, q116CurationE2e,
@@ -1086,5 +1128,6 @@ object CurationQueries {
       q127CurationV2, q130UnigramQuality, q131SeqPack, q135QualityMix,
       q150BigramQuality, q179TemperatureMixture, q181MixturePacked,
       q182MixtureDrift, q184ReleaseManifest, q185StreamingMixtureIngest,
-      q186CurationV8, q187QualityPercentile, q188DatasetCard)
+      q186CurationV8, q187QualityPercentile, q188DatasetCard,
+      q192MixtureRepair)
 }

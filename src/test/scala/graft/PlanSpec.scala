@@ -927,6 +927,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "no all-pairs fallback")
   }
 
+  test("q192: repaired mixture payload serves like q185 — no text rescan, broadcast rates") {
+    val p = plan("q192_mixture_repair")
+    assert(!p.contains("FileScan parquet"),
+      s"serve must ride the checkpointed stored-count frame:\n$p")
+    assert(p.contains("Scan ExistingRDD"), "materialized count frame expected")
+    assert(p.contains("BroadcastHashJoin"),
+      "the S-row rates frame must broadcast to the admission pass")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"nothing corpus-sized may shuffle for a join:\n$p")
+  }
+
   test("q184: manifest merge — one scan per side, map-side XOR fold, S-row join only") {
     val p = plan("q184_release_manifest")
     // one corpus scan per manifested side (base + delta) and nothing

@@ -338,6 +338,46 @@ class CurationSpec extends AnyFunSuite {
     assert(dl.exists(r => r.getString(0) == md5hex("6").take(2) && r.isNullAt(2)))
   }
 
+  test("mixture payload audit/compact: replay localized, divergence refused, repair serves clean") {
+    import graft.operators.TmpWorkspaces
+    val docs = Seq(
+      (0L, "a", Seq.fill(8)("w").mkString(" ")),
+      (1L, "a", Seq.fill(8)("w").mkString(" ")),
+      (2L, "b", Seq.fill(64)("w").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val path = TmpWorkspaces.pidScoped("graft_miximidx_spec_", "mix")
+    Curation.mixtureAppendIndex(docs, path.toString, "source", "doc_id", "text")
+    assert(Curation.mixtureAuditIndex(spark, path.toString).isEmpty)
+    // a blind retry: every key doubled, payloads bit-identical
+    Curation.mixtureAppendIndex(docs, path.toString, "source", "doc_id", "text")
+    val damage = Curation.mixtureAuditIndex(spark, path.toString)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(damage == Set((0L, 2L, 1L), (1L, 2L, 1L), (2L, 2L, 1L)), s"got $damage")
+    // compaction repairs: the served manifest equals the fresh derivation
+    val repaired = TmpWorkspaces.pidScoped("graft_miximidx_spec_", "rep")
+    Curation.mixtureCompactIndex(spark, path.toString, repaired.toString)
+    val served = Curation.mixtureServeIndex(spark, repaired.toString,
+        "source", "doc_id", budget = 40L)
+      .as[(String, Long, Long, Double, Boolean)].collect().toSet
+    val fresh = Curation.temperatureMixture(docs, "source", "doc_id",
+        "text", budget = 40L)
+      .as[(String, Long, Long, Double, Boolean)].collect().toSet
+    assert(served == fresh && served.nonEmpty)
+    // payload DIVERGENCE (same key, different token count) is refused
+    val divPath = TmpWorkspaces.pidScoped("graft_miximidx_spec_", "div")
+    Curation.mixtureAppendIndex(docs, divPath.toString, "source", "doc_id", "text")
+    Curation.mixtureAppendIndex(
+      docs.withColumn("text", concat(col("text"), lit(" extra"))),
+      divPath.toString, "source", "doc_id", "text")
+    assert(Curation.mixtureAuditIndex(spark, divPath.toString)
+      .filter(col("n_payloads") > 1).count() == 3L)
+    val e = intercept[IllegalArgumentException] {
+      Curation.mixtureCompactIndex(spark, divPath.toString,
+        TmpWorkspaces.pidScoped("graft_miximidx_spec_", "nope").toString)
+    }
+    assert(e.getMessage.contains("payload-divergent"), e.getMessage)
+  }
+
   test("admitByMixture keeps exactly the manifest's admitted rows, text intact") {
     // the q179 fixture: rates 5/6 (a) and 5/12 (b) at budget 40
     val docs = Seq(
