@@ -50,7 +50,13 @@ case class CountInSet(left: Expression, right: Expression)
 
   @transient private lazy val set: java.util.HashSet[UTF8String] = {
     val s = new java.util.HashSet[UTF8String]()
-    val arr = right.eval(null).asInstanceOf[ArrayData]
+    // foldable + correctly-typed does not rule out a NULL literal set;
+    // fail loudly by name rather than NPE from inside codegen setup
+    val evaluated = right.eval(null)
+    require(evaluated != null,
+      "count_in_set: the word-set argument evaluated to NULL — pass a " +
+        "non-null literal array<string>")
+    val arr = evaluated.asInstanceOf[ArrayData]
     var i = 0
     while (i < arr.numElements()) {
       if (!arr.isNullAt(i)) s.add(arr.getUTF8String(i).clone())

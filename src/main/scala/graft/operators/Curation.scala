@@ -249,16 +249,27 @@ object Curation {
       stratumCol: String, budget: Long): DataFrame = {
     val mass = counts.groupBy(col(stratumCol))
       .agg(sum(col("n_toks")).as("src_toks"))
-      .withColumn("q",
-        floor(sqrt(col("src_toks").cast("double")) * lit(1000000.0))
-          .cast("long"))
+      .withColumn("q", mixtureQ(col("src_toks")))
     mass
       .crossJoin(broadcast(mass.agg(sum(col("q")).as("qtot"))))
-      .withColumn("rate", least(lit(1.0),
-        (col("q").cast("double") * lit(budget.toDouble)) /
-          (col("qtot").cast("double") * col("src_toks").cast("double"))))
+      .withColumn("rate",
+        mixtureRate(col("q"), col("qtot"), col("src_toks"), budget))
       .select(col(stratumCol), col("rate"))
   }
+
+  /** The fixed-point mass reweighting: `q = floor(sqrt(mass)·10⁶)` as
+    * a long — exact-summable in any aggregation order.
+    */
+  private def mixtureQ(mass: Column): Column =
+    floor(sqrt(mass.cast("double")) * lit(1000000.0)).cast("long")
+
+  /** The clamped budget-split rate: `min(1, q·budget / (qtot·mass))`,
+    * with the association order the oracles replay verbatim.
+    */
+  private def mixtureRate(q: Column, qtot: Column, mass: Column,
+      budget: Long): Column =
+    least(lit(1.0), (q.cast("double") * lit(budget.toDouble)) /
+      (qtot.cast("double") * mass.cast("double")))
 
   /** The frozen per-key admission draw: `hash60(key) / 2⁶⁰` —
     * uniform in [0, 1), deterministic across runs and engines.
@@ -424,30 +435,20 @@ object Curation {
         sum(when(col("is_base"), col("n_toks")).otherwise(lit(0L)))
           .as("src_toks_base"),
         sum(col("n_toks")).as("src_toks_union"))
-      .withColumn("q_base",
-        floor(sqrt(col("src_toks_base").cast("double")) * lit(1000000.0))
-          .cast("long"))
-      .withColumn("q_union",
-        floor(sqrt(col("src_toks_union").cast("double")) * lit(1000000.0))
-          .cast("long"))
+      .withColumn("q_base", mixtureQ(col("src_toks_base")))
+      .withColumn("q_union", mixtureQ(col("src_toks_union")))
     val rates = mass
       .crossJoin(broadcast(mass.agg(
         sum(col("q_base")).as("qtb"), sum(col("q_union")).as("qtu"))))
       .withColumn("rate_base", when(col("src_toks_base") > 0,
-        least(lit(1.0),
-          (col("q_base").cast("double") * lit(budget.toDouble)) /
-            (col("qtb").cast("double") *
-              col("src_toks_base").cast("double")))))
-      .withColumn("rate_union", least(lit(1.0),
-        (col("q_union").cast("double") * lit(budget.toDouble)) /
-          (col("qtu").cast("double") *
-            col("src_toks_union").cast("double"))))
+        mixtureRate(col("q_base"), col("qtb"), col("src_toks_base"), budget)))
+      .withColumn("rate_union",
+        mixtureRate(col("q_union"), col("qtu"), col("src_toks_union"), budget))
       .select(col(stratumCol), col("src_toks_base"), col("src_toks_union"),
         col("rate_base"), col("rate_union"))
     // flips: base documents only — their draws are frozen, so a flip is
     // a pure rate crossing in one direction or the other
-    val draw = TextOps.hash60(col(keyCol).cast("string")).cast("double") /
-      lit(1152921504606846976.0)
+    val draw = mixtureDraw(col(keyCol))
     val flips = tm.filter(col("is_base"))
       .join(broadcast(rates.select(col(stratumCol), col("rate_base"),
         col("rate_union"))), stratumCol)

@@ -293,7 +293,7 @@ class CurationSpec extends AnyFunSuite {
     val df = docs.toDF("doc_id", "text")
     val got = Curation.releaseManifest(df, "doc_id", "text")
       .as[(String, Long, Long, Long)].collect().toSet
-    // JVM-twin replay: md5-prefix shard, hash60(key ∥  ∥ md5(norm)),
+    // JVM-twin replay: md5-prefix shard, hash60(key ∥ <U+0001> ∥ md5(norm)),
     // XOR fold per shard
     val md = java.security.MessageDigest.getInstance("MD5")
     def md5hex(s: String): String = {
