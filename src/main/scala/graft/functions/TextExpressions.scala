@@ -160,4 +160,25 @@ object TextExpressions {
       reg.createOrReplaceTempFunction("sum_strlen", sumLenBuilder, "built-in")
     }
   }
+
+  // Direct Column constructors — the operators' path. `call_function`
+  // would resolve by NAME through the session registry, making every
+  // consumer depend on ensureRegistered having run on that session
+  // (ADVICE r15: languageId/qualityColumns/datasetCard failed on any
+  // session that never went through Tables.load); building the
+  // Catalyst node directly keeps them self-contained. ensureRegistered
+  // stays for the SQL-name surface only.
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.classic.ExpressionUtils
+
+  /** `count_in_set(arr, words)` as a self-contained Column. */
+  def countInSet(arr: Column, words: Seq[String]): Column =
+    ExpressionUtils.column(CountInSet(
+      ExpressionUtils.expression(arr),
+      ExpressionUtils.expression(
+        org.apache.spark.sql.functions.typedLit(words))))
+
+  /** `sum_strlen(arr)` as a self-contained Column. */
+  def sumStrlen(arr: Column): Column =
+    ExpressionUtils.column(SumStrLen(ExpressionUtils.expression(arr)))
 }

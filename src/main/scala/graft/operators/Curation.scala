@@ -505,8 +505,13 @@ object Curation {
     df.select(
         substring(md5(key), 1, shardHexChars).as("shard"),
         size(TextOps.tokens(col(textCol))).cast("long").as("n_toks"),
+        // coalesce: a NULL text must checksum deterministically as
+        // (key, "") on BOTH engines — concat_ws would drop the null
+        // fingerprint WITH its separator while DuckDB's concat keeps
+        // chr(1), silently diverging replica manifests (ADVICE r15)
         TextOps.hash60(concat_ws("\u0001", key,
-          TextAnalysis.fingerprint(col(textCol)))).as("h"))
+          coalesce(TextAnalysis.fingerprint(col(textCol)), lit(""))))
+          .as("h"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
         expr("bit_xor(h)").as("checksum"))

@@ -161,6 +161,83 @@ object Multimodal {
         col("content").as("payload"))
       .filter(col("asset_id").isNotNull)
 
+  /** The NON-TEXT member of the incremental-dedup index family: exact
+    * payload-hash dedup over binary assets, on the
+    * [[Dedup.exactWriteIndex]] written-layout contract verbatim —
+    * `fingerprints/` rows of (asset_id, fingerprint = md5 of the
+    * CONTENT BYTES) partitioned by the fingerprint's own first 2 hex
+    * chars (md5 is uniform: the fingerprint IS its shard key). Text
+    * normalization does not apply to opaque media — byte-identity is
+    * the exact-dup relation for images/audio/video — so the only
+    * delta from the text member is hashing the binary column raw.
+    * A standing pipeline checks each new asset snapshot for exact
+    * duplicates against everything ever indexed by probing
+    * ~|snapshot shards|/256 of the layout (q194 gates the probe
+    * against the fresh whole-corpus oracle restricted to
+    * snapshot-touched fingerprints).
+    */
+  def assetWriteIndex(assets: DataFrame, path: String,
+      idCol: String = "asset_id", payloadCol: String = "payload"): Unit =
+    writeAssetFpGeneration(assets, path, idCol, payloadCol, "overwrite")
+
+  /** Appends a NEW-ASSET snapshot's fingerprints — delta-sized, zero
+    * base reads; the usual new-ids / exactly-once append contract (a
+    * replayed append inflates cluster_size counts, which
+    * [[assetAuditIndex]] localizes).
+    */
+  def assetAppendIndex(assets: DataFrame, path: String,
+      idCol: String = "asset_id", payloadCol: String = "payload"): Unit =
+    writeAssetFpGeneration(assets, path, idCol, payloadCol, "append")
+
+  private def writeAssetFpGeneration(assets: DataFrame, path: String,
+      idCol: String, payloadCol: String, mode: String): Unit =
+    assets.select(col(idCol).cast("long").as("asset_id"),
+        md5(col(payloadCol)).as("fingerprint"))
+      .withColumn("shard", substring(col("fingerprint"), 1, 2))
+      .repartition(col("shard"))
+      .write.mode(mode).partitionBy("shard").parquet(s"$path/fingerprints")
+
+  /** Replay audit of an [[assetWriteIndex]] layout — the
+    * [[Dedup.exactAuditIndex]] taxonomy on the asset side: ids present
+    * more than once; `n_payloads` = 1 means a replayed append
+    * (bit-identical copies), > 1 means the id was re-appended with
+    * DIFFERENT bytes (payload divergence — a rebuild signal).
+    */
+  def assetAuditIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(s"$path/fingerprints")
+      .groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n_copies"),
+        count_distinct(col("fingerprint")).as("n_payloads"))
+      .filter(col("n_copies") > 1)
+
+  /** Incremental exact-dup clustering of a new asset snapshot against
+    * an [[assetWriteIndex]] layout that already contains it — the
+    * [[Dedup.exactClustersIndexed]] probe shape on the binary side:
+    * every fingerprint cluster with AT LEAST ONE snapshot member, with
+    * the stats the fresh whole-corpus run would report (kept = global
+    * min id, cluster_size = full membership). One delta-sized hash
+    * pass, a partition-pruned scan (literal shards from a collect
+    * bounded by the 256-shard alphabet), a broadcast snapshot-
+    * fingerprint semi-join BEFORE the aggregation, one keyed agg.
+    */
+  def assetDedupIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, deltaAssets: DataFrame,
+      idCol: String = "asset_id", payloadCol: String = "payload")
+      : DataFrame = {
+    val deltaFp = deltaAssets
+      .select(md5(col(payloadCol)).as("fingerprint")).distinct()
+    val shards = deltaFp
+      .select(substring(col("fingerprint"), 1, 2).as("shard"))
+      .distinct().collect().map(_.getString(0))
+    spark.read.parquet(s"$path/fingerprints")
+      .filter(col("shard").isin(shards.toSeq: _*))
+      .join(broadcast(deltaFp), Seq("fingerprint"), "leftsemi")
+      .groupBy(col("fingerprint"))
+      .agg(min(col("asset_id")).as("kept_id"),
+        count(lit(1)).as("cluster_size"))
+  }
+
   /** Frame-sampling stage: split each payload into fixed-size frames
     * (the batch shape a video/audio pipeline hands to a model), one
     * output row per sampled frame.

@@ -664,6 +664,66 @@ object Pq {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** Recall@k QUALITY audit of the IVF-PQ TWO-STAGE serve — the
+    * [[Similarity.ivfRecallAudit]] measurement applied to the coded
+    * index family, closing the quality-audit pair (IVF q183 / IVF-PQ
+    * here): per query, how many of the TRUE top-k (exact brute force
+    * over the indexed corpus's raw vectors) the served result
+    * recovers. The served side is the production path verbatim —
+    * ADC shortlist from the WRITTEN self-contained index
+    * ([[ivfPqTopKFromIndex]]: partition-pruned bucket scan, codes
+    * only) re-ranked exactly over the shortlist's raw vectors (the
+    * [[ivfPqTopKReranked]] second stage). Recall here decays through
+    * TWO quality channels the structural audits (q142 duplicates,
+    * q145 stats) cannot see: nprobe pruning (the IVF channel q183
+    * measures) AND quantization error (the PQ channel — a shortlist
+    * too narrow for the codebook's distortion drops true neighbors
+    * before re-rank can save them). `shortlist = k` measures the raw
+    * ADC serve; widening it isolates how much re-rank headroom the
+    * codebook needs — the number that turns "retrain / widen m?"
+    * into a measurement.
+    *
+    * `corpus` must be the raw-vector frame the index was encoded
+    * from (the coded layout stores codes + norms, never vectors —
+    * exactness needs the source). Cost shape: the exact side is one
+    * deliberate brute-force pass over the corpus per audit (that IS
+    * the measurement); the served side stays partition-pruned.
+    */
+  def ivfPqRecallAudit(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      corpus: DataFrame, queries: DataFrame, k: Int, shortlist: Int,
+      nprobe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k,
+      s"rerank shortlist ($shortlist) must be >= k ($k)")
+    val cand = ivfPqTopKFromIndex(spark, path, queries, k = shortlist,
+      nprobe, idCol, vecCol)
+    val qv = broadcast(queries
+      .select(col(idCol).as("query_id"), asD(col(vecCol)).as("qv"))
+      .withColumn("qn", Similarity.l2norm(col("qv"))))
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val served = corpus
+      .select(col(idCol).as("neighbor_id"), asD(col(vecCol)).as("cv"))
+      .withColumn("cn", Similarity.l2norm(col("cv")))
+      .join(broadcast(cand.select(col("query_id"), col("neighbor_id"))),
+        "neighbor_id")
+      .join(qv, "query_id")
+      .withColumn("sim",
+        Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val exact = Similarity.bruteForceTopK(corpus, queries, k, idCol, vecCol)
+    exact.join(broadcast(served), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+      .select(col("query_id"), lit(k).as("k"), col("n_exact"),
+        col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact").cast("double"),
+          6).as("recall"))
+  }
+
   def pqTopK(encoded: DataFrame, codebook: DataFrame, queries: DataFrame,
       k: Int, idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {

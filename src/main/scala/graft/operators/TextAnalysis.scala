@@ -28,9 +28,13 @@ object TextAnalysis {
     * `size(filter(toks, …))` HOF it replaces paid |words| interpreted
     * lambda equalities per token (languageId runs this once per
     * registered language per document). Identical counting semantics.
+    * Built directly as a Catalyst node (not resolved by name through
+    * the session registry), so these operators stay self-contained on
+    * any SparkSession — no `ensureRegistered` precondition (ADVICE
+    * r15).
     */
   private def hits(toks: Column, words: Seq[String]): Column =
-    call_function("count_in_set", toks, typedLit(words))
+    graft.functions.TextExpressions.countInSet(toks, words)
 
   private def hitsSql(toks: String, words: Seq[String]): String = {
     val set = words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -96,7 +100,8 @@ object TextAnalysis {
     // hit counts and length sums, so the double arithmetic downstream
     // is bit-identical to the interpreted composition's
     val stopHits = hits(toks, allStops).cast("double")
-    val meanLen = call_function("sum_strlen", toks).cast("double") / nTok
+    val meanLen =
+      graft.functions.TextExpressions.sumStrlen(toks).cast("double") / nTok
     val lengthScore = least(nTok / 100.0, lit(1.0))
     val alphaRatio = alnum / nChars
     val stopRatio = least(stopHits / nTok * 5.0, lit(1.0))
@@ -371,6 +376,47 @@ object TextAnalysis {
       .select(col(stratumCol), col("doc_id"), col("n_tok"), col("nll"),
         round(col("cd"), 6).as("q_rank"),
         (col("cd") <= lit(keepFrac)).as("kept"))
+  }
+
+  /** The PRODUCTION form of [[qualityPercentileGate]] — the knob its
+    * scaladoc names: per-stratum thresholds derived with
+    * `percentile_approx` (an S-row aggregate, broadcast back) instead
+    * of the per-stratum `cume_dist` window, so NO source ever pays a
+    * total sort of its documents. Admission is VALUE-based:
+    * `kept = nll <= thr` where `thr` is the stratum's keepFrac-quantile
+    * of nll — every document tied at the threshold value is kept
+    * (the exact gate tie-breaks by doc_id instead; that is the one
+    * stated semantic difference).
+    *
+    * Exactness contract, stated precisely: Spark's
+    * `percentile_approx(nll, p, accuracy)` is the Greenwald-Khanna
+    * sketch with rank error ≤ n/accuracy — EXACT whenever the stratum
+    * holds fewer than `accuracy` documents (the sketch never
+    * compresses), which covers every gate fixture here (q195
+    * hash-gates it against the exact order-statistic oracle), and at
+    * 100 TB bounds the admitted-fraction error per source by
+    * 1/accuracy at O(accuracy) memory per group. The scored frame is
+    * materialized once (localCheckpoint — the q132/q146 derived-frame
+    * rule) since the threshold aggregate and the admission join both
+    * read it.
+    */
+  def qualityPercentileGateApprox(df: DataFrame, idCol: String,
+      textCol: String, stratumCol: String, keepFrac: Double,
+      accuracy: Int = 10000): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"keepFrac must be in (0, 1], got $keepFrac")
+    require(accuracy >= 100,
+      s"accuracy must be >= 100 (rank error is n/accuracy), got $accuracy")
+    val scored = df.select(col(stratumCol), col(idCol).as("doc_id"))
+      .join(unigramNllScores(df, idCol, textCol), "doc_id")
+      .localCheckpoint()
+    val thr = scored.groupBy(col(stratumCol))
+      .agg(percentile_approx(col("nll"), lit(keepFrac), lit(accuracy))
+        .as("thr"))
+    scored.join(broadcast(thr), Seq(stratumCol))
+      .select(col(stratumCol), col("doc_id"), col("n_tok"), col("nll"),
+        round(col("thr"), 6).as("thr"),
+        (col("nll") <= col("thr")).as("kept"))
   }
 
   /** Per-document bigram negative log-likelihood against an add-one-

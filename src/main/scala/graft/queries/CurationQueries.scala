@@ -539,6 +539,45 @@ object CurationQueries {
       ORDER BY doc_id
     """))
 
+  /** q187's PRODUCTION knob, gated (VERDICT r15 #3): the same
+    * distribution-adaptive cut with per-source thresholds derived by
+    * `percentile_approx` — an S-row aggregate broadcast back — instead
+    * of the per-source `cume_dist` window, so NO source pays a total
+    * sort of its documents at 100 TB ([[graft.operators.TextAnalysis
+    * .qualityPercentileGateApprox]]; PlanSpec pins the window-free
+    * plan). Admission is VALUE-based (`nll <= thr`, threshold ties
+    * keep — the one stated semantic delta from q187's doc_id
+    * tie-break). The sketch is EXACT below `accuracy` documents per
+    * source — every fixture here — so the oracle is the exact
+    * order-statistic pick (smallest nll with ≥ ⌈keepFrac·n⌉ values at
+    * or below it), and ONE moved threshold or flipped keep decision
+    * hash-fails; at scale the admitted-fraction error is bounded by
+    * 1/accuracy per source.
+    */
+  val q195QualityPercentileApprox: QueryDef = QueryDef(
+    "q195_quality_percentile_approx",
+    (s, dir) =>
+      TextAnalysis.qualityPercentileGateApprox(
+          Tables.load(s, dir, "documents"),
+          "doc_id", "text", "source", keepFrac = 0.5)
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH $unigramNllOracleCtes,
+      j AS (SELECT d.source, sc.doc_id, sc.n_tok, sc.nll
+            FROM scores sc JOIN documents d USING (doc_id)),
+      t AS (SELECT source, nll AS thr FROM (
+              SELECT source, nll,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY nll, doc_id) AS rn,
+                     COUNT(*) OVER (PARTITION BY source) AS n
+              FROM j) z
+            WHERE rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT)))
+      SELECT j.source, j.doc_id, j.n_tok, j.nll, round(t.thr, 6) AS thr,
+             (j.nll <= t.thr) AS kept
+      FROM j JOIN t USING (source)
+      ORDER BY doc_id
+    """))
+
   // ------------------------------------------------------------------
   // q131 concat-and-cut sequence packing
   // ------------------------------------------------------------------
@@ -933,7 +972,7 @@ object CurationQueries {
     }, {
       val toks = TextOps.tokensSql("text")
       val content = TextOps.hash60Sql(
-        s"concat(CAST(doc_id AS VARCHAR), chr(1), ${TextAnalysis.fingerprintSql("text")})")
+        s"concat(CAST(doc_id AS VARCHAR), chr(1), coalesce(${TextAnalysis.fingerprintSql("text")}, ''))")
       Some(s"""
         SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS shard,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1129,5 +1168,5 @@ object CurationQueries {
       q150BigramQuality, q179TemperatureMixture, q181MixturePacked,
       q182MixtureDrift, q184ReleaseManifest, q185StreamingMixtureIngest,
       q186CurationV8, q187QualityPercentile, q188DatasetCard,
-      q192MixtureRepair)
+      q192MixtureRepair, q195QualityPercentileApprox)
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.operators.{Bpe, Clustering, Curation, Dedup, Pq, Retrieval, Similarity, TextAnalysis, TextOps}
+import graft.operators.{Bpe, Clustering, Curation, Dedup, Multimodal, Pq, Retrieval, Similarity, TextAnalysis, TextOps}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -3302,6 +3302,178 @@ object PipelineQueries {
     },
     Some(semanticIncrementalOracleSql))
 
+  // ------------------------------------------------------------------
+  // q193 replay-SAFE streaming ingest (the batchId-keyed commit ledger)
+  // ------------------------------------------------------------------
+
+  /** EXACTLY-ONCE ACROSS SINK RETRIES, gated (VERDICT r15 #1): the
+    * q171 lifecycle — base index, snapshot streamed in two
+    * micro-batches through [[graft.streaming.IndexIngest]] — followed
+    * by a SIMULATED SINK RETRY: both micro-batches are RE-DELIVERED
+    * through the sink's own per-batch body
+    * ([[graft.streaming.IndexIngest.exactBatch]], the function the
+    * running stream itself executes) under their original batchIds.
+    * The batchId-keyed commit ledger must skip both replays, so (a)
+    * the replay audit ([[graft.operators.Dedup.exactAuditIndex]]) is
+    * EMPTY — emitted as the `n_replay_dups` scalar, which the oracle
+    * pins to 0 — and (b) the served probe still hash-equals the same
+    * fresh-union oracle as q171 (a replay that landed would double
+    * every snapshot cluster_size AND raise the scalar: two
+    * independent reds). This closes the one semantic delta vs the
+    * reference's checkpoint-committed StreamingFileSink (SURVEY §2.2,
+    * `DS/api/functions/sink/filesystem/StreamingFileSink.java`).
+    */
+  val q193IdempotentIngestReplay: QueryDef = QueryDef(
+    "q193_idempotent_ingest_replay",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val idxPath = graft.operators.TmpWorkspaces
+        .pidScoped("graft_fpidx_q193_", dir)
+      Dedup.exactWriteIndex(docs.filter(col("doc_id") % 5 =!= 1),
+        idxPath.toString, "doc_id", "text")
+      val snapshot = docs.filter(col("doc_id") % 5 === 1)
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      val inPath = graft.operators.TmpWorkspaces
+        .pidScoped("graft_ingest_in_q193_", dir)
+      (0 until 2).foreach { c =>
+        snapshot.filter(col("doc_id") % 2 === c).coalesce(1)
+          .write.mode("append").parquet(inPath.toString)
+      }
+      graft.streaming.IndexIngest.ingestExactFingerprints(
+        s.readStream.schema(snapshot.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inPath.toString),
+        idxPath.toString, "doc_id", "text")
+      // the sink retry: re-deliver both batches under their original
+      // (epoch, batchId) keys through the sink's own body — the
+      // ledger must skip them (any execution doubles cluster sizes
+      // and the audit scalar → hash-fail)
+      (0 until 2).foreach { c =>
+        graft.streaming.IndexIngest.exactBatch(
+          idxPath.toString, "doc_id", "text")(
+          snapshot.filter(col("doc_id") % 2 === c), c.toLong)
+      }
+      val audit = Dedup.exactAuditIndex(s, idxPath.toString)
+        .agg(count(lit(1)).as("n_replay_dups"))
+      Dedup.exactClustersIndexed(s, idxPath.toString, snapshot,
+          "doc_id", "text")
+        .crossJoin(broadcast(audit))
+        .orderBy(col("fingerprint"))
+    },
+    Some(s"""
+      WITH fp AS (SELECT doc_id, md5(${TextOps.normalizeSql("text")}) AS fingerprint
+                  FROM documents)
+      SELECT fingerprint, MIN(doc_id) AS kept_id, COUNT(*) AS cluster_size,
+             CAST(0 AS BIGINT) AS n_replay_dups
+      FROM fp
+      GROUP BY 1
+      HAVING COUNT(CASE WHEN doc_id % 5 = 1 THEN 1 END) > 0
+      ORDER BY fingerprint
+    """))
+
+  // ------------------------------------------------------------------
+  // q194 multimodal asset dedup vs the written index (8th member)
+  // ------------------------------------------------------------------
+
+  /** The NON-TEXT member of the incremental-dedup family (VERDICT r15
+    * #2) — binary assets through the FULL media path: every document
+    * materializes as a `.bin` file ([[graft.operators.Multimodal
+    * .writeAssets]]), re-enters through Spark's `binaryFile` source
+    * ([[graft.operators.Multimodal.ingestBinaryDir]] — the path real
+    * image/audio corpora arrive by), the base 3/4 builds the written
+    * payload-hash index ([[graft.operators.Multimodal
+    * .assetWriteIndex]] — md5 of the CONTENT BYTES, shard = first 2
+    * hex chars, the q160 layout verbatim), the remaining quarter
+    * appends, and the probe ([[graft.operators.Multimodal
+    * .assetDedupIndexed]]) dedups the snapshot against everything
+    * ever indexed through a shard-PRUNED scan. Oracle: the fresh
+    * whole-corpus byte-hash clustering restricted to snapshot-touched
+    * fingerprints — DuckDB's md5 of the text IS the md5 of the file's
+    * UTF-8 bytes, so a corrupted write, a lossy binary round-trip, or
+    * a broken shard prune all hash-fail.
+    */
+  val q194AssetDedupIndexed: QueryDef = QueryDef(
+    "q194_asset_dedup_indexed",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val assetDir = graft.operators.TmpWorkspaces
+        .pidScoped("graft_assets_q194_", dir)
+      Multimodal.writeAssets(docs, "doc_id", "text", assetDir.toString)
+      val assets = Multimodal.ingestBinaryDir(s, assetDir.toString)
+        .localCheckpoint()
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_assetidx_q194_", dir)
+      Multimodal.assetWriteIndex(assets.filter(col("asset_id") % 4 =!= 3),
+        path.toString)
+      val snapshot = assets.filter(col("asset_id") % 4 === 3)
+      Multimodal.assetAppendIndex(snapshot, path.toString)
+      Multimodal.assetDedupIndexed(s, path.toString, snapshot)
+        .orderBy(col("fingerprint"))
+    },
+    Some("""
+      WITH fp AS (SELECT doc_id AS asset_id, md5(text) AS fingerprint
+                  FROM documents WHERE text IS NOT NULL)
+      SELECT fingerprint, MIN(asset_id) AS kept_id, COUNT(*) AS cluster_size
+      FROM fp
+      GROUP BY 1
+      HAVING COUNT(CASE WHEN asset_id % 4 = 3 THEN 1 END) > 0
+      ORDER BY fingerprint
+    """))
+
+  // ------------------------------------------------------------------
+  // q196 IVF-PQ recall@k audit (two-stage serve vs exact; q183's pair)
+  // ------------------------------------------------------------------
+
+  /** Recall@k of the IVF-PQ TWO-STAGE serve ([[graft.operators.Pq
+    * .ivfPqRecallAudit]]) — q183's quality measurement over the coded
+    * index family, closing the quality-audit pair (VERDICT r15 #4):
+    * the self-contained index serves an ADC shortlist of 10 from the
+    * written layout, re-ranks it exactly, and the audit counts how
+    * many of the TRUE top-5 (brute force over the raw corpus) the
+    * serve recovered — per query row. Unlike q183, recall here decays
+    * through BOTH channels: nprobe pruning AND quantization error
+    * (a shortlist too narrow for the codebook's distortion drops true
+    * neighbors before re-rank can recover them — PqSpec pins a
+    * hand-built geometry where exactly that happens). The oracle
+    * replays the full composition: training arithmetic, written
+    * serve, exact re-rank, exact top-5, and the per-query
+    * intersection counts.
+    */
+  val q196IvfPqRecall: QueryDef = QueryDef(
+    "q196_ivfpq_recall",
+    (s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val (assigned, centroids, cb) = ivfPqBuild(emb, lit(true))
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_ivfpqidx_q196_", dir)
+      Pq.ivfPqWriteIndexFull(Pq.ivfPqEncode(assigned, centroids, cb),
+        centroids, cb, path.toString)
+      Pq.ivfPqRecallAudit(s, path.toString, emb,
+          emb.filter(col("vec_id") < 10)
+            .select(col("vec_id"), col("embedding")),
+          k = 5, shortlist = 10, nprobe = 2)
+        .orderBy(col("query_id"))
+    }, {
+      val cosQE = Similarity.cosineSql("q.qv", "e.v")
+      Some(s"""
+        WITH ${ivfPqOracleCtes("TRUE")},
+        ${ivfPqServeCtes("vec_id < 10", 5, rerank = Some(10))},
+        xr AS (SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.query_id
+                         ORDER BY $cosQE DESC, e.vec_id) AS xrn
+                FROM corpus e CROSS JOIN q WHERE e.vec_id <> q.query_id) z
+               WHERE xrn <= 5)
+        SELECT x.query_id, CAST(5 AS INT) AS k,
+               CAST(COUNT(*) AS BIGINT) AS n_exact,
+               CAST(COUNT(p.neighbor_id) AS BIGINT) AS n_hit,
+               round(CAST(COUNT(p.neighbor_id) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+        FROM xr x LEFT JOIN ipq p
+          ON x.query_id = p.query_id AND x.neighbor_id = p.neighbor_id
+        GROUP BY 1 ORDER BY 1
+      """)
+    })
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
@@ -3321,5 +3493,6 @@ object PipelineQueries {
     q172BlockIncremental, q173SemanticIncremental, q174StreamingIvfIngest,
     q175SemanticDrift, q176CurationV7, q177StreamingBm25Ingest,
     q178SemanticRepair, q180StreamingSemanticIngest, q183IvfRecall, q189WinnowPairs,
-    q190WinnowIncremental, q191StreamingWinnowIngest)
+    q190WinnowIncremental, q191StreamingWinnowIngest,
+    q193IdempotentIngestReplay, q194AssetDedupIndexed, q196IvfPqRecall)
 }

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+import org.apache.spark.sql.Row
 
 /** Streaming DAY-2 ingest into the written dedup-index family: each
   * micro-batch of newly-arrived documents appends ONE GENERATION of
@@ -14,25 +15,87 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * a normal DataFrame, so the append is the SAME code the batch path
   * runs, and the probe serving afterwards is unchanged.
   *
-  * Delivery contract: within a batch the append is one parquet write
-  * (file-granularity atomic); across sink retries the caller owns
-  * exactly-once — a replayed batch lands bit-identical duplicate
-  * fingerprint rows, which is EXACTLY the damage
-  * [[graft.operators.Dedup.exactAuditIndex]] localizes. With a
-  * transactional table format on the classpath the same body would
-  * gain sink-side exactly-once via (batchId, epoch) dedup.
+  * Delivery contract — EXACTLY-ONCE ACROSS SINK RETRIES (the
+  * reference's `StreamingFileSink` commits atomically per checkpoint,
+  * SURVEY §2.2 `DS/api/functions/sink/filesystem/StreamingFileSink
+  * .java`; this is the foreachBatch equivalent): every member routes
+  * its append through [[committedAppend]], a batchId-keyed commit
+  * ledger next to the index. foreachBatch's `batchId` is stable
+  * across retries of the same epoch (and across restarts from the
+  * same `checkpointLocation`), so a replayed batch finds its marker
+  * and lands ZERO rows — q193 gates that a replayed delivery leaves
+  * the audit empty and the served result hash-unchanged. Two caller
+  * obligations remain, both documented per member: (1) restarts must
+  * reuse the run's `checkpointLocation` (pass it to `start*`) —
+  * restarting WITHOUT one re-delivers data under fresh batchIds,
+  * which the ledger cannot distinguish from new data (that damage is
+  * what the audit/compact pair localizes and repairs); (2) a NEW
+  * logical backfill onto the same index must pass a new `epoch`
+  * (markers are keyed (member, epoch, batchId); temp-checkpoint runs
+  * restart batchIds at 0, so reusing an epoch would silently skip
+  * the new run's batches).
   */
 object IndexIngest {
 
+  /** Batch-commit ledger: runs `append` only if no marker exists for
+    * (member, epoch, batchId) under `indexPath/_ingest_commits/`, then
+    * writes the marker via an atomic create-if-absent. Returns true
+    * if the append ran, false if the delivery was a replay and was
+    * skipped. The marker directory is underscore-prefixed, so parquet
+    * readers of the index never see it (the `_SUCCESS` convention).
+    *
+    * Failure window, stated honestly: the append's parquet job commit
+    * and the marker create are two operations; a crash BETWEEN them
+    * makes the retry re-append (duplicates — exactly the damage the
+    * per-member audit localizes and compaction repairs). The window
+    * is one small-file create wide, versus the whole batch under the
+    * previous caller-owns-everything contract; closing it fully needs
+    * a transactional table format, which is out of scope here.
+    */
+  def committedAppend(spark: SparkSession, indexPath: String,
+      member: String, epoch: String, batchId: Long)(
+      append: => Unit): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val marker = new Path(
+      s"$indexPath/_ingest_commits/$member/epoch=$epoch/batch-$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) false
+    else {
+      append
+      fs.mkdirs(marker.getParent)
+      // overwrite=false: atomic create-if-absent — two racing retries
+      // of one batch cannot both claim the commit
+      val out = fs.create(marker, false)
+      try out.write(Array.emptyByteArray) finally out.close()
+      true
+    }
+  }
+
+  private def withCheckpoint(w: DataStreamWriter[Row],
+      checkpointLocation: Option[String]): DataStreamWriter[Row] =
+    checkpointLocation.fold(w)(w.option("checkpointLocation", _))
+
+  /** The exact-fingerprint member's per-batch body — shared verbatim
+    * by the sink and by q193's replayed-delivery gate, so the replay
+    * exercises the REAL commit path, not a re-implementation.
+    */
+  def exactBatch(path: String, idCol: String, textCol: String,
+      epoch: String = "0")(batch: DataFrame, batchId: Long): Unit =
+    committedAppend(batch.sparkSession, path, "exact", epoch, batchId) {
+      graft.operators.Dedup.exactAppendIndex(batch, path, idCol, textCol)
+    }
+
   /** Starts the ingest and returns the query — callers drive the
-    * micro-batches (specs force multi-batch delivery this way).
+    * micro-batches (specs force multi-batch delivery this way). Pass
+    * `checkpointLocation` in production so a restart resumes with
+    * stable batchIds (the replay-safety contract above).
     */
   def start(docsStream: DataFrame, path: String,
-      idCol: String, textCol: String): StreamingQuery =
-    docsStream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Dedup.exactAppendIndex(batch, path, idCol, textCol)
-      }
+      idCol: String, textCol: String, epoch: String = "0",
+      checkpointLocation: Option[String] = None): StreamingQuery =
+    withCheckpoint(docsStream.writeStream
+        .foreachBatch(exactBatch(path, idCol, textCol, epoch) _),
+        checkpointLocation)
       .outputMode("append")
       .start()
 
@@ -40,11 +103,21 @@ object IndexIngest {
     * the bounded-backfill form the q171 gate drives.
     */
   def ingestExactFingerprints(docsStream: DataFrame, path: String,
-      idCol: String, textCol: String): Unit = {
-    val q = start(docsStream, path, idCol, textCol)
+      idCol: String, textCol: String, epoch: String = "0"): Unit = {
+    val q = start(docsStream, path, idCol, textCol, epoch)
     try q.processAllAvailable()
     finally q.stop()
   }
+
+  /** IVF member's per-batch body ([[startIvf]] + replay gates). */
+  def ivfBatch(path: String, centroids: DataFrame, idCol: String,
+      vecCol: String, epoch: String = "0")(
+      batch: DataFrame, batchId: Long): Unit =
+    committedAppend(batch.sparkSession, path, "ivf", epoch, batchId) {
+      graft.operators.Similarity.ivfAppendIndex(
+        graft.operators.Similarity.ivfAssign(batch, centroids, idCol, vecCol),
+        path)
+    }
 
   /** Vector-side twin of [[start]]: each micro-batch of newly-arrived
     * embeddings is assigned against the FROZEN centroid family
@@ -57,20 +130,16 @@ object IndexIngest {
     * independent of every other vector, so any micro-batch split of
     * the delta composes to the same index as the fresh union build
     * (q174 gates served top-k against the q134/q137 fresh-build
-    * oracle). Same delivery contract as [[start]]: file-granularity
-    * atomic within a batch, caller owns exactly-once across sink
-    * retries (a replayed batch lands duplicate member rows — the
-    * damage the `groupBy(id).count > 1` audit localizes and a fresh
-    * [[graft.operators.Similarity.ivfWriteIndex]] compaction repairs).
+    * oracle). Delivery contract as [[start]]: replay-safe via the
+    * batchId-keyed commit ledger.
     */
   def startIvf(vecStream: DataFrame, path: String, centroids: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): StreamingQuery =
-    vecStream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Similarity.ivfAppendIndex(
-          graft.operators.Similarity.ivfAssign(batch, centroids, idCol, vecCol),
-          path)
-      }
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      epoch: String = "0",
+      checkpointLocation: Option[String] = None): StreamingQuery =
+    withCheckpoint(vecStream.writeStream
+        .foreachBatch(ivfBatch(path, centroids, idCol, vecCol, epoch) _),
+        checkpointLocation)
       .outputMode("append")
       .start()
 
@@ -79,11 +148,18 @@ object IndexIngest {
     */
   def ingestIvfVectors(vecStream: DataFrame, path: String,
       centroids: DataFrame, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
-    val q = startIvf(vecStream, path, centroids, idCol, vecCol)
+      vecCol: String = "embedding", epoch: String = "0"): Unit = {
+    val q = startIvf(vecStream, path, centroids, idCol, vecCol, epoch)
     try q.processAllAvailable()
     finally q.stop()
   }
+
+  /** BM25 member's per-batch body ([[startBm25]] + replay gates). */
+  def bm25Batch(path: String, idCol: String, textCol: String,
+      epoch: String = "0")(batch: DataFrame, batchId: Long): Unit =
+    committedAppend(batch.sparkSession, path, "bm25", epoch, batchId) {
+      graft.operators.Retrieval.bm25AppendIndex(batch, path, idCol, textCol)
+    }
 
   /** Lexical twin of [[start]]/[[startIvf]] — the THIRD index modality
     * on the streaming ingest loop: each micro-batch of newly-arrived
@@ -96,20 +172,22 @@ object IndexIngest {
     * time (the r12 layout invariant), so any micro-batch split of the
     * delta sums to the fresh whole-corpus statistics — q177 gates the
     * served top-10 against the same q146/q154/q155 fresh-corpus
-    * oracle. Delivery contract as [[start]]: batch-atomic writes,
-    * caller owns exactly-once across retries (a replayed batch is the
-    * doubled-generation damage [[graft.operators.Retrieval
-    * .bm25AuditIndex]] localizes and `bm25CompactIndex` repairs).
-    * Same new-ids contract as the batch append: a stream that re-sends
-    * an already-indexed document doubles its postings — feed this sink
-    * NEW documents only.
+    * oracle. Delivery contract as [[start]]: replay-safe via the
+    * batchId-keyed commit ledger (a replayed batch would otherwise
+    * DOUBLE df and the corpus scalars — the doubled-generation damage
+    * [[graft.operators.Retrieval.bm25AuditIndex]] localizes now only
+    * arises from the documented caller-error paths). Same new-ids
+    * contract as the batch append: a stream that re-sends an
+    * already-indexed document under a NEW batch doubles its postings —
+    * feed this sink NEW documents only.
     */
   def startBm25(docsStream: DataFrame, path: String,
-      idCol: String = "doc_id", textCol: String = "text"): StreamingQuery =
-    docsStream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Retrieval.bm25AppendIndex(batch, path, idCol, textCol)
-      }
+      idCol: String = "doc_id", textCol: String = "text",
+      epoch: String = "0",
+      checkpointLocation: Option[String] = None): StreamingQuery =
+    withCheckpoint(docsStream.writeStream
+        .foreachBatch(bm25Batch(path, idCol, textCol, epoch) _),
+        checkpointLocation)
       .outputMode("append")
       .start()
 
@@ -117,11 +195,31 @@ object IndexIngest {
     * stops — the bounded-backfill form the q177 gate drives.
     */
   def ingestBm25Docs(docsStream: DataFrame, path: String,
-      idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    val q = startBm25(docsStream, path, idCol, textCol)
+      idCol: String = "doc_id", textCol: String = "text",
+      epoch: String = "0"): Unit = {
+    val q = startBm25(docsStream, path, idCol, textCol, epoch)
     try q.processAllAvailable()
     finally q.stop()
   }
+
+  /** Semantic member's per-batch body ([[startSemantic]] + replay
+    * gates). Generation = startGen + batchId: batchIds are contiguous
+    * from 0 within a run and stable across retries/checkpointed
+    * restarts, so a replayed delivery is SKIPPED by the ledger before
+    * the gen is even derived — the gen-shift divergence a
+    * ledger-less replay could produce (classified as payload
+    * divergence by [[graft.operators.Clustering.semanticAuditIndex]])
+    * now requires the documented caller errors (restart without
+    * checkpoint, epoch reuse).
+    */
+  def semanticBatch(path: String, centroids: DataFrame, idCol: String,
+      vecCol: String, startGen: Int, epoch: String = "0")(
+      batch: DataFrame, batchId: Long): Unit =
+    committedAppend(batch.sparkSession, path, "semantic", epoch, batchId) {
+      graft.operators.Clustering.semanticAppendIndex(
+        graft.operators.Clustering.assignL2(batch, centroids, idCol, vecCol),
+        path, gen = startGen + batchId.toInt, idCol)
+    }
 
   /** Semantic-cluster twin of [[startIvf]], completing the streaming
     * ingest loop over ALL FOUR written index families (exact
@@ -138,21 +236,20 @@ object IndexIngest {
     * vector assignment is independent, generations partition the
     * delta, and the probe reads their union — q180 gates the standing
     * probe against the same fresh-union oracle as q173. Delivery
-    * contract as the other three: batch-atomic, caller owns
-    * exactly-once across retries (a replayed batch is exactly the
-    * damage [[graft.operators.Clustering.semanticAuditIndex]]
-    * localizes and `semanticCompactIndex` repairs).
+    * contract as the other members: replay-safe via the batchId-keyed
+    * commit ledger (see [[semanticBatch]] for the gen-stability
+    * argument).
     */
   def startSemantic(vecStream: DataFrame, path: String,
       centroids: DataFrame, idCol: String = "vec_id",
-      vecCol: String = "embedding", startGen: Int = 1): StreamingQuery = {
+      vecCol: String = "embedding", startGen: Int = 1,
+      epoch: String = "0",
+      checkpointLocation: Option[String] = None): StreamingQuery = {
     require(startGen > 0, s"append generations start at 1, got $startGen")
-    vecStream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Clustering.semanticAppendIndex(
-          graft.operators.Clustering.assignL2(batch, centroids, idCol, vecCol),
-          path, gen = startGen + batchId.toInt, idCol)
-      }
+    withCheckpoint(vecStream.writeStream
+        .foreachBatch(
+          semanticBatch(path, centroids, idCol, vecCol, startGen, epoch) _),
+        checkpointLocation)
       .outputMode("append")
       .start()
   }
@@ -162,11 +259,21 @@ object IndexIngest {
     */
   def ingestSemanticVectors(vecStream: DataFrame, path: String,
       centroids: DataFrame, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
-    val q = startSemantic(vecStream, path, centroids, idCol, vecCol)
+      vecCol: String = "embedding", epoch: String = "0"): Unit = {
+    val q = startSemantic(vecStream, path, centroids, idCol, vecCol,
+      epoch = epoch)
     try q.processAllAvailable()
     finally q.stop()
   }
+
+  /** Winnow member's per-batch body ([[startWinnow]] + replay gates). */
+  def winnowBatch(path: String, idCol: String, textCol: String,
+      blockCol: String, epoch: String = "0")(
+      batch: DataFrame, batchId: Long): Unit =
+    committedAppend(batch.sparkSession, path, "winnow", epoch, batchId) {
+      graft.operators.Dedup.winnowAppendIndex(batch, path, idCol,
+        textCol, blockCol)
+    }
 
   /** Winnowing twin of [[start]] — the pair-index families' streaming
     * member alongside the exact-fingerprint one: each micro-batch of
@@ -177,19 +284,18 @@ object IndexIngest {
     * its own document, generations partition the delta, and the probe
     * ([[graft.operators.Dedup.winnowPairsIndexed]]) reads their union —
     * q191 gates the standing probe against the same fresh-restricted
-    * oracle as q190. Delivery contract as the other sinks:
-    * batch-atomic parquet append, caller owns exactly-once across
-    * retries (a replayed batch doubles pair multiplicities — exactly
-    * what [[graft.operators.Dedup.winnowAuditIndex]] localizes).
+    * oracle as q190. Delivery contract as the other members:
+    * replay-safe via the batchId-keyed commit ledger (a replayed
+    * batch would otherwise double pair multiplicities — what
+    * [[graft.operators.Dedup.winnowAuditIndex]] localizes).
     */
   def startWinnow(docsStream: DataFrame, path: String,
       idCol: String = "doc_id", textCol: String = "text",
-      blockCol: String = "source"): StreamingQuery =
-    docsStream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Dedup.winnowAppendIndex(batch, path, idCol,
-          textCol, blockCol)
-      }
+      blockCol: String = "source", epoch: String = "0",
+      checkpointLocation: Option[String] = None): StreamingQuery =
+    withCheckpoint(docsStream.writeStream
+        .foreachBatch(winnowBatch(path, idCol, textCol, blockCol, epoch) _),
+        checkpointLocation)
       .outputMode("append")
       .start()
 
@@ -198,11 +304,22 @@ object IndexIngest {
     */
   def ingestWinnowDocs(docsStream: DataFrame, path: String,
       idCol: String = "doc_id", textCol: String = "text",
-      blockCol: String = "source"): Unit = {
-    val q = startWinnow(docsStream, path, idCol, textCol, blockCol)
+      blockCol: String = "source", epoch: String = "0"): Unit = {
+    val q = startWinnow(docsStream, path, idCol, textCol, blockCol, epoch)
     try q.processAllAvailable()
     finally q.stop()
   }
+
+  /** Mixture member's per-batch body ([[startMixture]] + replay
+    * gates).
+    */
+  def mixtureBatch(path: String, stratumCol: String, idCol: String,
+      textCol: String, epoch: String = "0")(
+      batch: DataFrame, batchId: Long): Unit =
+    committedAppend(batch.sparkSession, path, "mixture", epoch, batchId) {
+      graft.operators.Curation.mixtureAppendIndex(batch, path,
+        stratumCol, idCol, textCol)
+    }
 
   /** The DERIVED-ARTIFACT member of the ingest loop: where the four
     * index sinks above maintain retrieval/dedup state, this one
@@ -216,20 +333,19 @@ object IndexIngest {
     * boundaries cannot move a rate or a draw: source masses are exact
     * long sums (additive over any generation split) and draws are
     * frozen per-key hashes — q185 gates the streamed ingest's serve
-    * against the fresh whole-corpus q179 derivation. Same delivery
-    * contract as the other sinks: batch-atomic parquet append, caller
-    * owns exactly-once across retries (a replayed batch doubles its
-    * documents' mass and duplicates keys — the `groupBy(key).count >
-    * 1` audit localizes it).
+    * against the fresh whole-corpus q179 derivation. Delivery contract
+    * as the other members: replay-safe via the batchId-keyed commit
+    * ledger (a replayed batch would otherwise double its documents'
+    * mass and duplicate keys — what the `groupBy(key).count > 1`
+    * audit and q192's repair lifecycle handle).
     */
   def startMixture(docsStream: DataFrame, path: String,
       stratumCol: String = "source", idCol: String = "doc_id",
-      textCol: String = "text"): StreamingQuery =
-    docsStream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Curation.mixtureAppendIndex(batch, path,
-          stratumCol, idCol, textCol)
-      }
+      textCol: String = "text", epoch: String = "0",
+      checkpointLocation: Option[String] = None): StreamingQuery =
+    withCheckpoint(docsStream.writeStream
+        .foreachBatch(mixtureBatch(path, stratumCol, idCol, textCol, epoch) _),
+        checkpointLocation)
       .outputMode("append")
       .start()
 
@@ -239,8 +355,8 @@ object IndexIngest {
     */
   def ingestMixtureDocs(docsStream: DataFrame, path: String,
       stratumCol: String = "source", idCol: String = "doc_id",
-      textCol: String = "text"): Unit = {
-    val q = startMixture(docsStream, path, stratumCol, idCol, textCol)
+      textCol: String = "text", epoch: String = "0"): Unit = {
+    val q = startMixture(docsStream, path, stratumCol, idCol, textCol, epoch)
     try q.processAllAvailable()
     finally q.stop()
   }
