@@ -169,16 +169,16 @@ object TextExpressions {
   // Catalyst node directly keeps them self-contained. ensureRegistered
   // stays for the SQL-name surface only.
   import org.apache.spark.sql.Column
-  import org.apache.spark.sql.classic.ExpressionUtils
+  import org.apache.spark.sql.graftshim.GraftColumnBridge
 
   /** `count_in_set(arr, words)` as a self-contained Column. */
   def countInSet(arr: Column, words: Seq[String]): Column =
-    ExpressionUtils.column(CountInSet(
-      ExpressionUtils.expression(arr),
-      ExpressionUtils.expression(
+    GraftColumnBridge.column(CountInSet(
+      GraftColumnBridge.expression(arr),
+      GraftColumnBridge.expression(
         org.apache.spark.sql.functions.typedLit(words))))
 
   /** `sum_strlen(arr)` as a self-contained Column. */
   def sumStrlen(arr: Column): Column =
-    ExpressionUtils.column(SumStrLen(ExpressionUtils.expression(arr)))
+    GraftColumnBridge.column(SumStrLen(GraftColumnBridge.expression(arr)))
 }

@@ -65,6 +65,58 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** The bytes a [[featurizeVector]] component counts, in component
+    * order (components 2..7 of the vector; 0 is the bias, 1 the byte
+    * length). ASCII code points only: UTF-8 continuation bytes are
+    * ≥ 0x80, so a byte-level count of an ASCII char over the raw
+    * payload equals the character count over the decoded text — the
+    * property that lets a SQL oracle replay a byte-level featurizer.
+    */
+  private[graft] val FeatureBytes: Array[Byte] =
+    Array(' ', 'e', 't', 'a', 'o', 'i').map(_.toByte)
+
+  /** Decode → EMBED stage: (id, payload) → a deterministic feature
+    * VECTOR per asset, the embedding-family twin of [[featurize]]'s
+    * scalar features — what a real image/audio encoder would emit as
+    * its embedding, stood in by byte statistics so the downstream
+    * contract (frozen-centroid assignment, semantic written index,
+    * cluster-pruned near-dup probe — the q36/q173 family) runs
+    * unstubbed. Components: `[1.0, n_bytes, count(b) for b in
+    * [[FeatureBytes]]]` — the leading bias keeps every vector off the
+    * zero point (an empty payload would otherwise make cosine NaN,
+    * which DuckDB and the JVM order differently). One object-barrier
+    * mapPartitions pass; payloads never shuffle — only the dim-8
+    * vectors leave the stage.
+    *
+    * Output: (vec_id, embedding: array&lt;double&gt;) — the
+    * [[Clustering.assignL2]] input shape.
+    */
+  def featurizeVector(df: DataFrame, idCol: String): DataFrame = {
+    val schema = new StructType()
+      .add("vec_id", LongType)
+      .add("embedding", ArrayType(DoubleType, containsNull = false))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](payIdx)
+        val counts = new Array[Long](FeatureBytes.length)
+        var i = 0
+        while (i < bytes.length) {
+          val b = bytes(i)
+          var j = 0
+          while (j < FeatureBytes.length) {
+            if (b == FeatureBytes(j)) counts(j) += 1
+            j += 1
+          }
+          i += 1
+        }
+        Row(r.getLong(idIdx),
+          (1.0 +: bytes.length.toDouble +: counts.map(_.toDouble)).toSeq)
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Hadoop Configuration is not Serializable; this is the standard
     * write/readFields envelope so executors inherit the SESSION'S
     * filesystem config (s3a credentials, defaultFS, …) instead of a
@@ -156,8 +208,12 @@ object Multimodal {
         // filename must be exactly <digits>.bin: anything else (a
         // stray cover.jpg, a negative id that would alias another
         // asset) yields NULL and is dropped instead of NPE-ing the
-        // downstream featurize
-        regexp_extract(col("path"), "/([0-9]+)\\.bin$", 1).cast("long").as("asset_id"),
+        // downstream featurize. regexp_extract returns '' on a miss,
+        // and ANSI casts '' -> bigint throw — nullif makes the miss a
+        // NULL before the cast (matches are all-digit, so the cast
+        // itself can only overflow, which SHOULD fail loudly)
+        nullif(regexp_extract(col("path"), "/([0-9]+)\\.bin$", 1), lit(""))
+          .cast("long").as("asset_id"),
         col("content").as("payload"))
       .filter(col("asset_id").isNotNull)
 

@@ -3474,6 +3474,86 @@ object PipelineQueries {
       """)
     })
 
+  // ------------------------------------------------------------------
+  // q197 multimodal near-dup vs the written semantic index (the
+  // modality's SECOND index member, past q194's exact payload hash)
+  // ------------------------------------------------------------------
+
+  /** DuckDB replay of [[graft.operators.Multimodal.featurizeVector]]:
+    * char counts over text EQUAL byte counts over the UTF-8 payload
+    * for ASCII code points (continuation bytes are ≥ 0x80), so the
+    * byte-level featurizer is SQL-replayable exactly — counts are
+    * integers, every downstream double op (dot, sqrt, divide) is
+    * correctly rounded on identical trees, and the verdicts hash-match
+    * bit-for-bit.
+    */
+  private def assetFeatureCte: String = {
+    val counts = Seq(" ", "e", "t", "a", "o", "i").map(c =>
+      s"CAST(length(text) - length(replace(text, '$c', '')) AS DOUBLE)")
+    s"""feats AS (SELECT doc_id AS vec_id,
+          [1.0, CAST(strlen(text) AS DOUBLE),
+           ${counts.mkString(",\n           ")}] AS v
+        FROM documents WHERE text IS NOT NULL)"""
+  }
+
+  /** Near-dup dedup of NEW binary assets against the written semantic
+    * index — the multimodal family's second index member (VERDICT r17
+    * #7 / r15 candidate): q194 catches bit-identical payloads; this
+    * member catches NEARLY-identical ones through the embedding
+    * contract (q36/q173 family) with the codec stubbed by the
+    * deterministic byte featurizer. The payload column enters a ONE
+    * mapPartitions featurize pass ([[graft.operators.Multimodal
+    * .featurizeVector]] — payloads never shuffle, only dim-8 vectors
+    * leave), centroids FREEZE on the first 8 assets' vectors, the base
+    * 3/4 builds the written cluster layout
+    * ([[graft.operators.Clustering.semanticWriteIndex]]), the snapshot
+    * quarter appends as generation 1, and
+    * [[graft.operators.Clustering.semDedupIndexed]] decides kept
+    * against FULL union cluster membership through a cid-pruned scan.
+    * Oracle = the fresh whole-union replay (featurize → frozen assign
+    * → keep-lowest-id at cosine ≥ 0.999) restricted to the snapshot —
+    * the q173 hash-equality contract on the asset modality.
+    */
+  val q197AssetNearDupIndexed: QueryDef = QueryDef(
+    "q197_asset_near_dup_indexed",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+      val feats = Multimodal.featurizeVector(
+        Multimodal.attachPayload(docs, "text"), "doc_id")
+        .localCheckpoint()
+      val cents = feats.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("centroid"))
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_assetsem_q197_", dir)
+      Clustering.semanticWriteIndex(
+        Clustering.assignL2(feats.filter(col("vec_id") % 4 =!= 3), cents),
+        path.toString)
+      val snap = Clustering.assignL2(
+        feats.filter(col("vec_id") % 4 === 3), cents).localCheckpoint()
+      Clustering.semanticAppendIndex(snap, path.toString, gen = 1)
+      Clustering.semDedupIndexed(s, path.toString, snap, threshold = 0.999)
+        .orderBy(col("cid"), col("vec_id"))
+    }, {
+      val cosXY = Similarity.cosineSql("x.v", "y.v")
+      Some(s"""
+        WITH $assetFeatureCte,
+        cents AS (SELECT vec_id AS cid, v AS centroid
+                  FROM feats WHERE vec_id < 8),
+        au AS ${kmeansAssignSql("feats", "cents")},
+        csz AS (SELECT cid, COUNT(*) AS cn FROM au GROUP BY 1),
+        rm AS (SELECT DISTINCT y.vec_id
+               FROM au x
+               JOIN au y ON x.cid = y.cid AND x.vec_id < y.vec_id
+               JOIN csz z ON z.cid = x.cid AND z.cn <= 10000
+               WHERE $cosXY >= 0.999)
+        SELECT a.cid, a.vec_id, (r.vec_id IS NULL) AS kept
+        FROM au a LEFT JOIN rm r USING (vec_id)
+        WHERE a.vec_id % 4 = 3
+        ORDER BY cid, vec_id
+      """)
+    })
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
@@ -3494,5 +3574,6 @@ object PipelineQueries {
     q175SemanticDrift, q176CurationV7, q177StreamingBm25Ingest,
     q178SemanticRepair, q180StreamingSemanticIngest, q183IvfRecall, q189WinnowPairs,
     q190WinnowIncremental, q191StreamingWinnowIngest,
-    q193IdempotentIngestReplay, q194AssetDedupIndexed, q196IvfPqRecall)
+    q193IdempotentIngestReplay, q194AssetDedupIndexed, q196IvfPqRecall,
+    q197AssetNearDupIndexed)
 }

@@ -63,11 +63,19 @@ object IndexIngest {
     else {
       append
       fs.mkdirs(marker.getParent)
-      // overwrite=false: atomic create-if-absent — two racing retries
-      // of one batch cannot both claim the commit
-      val out = fs.create(marker, false)
-      try out.write(Array.emptyByteArray) finally out.close()
-      true
+      // overwrite=false: only the marker CREATE is atomic — two racing
+      // deliveries that both pass the exists-check above will both run
+      // `append` (duplicate rows; the audit/compaction path localizes
+      // and repairs that), but exactly one claims the commit. The loser
+      // reports false instead of failing its batch.
+      try {
+        val out = fs.create(marker, false)
+        try out.write(Array.emptyByteArray) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException if fs.exists(marker) => false
+      }
     }
   }
 
@@ -218,7 +226,7 @@ object IndexIngest {
     committedAppend(batch.sparkSession, path, "semantic", epoch, batchId) {
       graft.operators.Clustering.semanticAppendIndex(
         graft.operators.Clustering.assignL2(batch, centroids, idCol, vecCol),
-        path, gen = startGen + batchId.toInt, idCol)
+        path, gen = Math.toIntExact(startGen.toLong + batchId), idCol)
     }
 
   /** Semantic-cluster twin of [[startIvf]], completing the streaming

@@ -703,6 +703,25 @@ class PlanSpec extends AnyFunSuite {
       s"the pair join must stay cid-keyed:\n$p")
   }
 
+  test("q197: asset near-dup keeps q173's pruned-probe shape; payloads never shuffle") {
+    val p = plan("q197_asset_near_dup_indexed")
+    assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(p).isDefined,
+      s"snapshot cluster ids must prune the asset-semantic index scan:\n$p")
+    // one parquet scan total — the index; the featurized snapshot rides
+    // its checkpoint (the documents corpus and its payloads re-enter
+    // nothing downstream of the featurize pass)
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"only the semantic index may scan, got $scans:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      "the snapshot probe must come from its checkpoint, not a re-featurize")
+    assert(p.contains("vec_dot"), "pair scoring must stay the native dot")
+    assert("cn#\\d+L? <= 10000".r.findFirstIn(p).isDefined,
+      s"cluster-size cap filter missing:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the pair join must stay cid-keyed:\n$p")
+  }
+
   test("q174: streamed-in IVF generations still serve through a partition-pruned scan") {
     val p = plan("q174_streaming_ivf_ingest")
     // generation appends land inside the same bucket=… layout, so the
@@ -876,6 +895,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), "the per-stratum cume_dist window expected")
     assert(!p.contains("CartesianProduct"),
       s"the 1-row total must broadcast, never cross:\n$p")
+  }
+
+  test("q195: approx percentile gate — window-free, sketch aggregate, S-row broadcast") {
+    val p = plan("q195_quality_percentile_approx")
+    assert(!p.contains("Window"),
+      s"the approx gate must not pay a per-source total sort:\n$p")
+    assert(p.contains("percentile_approx"),
+      "thresholds must come from the GK sketch aggregate")
+    assert(p.contains("Scan ExistingRDD"),
+      "the scored frame must be materialized once (localCheckpoint)")
+    assert(p.contains("BroadcastHashJoin"),
+      "the S-row threshold frame must broadcast back")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"nothing corpus-sized may shuffle for the admission join:\n$p")
   }
 
   test("q188: dataset card rides one checkpointed per-doc frame — stratum windows, S-row join") {

@@ -398,4 +398,58 @@ class PqSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("payload-divergent"))
   }
+
+  test("recall audit: hand geometry where ADC provably misses; wider shortlist recovers") {
+    // q196 at the engine level, with every quantity hand-derivable.
+    // One coarse bucket (centroid (1,0)); HAND-BUILT residual codebook
+    // m=1: code 0 -> (0,0) (recon = centroid), code 1 -> (0,1)
+    // (recon = (1,1)). Corpus residuals are all along the y axis, so
+    // code assignment is exact by squared-L2:
+    //   v1=(1,0.10) -> code 0, recon (1,0),  cn=1,      ADC sim to q = 1.0
+    //   v2=(1,0.90) -> code 1, recon (1,1),  cn=sqrt2,  ADC sim ~0.70711
+    //   v3=(1,0.55) -> code 1, recon (1,1),  cn=sqrt2,  ADC sim ~0.70711
+    // Query q=(1,0): EXACT cosine ranks v1 > v3 > v2, but v3's code
+    // collapsed onto v2's — the ADC tie breaks to the lower id v2, so
+    // a shortlist of 2 admits {v1, v2} and the true #2 neighbor v3 is
+    // dropped BEFORE re-rank can see it: recall@2 = 1/2 through the
+    // quantization channel alone (nprobe covers the only bucket).
+    // Widening the shortlist to the bucket width lets the exact
+    // re-rank recover v3: recall@2 = 1.
+    val centroids = Seq((0L, Array(1.0f, 0.0f)))
+      .toDF("centroid_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.10f)),
+      (2L, Array(1.0f, 0.90f)),
+      (3L, Array(1.0f, 0.55f))).toDF("vec_id", "embedding")
+    val cb = Seq((0, 0L, Seq(0.0, 0.0)), (0, 1L, Seq(0.0, 1.0)))
+      .toDF("sub", "code", "centroid")
+    val assigned = Similarity.ivfAssign(corpus, centroids)
+    val path = TmpWorkspaces.pidScoped("graft_ivfpqidx_spec_", "recall")
+    Pq.ivfPqWriteIndexFull(Pq.ivfPqEncode(assigned, centroids, cb),
+      centroids, cb, path.toString)
+    val queries = Seq((10L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+
+    // the encoder landed the hand codes (the geometry's precondition)
+    val codes = spark.read.parquet(s"${path.toString}/codes")
+      .select($"vec_id", element_at($"codes", 1).as("c"))
+      .as[(Long, Long)].collect().toMap
+    assert(codes == Map(1L -> 0L, 2L -> 1L, 3L -> 1L), s"got $codes")
+
+    def audit(shortlist: Int) =
+      Pq.ivfPqRecallAudit(spark, path.toString, corpus, queries,
+          k = 2, shortlist = shortlist, nprobe = 1)
+        .as[(Long, Int, Long, Long, Double)].collect().toSeq
+    val narrow = audit(2)
+    assert(narrow == Seq((10L, 2, 2L, 1L, 0.5)),
+      s"narrow shortlist must miss v3 (quantization channel): $narrow")
+    val wide = audit(3)
+    assert(wide == Seq((10L, 2, 2L, 2L, 1.0)),
+      s"bucket-wide shortlist must recover via exact re-rank: $wide")
+
+    // the guard wall: a shortlist below k is a caller bug, not a knob
+    intercept[IllegalArgumentException] {
+      Pq.ivfPqRecallAudit(spark, path.toString, corpus, queries,
+        k = 3, shortlist = 2, nprobe = 1)
+    }
+  }
 }

@@ -51,6 +51,70 @@ class IndexIngestSpec extends AnyFunSuite {
     assert(got == Set((0L, 3L), (1L, 2L), (6L, 1L)), s"got $got")
   }
 
+  test("replayed delivery of a committed batchId is skipped: audit clean, serve unchanged") {
+    // q193 at the engine level: the SAME per-batch body the sink runs
+    // (exactBatch), delivered twice under one (epoch, batchId) key —
+    // the ledger must skip the replay, leaving zero audit rows and a
+    // bit-identical served clustering.
+    val a = "the quick brown fox jumps over the lazy dog"
+    val base = Seq((0L, a), (1L, "pack my box with five dozen liquor jugs"))
+      .toDF("doc_id", "text")
+    val idx = TmpWorkspaces.pidScoped("graft_replay_spec_", "led")
+    Dedup.exactWriteIndex(base, idx.toString, "doc_id", "text")
+    val delta = Seq((4L, a), (5L, "an unrelated new document"))
+      .toDF("doc_id", "text").localCheckpoint()
+
+    def serve() = Dedup.exactClustersIndexed(spark, idx.toString, delta,
+        "doc_id", "text")
+      .select($"fingerprint", $"kept_id", $"cluster_size")
+      .as[(String, Long, Long)].collect().toSet
+
+    IndexIngest.exactBatch(idx.toString, "doc_id", "text")(delta, 0L)
+    val first = serve()
+    assert(first.map(t => (t._2, t._3)) == Set((0L, 2L), (5L, 1L)),
+      s"got $first")
+    // the sink retry: same batch, same batchId — must be a no-op
+    IndexIngest.exactBatch(idx.toString, "doc_id", "text")(delta, 0L)
+    assert(Dedup.exactAuditIndex(spark, idx.toString).isEmpty,
+      "a skipped replay must leave zero duplicate ids")
+    assert(serve() == first, "serve must be bit-identical after the replay")
+    // a NEW batchId is a genuine delivery and must land
+    assert(IndexIngest.committedAppend(spark, idx.toString,
+      "exact", "0", 1L) { () } === true)
+    assert(IndexIngest.committedAppend(spark, idx.toString,
+      "exact", "0", 1L) { fail("replay must not re-run the append") }
+      === false)
+  }
+
+  test("committedAppend lost race: a marker landing mid-window reports false, not a failed batch") {
+    // Deterministic stand-in for the two-racers window: the append
+    // thunk itself creates the marker (as a racing delivery would
+    // between the exists-check and the create), so committedAppend's
+    // own create-if-absent loses. The loser must report false — the
+    // duplicate-rows damage is the audit's job, not a batch failure.
+    import org.apache.hadoop.fs.Path
+    val idx = TmpWorkspaces.pidScoped("graft_race_spec_", "led")
+    val marker = new Path(s"$idx/_ingest_commits/exact/epoch=0/batch-7")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val won = IndexIngest.committedAppend(spark, idx.toString,
+      "exact", "0", 7L) {
+      fs.mkdirs(marker.getParent)
+      fs.create(marker, false).close()
+    }
+    assert(!won, "the delivery that lost the marker race must report false")
+    assert(fs.exists(marker))
+  }
+
+  test("semanticBatch generation overflow fails loudly instead of wrapping negative") {
+    val cents = Seq((0L, Array(1.0, 1.0))).toDF("cid", "centroid")
+    val batch = Seq((1L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val idx = TmpWorkspaces.pidScoped("graft_genovf_spec_", "sem")
+    intercept[ArithmeticException] {
+      IndexIngest.semanticBatch(idx.toString, cents, "vec_id", "embedding",
+        startGen = 2)(batch, Int.MaxValue.toLong)
+    }
+  }
+
   test("streaming BM25 ingest: per-batch generations sum to the fresh corpus statistics at serve") {
     import graft.operators.Retrieval
     val base = Seq((0L, "spark shuffles keyed data"),
