@@ -203,8 +203,30 @@ object Multimodal {
     */
   def ingestBinaryDir(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
-    spark.read.format("binaryFile").load(dir)
-      .select(
+    assetProjection(spark.read.format("binaryFile").load(dir))
+
+  /** STREAMING twin of [[ingestBinaryDir]] — the arrival path of a
+    * standing media pipeline: Spark's `binaryFile` source watches the
+    * directory and each micro-batch carries the newly-landed files
+    * (`maxFilesPerTrigger` bounds the batch). Same projection, same
+    * stray-file tolerance; feeds
+    * [[graft.streaming.IndexIngest.startAssets]].
+    */
+  def streamBinaryDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String, maxFilesPerTrigger: Int): DataFrame = {
+    require(maxFilesPerTrigger >= 1,
+      s"maxFilesPerTrigger must be >= 1, got $maxFilesPerTrigger")
+    // streaming file sources need the schema up front; binaryFile's is
+    // fixed by the format (path, modificationTime, length, content)
+    val schema = new StructType()
+      .add("path", StringType).add("modificationTime", TimestampType)
+      .add("length", LongType).add("content", BinaryType)
+    assetProjection(spark.readStream.format("binaryFile").schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).load(dir))
+  }
+
+  private def assetProjection(files: DataFrame): DataFrame =
+    files.select(
         // filename must be exactly <digits>.bin: anything else (a
         // stray cover.jpg, a negative id that would alias another
         // asset) yields NULL and is dropped instead of NPE-ing the
@@ -266,6 +288,40 @@ object Multimodal {
       .agg(count(lit(1)).as("n_copies"),
         count_distinct(col("fingerprint")).as("n_payloads"))
       .filter(col("n_copies") > 1)
+
+  /** Compacting repair of [[assetAuditIndex]]-localized replay damage
+    * — the asset member of the repair family (IVF-PQ
+    * `ivfPqCompactIndex`, BM25 `bm25CompactIndex` shape, semantic
+    * `semanticCompactIndex`, mixture `mixtureCompactIndex`): replayed
+    * appends land bit-identical (asset_id, fingerprint) rows, which a
+    * `dropDuplicates` rewrite removes exactly. The TEXT exact member
+    * deliberately ships no compact twin (a rebuild there is one cheap
+    * re-hash of the text column); for MEDIA the equation flips — a
+    * rebuild must re-read and re-hash every payload byte in the
+    * corpus, so a compaction that touches only the fingerprint rows
+    * (id + 32 hex chars per asset, no payload reads) is the 100 TB
+    * repair. REFUSES payload divergence (same id, different
+    * fingerprint — re-ingested bytes, a rebuild signal): silently
+    * picking a copy would move [[assetDedupIndexed]] verdicts.
+    * Stage-then-swap to a NEW path, the family's idiom.
+    */
+  def assetCompactIndex(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String): Unit = {
+    val rows = spark.read.parquet(s"$srcPath/fingerprints")
+      .select(col("asset_id"), col("fingerprint"), col("shard"))
+      .dropDuplicates()
+      .localCheckpoint()
+    val divergent = rows.groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
+    require(divergent.isEmpty,
+      s"assetCompactIndex: asset ${divergent.headOption.map(_.get(0))} " +
+        "has payload-divergent copies (same id, different content " +
+        "bytes) — not append-replay damage; re-ingest the asset and " +
+        "rebuild instead")
+    rows.repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$dstPath/fingerprints")
+  }
 
   /** Incremental exact-dup clustering of a new asset snapshot against
     * an [[assetWriteIndex]] layout that already contains it — the

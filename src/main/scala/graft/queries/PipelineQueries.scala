@@ -3554,6 +3554,118 @@ object PipelineQueries {
       """)
     })
 
+  // ------------------------------------------------------------------
+  // q198 asset-index repair lifecycle (the repair family's non-text
+  // member) and q199 streaming asset ingest (the ingest loop's 7th)
+  // ------------------------------------------------------------------
+
+  /** Shared oracle body for the asset-fingerprint probes (q194/q198/
+    * q199): fresh whole-corpus byte-hash clustering restricted to
+    * snapshot-touched fingerprints — DuckDB's md5 of the text IS the
+    * md5 of the file's UTF-8 bytes.
+    */
+  private def assetClustersOracleSelect: String = """
+      SELECT fingerprint, MIN(asset_id) AS kept_id, COUNT(*) AS cluster_size
+      FROM fp
+      GROUP BY 1
+      HAVING COUNT(CASE WHEN asset_id % 4 = 3 THEN 1 END) > 0"""
+
+  /** Replay-damage → audit → compact → serve lifecycle on the BINARY
+    * asset index — the repair family's non-text member (IVF-PQ q151,
+    * BM25 q156, semantic q178, mixture q192): the snapshot quarter is
+    * appended TWICE (the ledger-less retry the exactly-once contract
+    * warns about), [[graft.operators.Multimodal.assetAuditIndex]]
+    * localizes exactly the doubled ids, and
+    * [[graft.operators.Multimodal.assetCompactIndex]] rewrites the
+    * fingerprint rows (id + hash only — NO payload bytes re-read: the
+    * 100 TB media-repair argument) to a staged path whose probe must
+    * hash-equal the clean fresh-corpus oracle. Two damage scalars ride
+    * every row: `n_damaged` (audit count pre-repair = the snapshot
+    * size, every id doubled) and `n_after` (0 — the repair's claim).
+    */
+  val q198AssetRepair: QueryDef = QueryDef(
+    "q198_asset_repair",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val assetDir = graft.operators.TmpWorkspaces
+        .pidScoped("graft_assets_q198_", dir)
+      Multimodal.writeAssets(docs, "doc_id", "text", assetDir.toString)
+      val assets = Multimodal.ingestBinaryDir(s, assetDir.toString)
+        .localCheckpoint()
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_assetidx_q198_", dir)
+      Multimodal.assetWriteIndex(assets.filter(col("asset_id") % 4 =!= 3),
+        path.toString)
+      val snapshot = assets.filter(col("asset_id") % 4 === 3)
+      Multimodal.assetAppendIndex(snapshot, path.toString)
+      Multimodal.assetAppendIndex(snapshot, path.toString) // the blind retry
+      val damaged = Multimodal.assetAuditIndex(s, path.toString)
+        .agg(count(lit(1)).as("n_damaged"))
+      val repaired = graft.operators.TmpWorkspaces
+        .pidScoped("graft_assetidx_q198r_", dir)
+      Multimodal.assetCompactIndex(s, path.toString, repaired.toString)
+      val after = Multimodal.assetAuditIndex(s, repaired.toString)
+        .agg(count(lit(1)).as("n_after"))
+      Multimodal.assetDedupIndexed(s, repaired.toString, snapshot)
+        .crossJoin(broadcast(damaged)).crossJoin(broadcast(after))
+        .orderBy(col("fingerprint"))
+    },
+    Some(s"""
+      WITH fp AS (SELECT doc_id AS asset_id, md5(text) AS fingerprint
+                  FROM documents WHERE text IS NOT NULL),
+      dmg AS (SELECT COUNT(*) AS n_damaged FROM fp WHERE asset_id % 4 = 3)
+      SELECT z.*, dmg.n_damaged, CAST(0 AS BIGINT) AS n_after
+      FROM ($assetClustersOracleSelect) z CROSS JOIN dmg
+      ORDER BY fingerprint
+    """))
+
+  /** STREAMING day-2 ingest of BINARY media — the ingest loop's
+    * seventh member and its first non-text one: the delta quarter
+    * lands as `.bin` FILES in a watched directory, Spark's
+    * `binaryFile` stream delivers them in two micro-batches
+    * ([[graft.operators.Multimodal.streamBinaryDir]] with
+    * `maxFilesPerTrigger` = half the delta), and each batch's payload
+    * hashes are appended as one generation through the SAME
+    * batchId-keyed commit ledger as the six text/vector members
+    * ([[graft.streaming.IndexIngest.assetBatch]]). The standing probe
+    * must then hash-equal q194's fresh whole-corpus oracle — batch
+    * boundaries cannot move byte-hash verdicts.
+    */
+  val q199StreamingAssetIngest: QueryDef = QueryDef(
+    "q199_streaming_asset_ingest",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val assetDir = graft.operators.TmpWorkspaces
+        .pidScoped("graft_assets_q199_", dir)
+      Multimodal.writeAssets(docs, "doc_id", "text", assetDir.toString)
+      val assets = Multimodal.ingestBinaryDir(s, assetDir.toString)
+        .localCheckpoint()
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_assetidx_q199_", dir)
+      Multimodal.assetWriteIndex(assets.filter(col("asset_id") % 4 =!= 3),
+        path.toString)
+      val snapshot = assets.filter(col("asset_id") % 4 === 3)
+      // the delta quarter ARRIVES as files: its own landing directory,
+      // streamed in two micro-batches
+      val deltaDir = graft.operators.TmpWorkspaces
+        .pidScoped("graft_assets_in_q199_", dir)
+      Multimodal.writeAssets(docs.filter(col("doc_id") % 4 === 3),
+        "doc_id", "text", deltaDir.toString)
+      val half = (snapshot.count() / 2 + 1).toInt
+      graft.streaming.IndexIngest.ingestAssets(
+        Multimodal.streamBinaryDir(s, deltaDir.toString,
+          maxFilesPerTrigger = half),
+        path.toString)
+      Multimodal.assetDedupIndexed(s, path.toString, snapshot)
+        .orderBy(col("fingerprint"))
+    },
+    Some(s"""
+      WITH fp AS (SELECT doc_id AS asset_id, md5(text) AS fingerprint
+                  FROM documents WHERE text IS NOT NULL)
+      $assetClustersOracleSelect
+      ORDER BY fingerprint
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
@@ -3575,5 +3687,5 @@ object PipelineQueries {
     q178SemanticRepair, q180StreamingSemanticIngest, q183IvfRecall, q189WinnowPairs,
     q190WinnowIncremental, q191StreamingWinnowIngest,
     q193IdempotentIngestReplay, q194AssetDedupIndexed, q196IvfPqRecall,
-    q197AssetNearDupIndexed)
+    q197AssetNearDupIndexed, q198AssetRepair, q199StreamingAssetIngest)
 }

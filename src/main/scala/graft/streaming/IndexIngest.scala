@@ -368,4 +368,45 @@ object IndexIngest {
     try q.processAllAvailable()
     finally q.stop()
   }
+
+  /** Asset member's per-batch body ([[startAssets]] + replay gates). */
+  def assetBatch(path: String, epoch: String = "0")(
+      batch: DataFrame, batchId: Long): Unit =
+    committedAppend(batch.sparkSession, path, "asset", epoch, batchId) {
+      graft.operators.Multimodal.assetAppendIndex(batch, path)
+    }
+
+  /** The NON-TEXT member of the streaming ingest loop — binary media
+    * arriving as files ([[graft.operators.Multimodal.streamBinaryDir]]
+    * is the expected source: the `binaryFile` stream watches the
+    * landing directory) with each micro-batch's payload hashes
+    * appended as one generation of the written asset-fingerprint
+    * index ([[graft.operators.Multimodal.assetAppendIndex]] — md5 of
+    * the content bytes, the q194 layout). Batch boundaries cannot
+    * move dedup verdicts: a fingerprint row depends only on its own
+    * payload and the probe reads the union — q199 gates the standing
+    * probe against the same fresh whole-corpus oracle as q194.
+    * Delivery contract as the other six members: replay-safe via the
+    * batchId-keyed commit ledger (a replayed batch would otherwise
+    * double cluster sizes — what
+    * [[graft.operators.Multimodal.assetAuditIndex]] localizes and
+    * [[graft.operators.Multimodal.assetCompactIndex]] repairs).
+    */
+  def startAssets(assetStream: DataFrame, path: String,
+      epoch: String = "0",
+      checkpointLocation: Option[String] = None): StreamingQuery =
+    withCheckpoint(assetStream.writeStream
+        .foreachBatch(assetBatch(path, epoch) _), checkpointLocation)
+      .outputMode("append")
+      .start()
+
+  /** Runs the asset ingest over all currently-available input, then
+    * stops — the bounded-backfill form the q199 gate drives.
+    */
+  def ingestAssets(assetStream: DataFrame, path: String,
+      epoch: String = "0"): Unit = {
+    val q = startAssets(assetStream, path, epoch)
+    try q.processAllAvailable()
+    finally q.stop()
+  }
 }

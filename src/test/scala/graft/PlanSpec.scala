@@ -703,6 +703,40 @@ class PlanSpec extends AnyFunSuite {
       s"the pair join must stay cid-keyed:\n$p")
   }
 
+  test("q194: asset dedup probe keeps q160's shape — pruned shards, broadcast semi, keyed agg") {
+    val p = plan("q194_asset_dedup_indexed")
+    assert("PartitionFilters: \\[[^\\]]*shard".r.findFirstIn(p).isDefined,
+      s"snapshot fingerprint shards must prune the asset-index scan:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "snapshot fingerprints must broadcast-semi-join before the agg")
+    assert(p.contains("partial_min") && p.contains("partial_count"),
+      "cluster stats must map-side combine")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"nothing corpus-sized may join:\n$p")
+  }
+
+  test("q198: repaired asset index serves through the q194 probe shape; scalars broadcast") {
+    val p = plan("q198_asset_repair")
+    assert("PartitionFilters: \\[[^\\]]*shard".r.findFirstIn(p).isDefined,
+      s"snapshot fingerprint shards must prune the repaired-index scan:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "snapshot fingerprints must broadcast-semi-join before the agg")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the 1-row damage scalars must broadcast, never cross:\n$p")
+  }
+
+  test("q199: streamed-in asset generations keep the q194 pruned-probe shape") {
+    val p = plan("q199_streaming_asset_ingest")
+    assert("PartitionFilters: \\[[^\\]]*shard".r.findFirstIn(p).isDefined,
+      s"snapshot fingerprint shards must prune the streamed index scan:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "snapshot fingerprints must broadcast-semi-join before the agg")
+    assert(p.contains("partial_min") && p.contains("partial_count"),
+      "cluster stats must map-side combine")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"nothing corpus-sized may join:\n$p")
+  }
+
   test("q197: asset near-dup keeps q173's pruned-probe shape; payloads never shuffle") {
     val p = plan("q197_asset_near_dup_indexed")
     assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(p).isDefined,

@@ -76,6 +76,30 @@ class MultimodalSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(dups == Set((7L, 2L, 1L), (8L, 2L, 1L), (9L, 2L, 1L)),
       s"replay damage must be 2 bit-identical copies per snapshot id: $dups")
+
+    // ...which compaction repairs: audit clean, serve equals the
+    // pre-damage verdicts, and the rewrite touched no payload bytes
+    // (it reads only the fingerprint rows)
+    val repaired = TmpWorkspaces.pidScoped("graft_mm_spec_", "repaired")
+    Multimodal.assetCompactIndex(spark, idx.toString, repaired.toString)
+    assert(Multimodal.assetAuditIndex(spark, repaired.toString).isEmpty,
+      "compaction must clear the audit")
+    val served = Multimodal.assetDedupIndexed(spark, repaired.toString,
+        snapshot)
+      .as[(String, Long, Long)].collect().toSet
+    assert(served == got, "the repaired index must serve the clean verdicts")
+
+    // payload divergence — the same id re-ingested with DIFFERENT
+    // bytes — must refuse compaction, not silently pick a copy
+    Multimodal.assetAppendIndex(
+      snapshot.withColumn("payload",
+        concat($"payload", lit("corrupted".getBytes("UTF-8")))),
+      idx.toString)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.assetCompactIndex(spark, idx.toString,
+        TmpWorkspaces.pidScoped("graft_mm_spec_", "refuse").toString)
+    }
+    assert(e.getMessage.contains("payload-divergent"))
   }
 
   test("featurizeVector: hand-counted byte statistics, bias first") {

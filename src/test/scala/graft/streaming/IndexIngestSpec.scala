@@ -291,6 +291,47 @@ class IndexIngestSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty, s"got $got")
   }
 
+  test("streaming asset ingest: per-batch payload-hash generations, probe equals the batch append, audit clean") {
+    import graft.operators.Multimodal
+    def b(s: String) = s.getBytes("UTF-8")
+    val base = Seq((0L, b("alpha")), (1L, b("beta")))
+      .toDF("asset_id", "payload")
+    val idx = TmpWorkspaces.pidScoped("graft_assetingest_spec_", "fp")
+    Multimodal.assetWriteIndex(base, idx.toString)
+
+    val delta = Seq((4L, b("alpha")), (5L, b("beta")), (6L, b("gamma")),
+      (7L, b("alpha")))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = IndexIngest.startAssets(
+      in.toDS().toDF("asset_id", "payload"), idx.toString)
+    try {
+      Seq(delta.take(1), delta.slice(1, 3), delta.drop(3)).foreach { chunk =>
+        in.addData(chunk)
+        q.processAllAvailable()
+      }
+      assert(q.recentProgress.count(_.numInputRows > 0) == 3,
+        "each add must arrive as its own micro-batch")
+    } finally q.stop()
+
+    // no replayed-batch damage
+    assert(Multimodal.assetAuditIndex(spark, idx.toString).isEmpty)
+
+    // probe verdicts equal the single-batch append path over the delta
+    val snap = delta.toDF("asset_id", "payload")
+    val got = Multimodal.assetDedupIndexed(spark, idx.toString, snap)
+      .as[(String, Long, Long)].collect().toSet
+    val batchIdx = TmpWorkspaces.pidScoped("graft_assetingest_spec_", "b")
+    Multimodal.assetWriteIndex(base, batchIdx.toString)
+    Multimodal.assetAppendIndex(snap, batchIdx.toString)
+    val want = Multimodal.assetDedupIndexed(spark, batchIdx.toString, snap)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty, s"got $got")
+    // hand stats: alpha {0,4,7} kept 0 size 3, beta {1,5} kept 1 size
+    // 2, gamma {6} kept 6 size 1
+    assert(got.map(t => (t._2, t._3)) == Set((0L, 3L), (1L, 2L), (6L, 1L)))
+  }
+
   test("streaming mixture ingest: generation masses add, served manifest equals the fresh derivation") {
     import graft.operators.Curation
     // the q179 fixture geometry: a = 2x8 tokens, b = 1x64 — streamed
