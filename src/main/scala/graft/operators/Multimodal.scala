@@ -350,6 +350,107 @@ object Multimodal {
         count(lit(1)).as("cluster_size"))
   }
 
+  /** Per-frame content fingerprints: each payload split into
+    * fixed-size byte frames (the [[sampleFrames]] geometry), one
+    * (asset_id, frame_no, fingerprint = md5 of the frame's BYTES) row
+    * per frame — the SUB-ASSET granularity of the dedup family, the
+    * media twin of the text block fingerprints
+    * ([[Dedup.blockWriteIndex]]'s explode): "has this video segment /
+    * audio chunk appeared anywhere before" needs frame identity, not
+    * whole-file identity. An empty payload is one empty frame (md5 of
+    * zero bytes), so every asset appears. One object-barrier
+    * mapPartitions pass; only (id, no, 32-hex) rows leave — payloads
+    * never shuffle.
+    */
+  def frameFingerprints(df: DataFrame, idCol: String,
+      frameBytes: Int): DataFrame = {
+    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
+    val schema = new StructType()
+      .add("asset_id", LongType).add("frame_no", LongType)
+      .add("fingerprint", StringType)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](payIdx)
+        val n = math.max(1, (bytes.length + frameBytes - 1) / frameBytes)
+        (0 until n).iterator.map { i =>
+          val from = math.min(i * frameBytes, bytes.length)
+          val until = math.min(from + frameBytes, bytes.length)
+          md.reset()
+          val d = md.digest(java.util.Arrays.copyOfRange(bytes, from, until))
+          Row(r.getLong(idIdx), i.toLong,
+            d.map("%02x".format(_)).mkString)
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Materializes the frame-fingerprint index as a written,
+    * shard-pruned layout — `frames/` = (asset_id, frame_no,
+    * fingerprint) partitioned by the fingerprint's first 2 hex chars,
+    * the [[Dedup.blockWriteIndex]] contract on the byte level. Frame
+    * BYTES stay out of the index: keep-first needs only the winner's
+    * coordinates, so the layout is 40-odd bytes per frame whatever
+    * the payload sizes.
+    */
+  def frameWriteIndex(assets: DataFrame, path: String, frameBytes: Int,
+      idCol: String = "asset_id"): Unit =
+    writeFrameGeneration(assets, path, frameBytes, idCol, "overwrite")
+
+  /** Appends a NEW-ASSET snapshot's frame fingerprints — delta-sized,
+    * zero base reads; the usual new-ids / exactly-once append contract.
+    */
+  def frameAppendIndex(assets: DataFrame, path: String, frameBytes: Int,
+      idCol: String = "asset_id"): Unit =
+    writeFrameGeneration(assets, path, frameBytes, idCol, "append")
+
+  private def writeFrameGeneration(assets: DataFrame, path: String,
+      frameBytes: Int, idCol: String, mode: String): Unit =
+    frameFingerprints(assets, idCol, frameBytes)
+      .withColumn("shard", substring(col("fingerprint"), 1, 2))
+      .repartition(col("shard"))
+      .write.mode(mode).partitionBy("shard").parquet(s"$path/frames")
+
+  /** Incremental frame-level exact dedup of a new asset snapshot
+    * against a [[frameWriteIndex]] layout AFTER the snapshot was
+    * appended — [[Dedup.blockDedupIndexed]]'s rule on media: a
+    * snapshot frame survives iff its (asset_id, frame_no) is the
+    * GLOBAL minimum for its fingerprint across everything ever
+    * indexed. Output: (asset_id, n_frames, n_kept) per snapshot
+    * asset — the per-asset novelty measure a crawl pipeline thresholds
+    * on ("this clip is 95% previously-seen frames").
+    *
+    * 100 TB posture: the probe prunes to the snapshot's fingerprint
+    * shards (≤256), semi-joins the broadcast snapshot fingerprints,
+    * and aggregates winners per fingerprint (min over the compact
+    * coordinate pair) — only the index's text-free rows are read;
+    * the snapshot's own frames are already in hand.
+    */
+  def frameDedupIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, deltaAssets: DataFrame, frameBytes: Int,
+      idCol: String = "asset_id"): DataFrame = {
+    val frames = frameFingerprints(deltaAssets, idCol, frameBytes)
+      .localCheckpoint()
+    val shards = frames
+      .select(substring(col("fingerprint"), 1, 2).as("shard"))
+      .distinct().collect().map(_.getString(0))
+    val mins = spark.read.parquet(s"$path/frames")
+      .filter(col("shard").isin(shards.toSeq: _*))
+      .join(broadcast(frames.select(col("fingerprint")).distinct()),
+        Seq("fingerprint"), "leftsemi")
+      .groupBy(col("fingerprint"))
+      .agg(min(struct(col("asset_id"), col("frame_no"))).as("m"))
+    frames.join(mins, Seq("fingerprint"))
+      .withColumn("__keep",
+        col("asset_id") === col("m.asset_id") &&
+          col("frame_no") === col("m.frame_no"))
+      .groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("__keep"), lit(1L)).otherwise(lit(0L))).as("n_kept"))
+  }
+
   /** Frame-sampling stage: split each payload into fixed-size frames
     * (the batch shape a video/audio pipeline hands to a model), one
     * output row per sampled frame.

@@ -3666,6 +3666,73 @@ object PipelineQueries {
       ORDER BY fingerprint
     """))
 
+  // ------------------------------------------------------------------
+  // q200 frame-level dedup vs the written frame-fingerprint index —
+  // the dedup family BELOW the asset (q172's rule on the byte level)
+  // ------------------------------------------------------------------
+
+  /** Incremental FRAME-level exact dedup of a new asset snapshot
+    * against the written frame-fingerprint index — the sub-asset
+    * granularity of the media dedup story (whole-asset byte hash =
+    * q194, near-dup vectors = q197; this member answers "how much of
+    * this clip's CONTENT has appeared anywhere before", the
+    * frame-novelty measure video/audio pipelines threshold on). The
+    * base 3/4 builds the layout ([[graft.operators.Multimodal
+    * .frameWriteIndex]] — 64-byte frames, fingerprint-sharded,
+    * text-free), the snapshot quarter appends, and the probe
+    * ([[graft.operators.Multimodal.frameDedupIndexed]]) counts each
+    * snapshot asset's globally-first frames under the q172 keep-first
+    * rule (min (asset_id, frame_no) per fingerprint over the union).
+    *
+    * Oracle exactness contract: DuckDB `substring` slices CHARS while
+    * the engine slices payload BYTES — equal exactly when the text is
+    * ASCII, which holds for EVERY row of the synthetic fixture (both
+    * engines verified: octet_length ≡ length corpus-wide), so the
+    * replay is exact here; on a non-ASCII corpus the oracle would
+    * need byte-level slicing the SQL engine doesn't expose (the
+    * operator itself is byte-correct regardless).
+    */
+  val q200FrameDedupIndexed: QueryDef = QueryDef(
+    "q200_frame_dedup_indexed",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+      val assets = Multimodal.attachPayload(docs, "text")
+        .select(col("doc_id").as("asset_id"), col("payload"))
+        .localCheckpoint()
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_frameidx_q200_", dir)
+      Multimodal.frameWriteIndex(assets.filter(col("asset_id") % 4 =!= 1),
+        path.toString, frameBytes = 64)
+      val snapshot = assets.filter(col("asset_id") % 4 === 1)
+      Multimodal.frameAppendIndex(snapshot, path.toString, frameBytes = 64)
+      Multimodal.frameDedupIndexed(s, path.toString, snapshot,
+          frameBytes = 64)
+        .orderBy(col("asset_id"))
+    },
+    Some("""
+      WITH fr AS (
+        SELECT doc_id AS asset_id, CAST(i AS BIGINT) AS frame_no,
+               md5(substring(text, CAST(i * 64 + 1 AS BIGINT), 64))
+                 AS fingerprint
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(0,
+                       CAST(greatest(ceil(strlen(text) / 64.0), 1)
+                         AS BIGINT) - 1)) AS i
+              FROM documents WHERE text IS NOT NULL)),
+      rk AS (SELECT asset_id, frame_no,
+                    row_number() OVER (PARTITION BY fingerprint
+                                       ORDER BY asset_id, frame_no) AS rn
+             FROM fr)
+      SELECT asset_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+             CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept
+      FROM rk
+      WHERE asset_id % 4 = 1
+      GROUP BY 1
+      ORDER BY asset_id
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
@@ -3687,5 +3754,6 @@ object PipelineQueries {
     q178SemanticRepair, q180StreamingSemanticIngest, q183IvfRecall, q189WinnowPairs,
     q190WinnowIncremental, q191StreamingWinnowIngest,
     q193IdempotentIngestReplay, q194AssetDedupIndexed, q196IvfPqRecall,
-    q197AssetNearDupIndexed, q198AssetRepair, q199StreamingAssetIngest)
+    q197AssetNearDupIndexed, q198AssetRepair, q199StreamingAssetIngest,
+    q200FrameDedupIndexed)
 }

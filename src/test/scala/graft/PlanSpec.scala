@@ -737,6 +737,18 @@ class PlanSpec extends AnyFunSuite {
       s"nothing corpus-sized may join:\n$p")
   }
 
+  test("q200: frame dedup probes pruned text-free fingerprints; payloads stay in the featurize pass") {
+    val p = plan("q200_frame_dedup_indexed")
+    assert("PartitionFilters: \\[[^\\]]*shard".r.findFirstIn(p).isDefined,
+      s"snapshot fingerprint shards must prune the frame-index scan:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "snapshot fingerprints must broadcast-semi-join before the winner agg")
+    assert(p.contains("partial_min"), "winner coordinates must map-side combine")
+    assert(p.contains("Scan ExistingRDD"),
+      "the snapshot frames must come from their checkpoint, not a re-hash")
+    assert(!p.contains("CartesianProduct"), s"nothing may cross-join:\n$p")
+  }
+
   test("q197: asset near-dup keeps q173's pruned-probe shape; payloads never shuffle") {
     val p = plan("q197_asset_near_dup_indexed")
     assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(p).isDefined,

@@ -102,6 +102,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("payload-divergent"))
   }
 
+  test("frame fingerprints + indexed frame dedup: hand geometry, keep-first on coordinates") {
+    def b(s: String) = s.getBytes("UTF-8")
+    // frameBytes = 4: asset 1 = "aaaabbbb" -> frames [aaaa, bbbb];
+    // asset 2 = "bbbbcccc" -> [bbbb, cccc]; asset 3 = "" -> one empty
+    // frame; asset 11 (snapshot) = "ccccaaaa" -> [cccc, aaaa] (both
+    // seen before); asset 13 (snapshot) = "dddd" -> [dddd] (novel)
+    val base = Seq((1L, b("aaaabbbb")), (2L, b("bbbbcccc")), (3L, b("")))
+      .toDF("asset_id", "payload")
+    val snap = Seq((11L, b("ccccaaaa")), (13L, b("dddd")))
+      .toDF("asset_id", "payload")
+
+    // the fingerprint pass itself: hand md5 + frame geometry
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val fps = Multimodal.frameFingerprints(base, "asset_id", 4)
+      .as[(Long, Long, String)].collect().toSet
+    assert(fps == Set(
+      (1L, 0L, md5("aaaa")), (1L, 1L, md5("bbbb")),
+      (2L, 0L, md5("bbbb")), (2L, 1L, md5("cccc")),
+      (3L, 0L, md5(""))), s"got $fps")
+
+    val idx = TmpWorkspaces.pidScoped("graft_mm_spec_", "frames")
+    Multimodal.frameWriteIndex(base, idx.toString, frameBytes = 4)
+    Multimodal.frameAppendIndex(snap, idx.toString, frameBytes = 4)
+    val got = Multimodal.frameDedupIndexed(spark, idx.toString, snap,
+        frameBytes = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    // 11's cccc lost to (2,1), its aaaa lost to (1,0) -> 0 kept of 2;
+    // 13's dddd is globally first -> 1 kept of 1
+    assert(got == Set((11L, 2L, 0L), (13L, 1L, 1L)), s"got $got")
+  }
+
   test("featurizeVector: hand-counted byte statistics, bias first") {
     val feats = Multimodal.featurizeVector(
         Multimodal.attachPayload(
