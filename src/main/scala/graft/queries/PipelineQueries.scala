@@ -3514,6 +3514,32 @@ object PipelineQueries {
     * → keep-lowest-id at cosine ≥ 0.999) restricted to the snapshot —
     * the q173 hash-equality contract on the asset modality.
     */
+  /** Shared fresh whole-corpus replay for the asset near-dup probes
+    * (q197 and its streaming twin q201 serve IDENTICAL verdicts —
+    * batch boundaries cannot move them): featurize → frozen assign →
+    * keep-lowest-id at cosine ≥ 0.999, restricted to the snapshot
+    * quarter.
+    */
+  private def assetNearDupOracleSql: String = {
+    val cosXY = Similarity.cosineSql("x.v", "y.v")
+    s"""
+      WITH $assetFeatureCte,
+      cents AS (SELECT vec_id AS cid, v AS centroid
+                FROM feats WHERE vec_id < 8),
+      au AS ${kmeansAssignSql("feats", "cents")},
+      csz AS (SELECT cid, COUNT(*) AS cn FROM au GROUP BY 1),
+      rm AS (SELECT DISTINCT y.vec_id
+             FROM au x
+             JOIN au y ON x.cid = y.cid AND x.vec_id < y.vec_id
+             JOIN csz z ON z.cid = x.cid AND z.cn <= 10000
+             WHERE $cosXY >= 0.999)
+      SELECT a.cid, a.vec_id, (r.vec_id IS NULL) AS kept
+      FROM au a LEFT JOIN rm r USING (vec_id)
+      WHERE a.vec_id % 4 = 3
+      ORDER BY cid, vec_id
+    """
+  }
+
   val q197AssetNearDupIndexed: QueryDef = QueryDef(
     "q197_asset_near_dup_indexed",
     (s, dir) => {
@@ -3534,25 +3560,8 @@ object PipelineQueries {
       Clustering.semanticAppendIndex(snap, path.toString, gen = 1)
       Clustering.semDedupIndexed(s, path.toString, snap, threshold = 0.999)
         .orderBy(col("cid"), col("vec_id"))
-    }, {
-      val cosXY = Similarity.cosineSql("x.v", "y.v")
-      Some(s"""
-        WITH $assetFeatureCte,
-        cents AS (SELECT vec_id AS cid, v AS centroid
-                  FROM feats WHERE vec_id < 8),
-        au AS ${kmeansAssignSql("feats", "cents")},
-        csz AS (SELECT cid, COUNT(*) AS cn FROM au GROUP BY 1),
-        rm AS (SELECT DISTINCT y.vec_id
-               FROM au x
-               JOIN au y ON x.cid = y.cid AND x.vec_id < y.vec_id
-               JOIN csz z ON z.cid = x.cid AND z.cn <= 10000
-               WHERE $cosXY >= 0.999)
-        SELECT a.cid, a.vec_id, (r.vec_id IS NULL) AS kept
-        FROM au a LEFT JOIN rm r USING (vec_id)
-        WHERE a.vec_id % 4 = 3
-        ORDER BY cid, vec_id
-      """)
-    })
+    },
+    Some(assetNearDupOracleSql))
 
   // ------------------------------------------------------------------
   // q198 asset-index repair lifecycle (the repair family's non-text
@@ -3733,6 +3742,56 @@ object PipelineQueries {
       ORDER BY asset_id
     """))
 
+  // ------------------------------------------------------------------
+  // q201 streaming featurized near-dup ingest (the 8th ingest member,
+  // closing the multimodal near-dup lifecycle)
+  // ------------------------------------------------------------------
+
+  /** STREAMING day-2 ingest for the featurized-asset near-dup member —
+    * q197's index maintained by a standing pipeline: the snapshot
+    * quarter arrives as `.bin` FILES in two micro-batches
+    * ([[graft.operators.Multimodal.streamBinaryDir]]), each batch is
+    * featurized IN the batch body and appended as one frozen-centroid
+    * generation through the commit ledger
+    * ([[graft.streaming.IndexIngest.assetSemanticBatch]]), and the
+    * standing [[graft.operators.Clustering.semDedupIndexed]] probe
+    * must hash-equal q197's fresh whole-corpus oracle — featurization
+    * and assignment are per-asset, generations partition the delta,
+    * the probe reads their union, so batch boundaries cannot move a
+    * verdict.
+    */
+  val q201StreamingAssetNearDup: QueryDef = QueryDef(
+    "q201_streaming_asset_near_dup",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+      val feats = Multimodal.featurizeVector(
+        Multimodal.attachPayload(docs, "text"), "doc_id")
+        .localCheckpoint()
+      val cents = feats.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("centroid"))
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_assetsem_q201_", dir)
+      Clustering.semanticWriteIndex(
+        Clustering.assignL2(feats.filter(col("vec_id") % 4 =!= 3), cents),
+        path.toString)
+      // the snapshot quarter ARRIVES as files, two micro-batches
+      val deltaDir = graft.operators.TmpWorkspaces
+        .pidScoped("graft_assets_in_q201_", dir)
+      val snapDocs = docs.filter(col("doc_id") % 4 === 3)
+      Multimodal.writeAssets(snapDocs, "doc_id", "text", deltaDir.toString)
+      val half = (snapDocs.count() / 2 + 1).toInt
+      graft.streaming.IndexIngest.ingestAssetSemantic(
+        Multimodal.streamBinaryDir(s, deltaDir.toString,
+          maxFilesPerTrigger = half),
+        path.toString, cents)
+      val snap = Clustering.assignL2(
+        feats.filter(col("vec_id") % 4 === 3), cents).localCheckpoint()
+      Clustering.semDedupIndexed(s, path.toString, snap, threshold = 0.999)
+        .orderBy(col("cid"), col("vec_id"))
+    },
+    Some(assetNearDupOracleSql))
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
@@ -3755,5 +3814,5 @@ object PipelineQueries {
     q190WinnowIncremental, q191StreamingWinnowIngest,
     q193IdempotentIngestReplay, q194AssetDedupIndexed, q196IvfPqRecall,
     q197AssetNearDupIndexed, q198AssetRepair, q199StreamingAssetIngest,
-    q200FrameDedupIndexed)
+    q200FrameDedupIndexed, q201StreamingAssetNearDup)
 }

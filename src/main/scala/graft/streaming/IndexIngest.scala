@@ -409,4 +409,56 @@ object IndexIngest {
     try q.processAllAvailable()
     finally q.stop()
   }
+
+  /** Featurized-asset member's per-batch body ([[startAssetSemantic]]
+    * + replay gates): each micro-batch of binary payloads is
+    * featurized ([[graft.operators.Multimodal.featurizeVector]] — one
+    * narrow pass, payloads never leave the batch), assigned against
+    * the FROZEN centroid family, and appended as one generation of
+    * the written semantic index — [[semanticBatch]]'s contract with
+    * the embedding column derived from media bytes instead of arriving
+    * precomputed. Same gen-stability and replay-ledger arguments.
+    */
+  def assetSemanticBatch(path: String, centroids: DataFrame,
+      startGen: Int, epoch: String = "0")(
+      batch: DataFrame, batchId: Long): Unit =
+    committedAppend(batch.sparkSession, path, "asset_semantic", epoch,
+        batchId) {
+      graft.operators.Clustering.semanticAppendIndex(
+        graft.operators.Clustering.assignL2(
+          graft.operators.Multimodal.featurizeVector(batch, "asset_id"),
+          centroids),
+        path, gen = Math.toIntExact(startGen.toLong + batchId))
+    }
+
+  /** The EIGHTH ingest member, closing the multimodal near-dup
+    * lifecycle: binary media files stream in
+    * ([[graft.operators.Multimodal.streamBinaryDir]]), each
+    * micro-batch is featurized and appended as one frozen-centroid
+    * generation, and the standing [[graft.operators.Clustering
+    * .semDedupIndexed]] probe serves the q197 verdicts — q201 gates
+    * it against the same fresh whole-corpus oracle. Batch boundaries
+    * cannot move verdicts: featurization and assignment are per-asset,
+    * generations partition the delta, the probe reads their union.
+    */
+  def startAssetSemantic(assetStream: DataFrame, path: String,
+      centroids: DataFrame, startGen: Int = 1, epoch: String = "0",
+      checkpointLocation: Option[String] = None): StreamingQuery =
+    withCheckpoint(assetStream.writeStream
+        .foreachBatch(assetSemanticBatch(path, centroids, startGen, epoch) _),
+        checkpointLocation)
+      .outputMode("append")
+      .start()
+
+  /** Runs the featurized-asset semantic ingest over all
+    * currently-available input, then stops — the bounded-backfill
+    * form the q201 gate drives.
+    */
+  def ingestAssetSemantic(assetStream: DataFrame, path: String,
+      centroids: DataFrame, startGen: Int = 1,
+      epoch: String = "0"): Unit = {
+    val q = startAssetSemantic(assetStream, path, centroids, startGen, epoch)
+    try q.processAllAvailable()
+    finally q.stop()
+  }
 }

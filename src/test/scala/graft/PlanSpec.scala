@@ -749,6 +749,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"nothing may cross-join:\n$p")
   }
 
+  test("q201: streamed-in featurized generations keep q197's pruned-probe shape") {
+    val p = plan("q201_streaming_asset_near_dup")
+    assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(p).isDefined,
+      s"snapshot cluster ids must prune the streamed index scan:\n$p")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"only the semantic index may scan, got $scans:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      "the snapshot probe must come from its checkpoint")
+    assert(p.contains("vec_dot"), "pair scoring must stay the native dot")
+    assert("cn#\\d+L? <= 10000".r.findFirstIn(p).isDefined,
+      s"cluster-size cap filter missing:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the pair join must stay cid-keyed:\n$p")
+  }
+
   test("q197: asset near-dup keeps q173's pruned-probe shape; payloads never shuffle") {
     val p = plan("q197_asset_near_dup_indexed")
     assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(p).isDefined,

@@ -332,6 +332,55 @@ class IndexIngestSpec extends AnyFunSuite {
     assert(got.map(t => (t._2, t._3)) == Set((0L, 3L), (1L, 2L), (6L, 1L)))
   }
 
+  test("streaming featurized near-dup ingest: per-batch featurize+assign generations, probe equals the batch path") {
+    import graft.operators.{Clustering, Multimodal}
+    def b(s: String) = s.getBytes("UTF-8")
+    // the MultimodalSpec near-dup geometry, streamed: "aaaa"/"iiii"
+    // anchor the two clusters (centroids = their feature vectors);
+    // snapshot dups sit at cosine 1, "iiio" at ~0.9716 < 0.999
+    val baseAssets = Seq((0L, b("aaaa")), (1L, b("iiii")), (2L, b("aaaa")))
+      .toDF("asset_id", "payload")
+    val feats = Multimodal.featurizeVector(baseAssets, "asset_id")
+      .localCheckpoint()
+    val cents = feats.filter($"vec_id" < 2)
+      .select($"vec_id".as("cid"), $"embedding".as("centroid"))
+    val idx = TmpWorkspaces.pidScoped("graft_asemingest_spec_", "sem")
+    Clustering.semanticWriteIndex(Clustering.assignL2(feats, cents),
+      idx.toString)
+
+    val delta = Seq((3L, b("aaaa")), (4L, b("iiio")), (5L, b("iiii")))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = IndexIngest.startAssetSemantic(
+      in.toDS().toDF("asset_id", "payload"), idx.toString, cents)
+    try {
+      Seq(delta.take(1), delta.slice(1, 2), delta.drop(2)).foreach { chunk =>
+        in.addData(chunk)
+        q.processAllAvailable()
+      }
+      assert(q.recentProgress.count(_.numInputRows > 0) == 3,
+        "each add must arrive as its own micro-batch")
+    } finally q.stop()
+
+    // three generations landed, every member exactly once
+    val gens = spark.read.parquet(idx.toString)
+      .filter($"gen" > 0).select("gen").distinct()
+      .as[Int].collect().toSet
+    assert(gens == Set(1, 2, 3), s"got $gens")
+    assert(Clustering.semanticAuditIndex(spark, idx.toString).isEmpty)
+
+    // hand verdicts through the standing probe: 3 dups 0 (kept=false),
+    // 4 is a true near-miss (kept), 5 dups 1 (kept=false)
+    val snap = Clustering.assignL2(
+      Multimodal.featurizeVector(delta.toDF("asset_id", "payload"),
+        "asset_id"), cents).localCheckpoint()
+    val got = Clustering.semDedupIndexed(spark, idx.toString, snap,
+        threshold = 0.999)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == Set((0L, 3L, false), (1L, 4L, true), (1L, 5L, false)),
+      s"got $got")
+  }
+
   test("streaming mixture ingest: generation masses add, served manifest equals the fresh derivation") {
     import graft.operators.Curation
     // the q179 fixture geometry: a = 2x8 tokens, b = 1x64 — streamed
