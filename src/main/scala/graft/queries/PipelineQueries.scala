@@ -3792,6 +3792,128 @@ object PipelineQueries {
     },
     Some(assetNearDupOracleSql))
 
+  // ------------------------------------------------------------------
+  // q202 flagship v9 — the MEDIA admission manifest (day-2 across all
+  // three asset-side written indexes at once)
+  // ------------------------------------------------------------------
+
+  /** Flagship v9 — q176's day-2 admission manifest on the MEDIA side:
+    * one binary-asset snapshot (the %4=3 quarter) probed against all
+    * three asset-side written indexes this family built — exact
+    * payload hash (q194: is this asset the global kept for its
+    * bytes), featurized near-dup (q197: no smaller-id neighbor at
+    * cosine ≥ 0.999 in its cluster), and frame novelty (q200: how many
+    * of its 64-byte frames are globally first) — emitting one
+    * admission row per snapshot asset: `admitted = exact_kept AND
+    * near_kept`, with the frame counts as the novelty evidence a
+    * curation policy would threshold.
+    *
+    * 100 TB posture: the payload column is materialized ONCE
+    * (localCheckpoint) and feeds all three modalities — bytes are
+    * read from parquet exactly once, hashed/featurized/framed in
+    * narrow passes, and never shuffle; every index probe is
+    * shard/cid-pruned; the manifest joins are snapshot-sized.
+    */
+  val q202CurationV9: QueryDef = QueryDef(
+    "q202_curation_v9",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+      val assets = Multimodal.attachPayload(docs, "text")
+        .select(col("doc_id").as("asset_id"), col("payload"))
+        .localCheckpoint()
+      val base = assets.filter(col("asset_id") % 4 =!= 3)
+      val snap = assets.filter(col("asset_id") % 4 === 3)
+      // ---- exact payload modality ----
+      val fpPath = graft.operators.TmpWorkspaces
+        .pidScoped("graft_assetidx_q202_", dir)
+      Multimodal.assetWriteIndex(base, fpPath.toString)
+      Multimodal.assetAppendIndex(snap, fpPath.toString)
+      val exactKept = snap
+        .withColumn("fingerprint", md5(col("payload")))
+        .join(Multimodal.assetDedupIndexed(s, fpPath.toString, snap),
+          "fingerprint")
+        .select(col("asset_id"),
+          (col("asset_id") === col("kept_id")).as("exact_kept"))
+      // ---- featurized near-dup modality ----
+      val feats = Multimodal.featurizeVector(assets, "asset_id")
+        .localCheckpoint()
+      val cents = feats.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("centroid"))
+      val semPath = graft.operators.TmpWorkspaces
+        .pidScoped("graft_assetsem_q202_", dir)
+      Clustering.semanticWriteIndex(
+        Clustering.assignL2(feats.filter(col("vec_id") % 4 =!= 3), cents),
+        semPath.toString)
+      val snapAssigned = Clustering.assignL2(
+        feats.filter(col("vec_id") % 4 === 3), cents).localCheckpoint()
+      Clustering.semanticAppendIndex(snapAssigned, semPath.toString, gen = 1)
+      val nearKept = Clustering.semDedupIndexed(s, semPath.toString,
+          snapAssigned, threshold = 0.999)
+        .select(col("vec_id").as("asset_id"), col("kept").as("near_kept"))
+      // ---- frame-novelty modality ----
+      val frPath = graft.operators.TmpWorkspaces
+        .pidScoped("graft_frameidx_q202_", dir)
+      Multimodal.frameWriteIndex(base, frPath.toString, frameBytes = 64)
+      Multimodal.frameAppendIndex(snap, frPath.toString, frameBytes = 64)
+      val novelty = Multimodal.frameDedupIndexed(s, frPath.toString, snap,
+        frameBytes = 64)
+      // ---- the admission manifest ----
+      snap.select(col("asset_id"))
+        .join(exactKept, "asset_id")
+        .join(nearKept, "asset_id")
+        .join(novelty, "asset_id")
+        .select(col("asset_id"), col("exact_kept"), col("near_kept"),
+          col("n_frames"), col("n_kept"),
+          (col("exact_kept") && col("near_kept")).as("admitted"))
+        .orderBy(col("asset_id"))
+    }, {
+      val cosXY = Similarity.cosineSql("x.v", "y.v")
+      Some(s"""
+        WITH fp AS (SELECT doc_id AS asset_id, md5(text) AS fingerprint
+                    FROM documents WHERE text IS NOT NULL),
+        keep9 AS (SELECT fingerprint, MIN(asset_id) AS kept_id
+                  FROM fp GROUP BY 1),
+        ek9 AS (SELECT f.asset_id, (f.asset_id = k.kept_id) AS exact_kept
+                FROM fp f JOIN keep9 k USING (fingerprint)
+                WHERE f.asset_id % 4 = 3),
+        $assetFeatureCte,
+        cents AS (SELECT vec_id AS cid, v AS centroid
+                  FROM feats WHERE vec_id < 8),
+        au AS ${kmeansAssignSql("feats", "cents")},
+        csz AS (SELECT cid, COUNT(*) AS cn FROM au GROUP BY 1),
+        rm AS (SELECT DISTINCT y.vec_id
+               FROM au x
+               JOIN au y ON x.cid = y.cid AND x.vec_id < y.vec_id
+               JOIN csz z ON z.cid = x.cid AND z.cn <= 10000
+               WHERE $cosXY >= 0.999),
+        nk9 AS (SELECT a.vec_id AS asset_id, (r.vec_id IS NULL) AS near_kept
+                FROM au a LEFT JOIN rm r USING (vec_id)
+                WHERE a.vec_id % 4 = 3),
+        fr AS (SELECT doc_id AS asset_id, CAST(i AS BIGINT) AS frame_no,
+                      md5(substring(text, CAST(i * 64 + 1 AS BIGINT), 64))
+                        AS fingerprint
+               FROM (SELECT doc_id, text,
+                            unnest(generate_series(0,
+                              CAST(greatest(ceil(strlen(text) / 64.0), 1)
+                                AS BIGINT) - 1)) AS i
+                     FROM documents WHERE text IS NOT NULL)),
+        rk AS (SELECT asset_id, frame_no,
+                      row_number() OVER (PARTITION BY fingerprint
+                                         ORDER BY asset_id, frame_no) AS rn
+               FROM fr),
+        nv9 AS (SELECT asset_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+                       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_kept
+                FROM rk WHERE asset_id % 4 = 3
+                GROUP BY 1)
+        SELECT e.asset_id, e.exact_kept, n.near_kept, v.n_frames,
+               v.n_kept, (e.exact_kept AND n.near_kept) AS admitted
+        FROM ek9 e JOIN nk9 n USING (asset_id) JOIN nv9 v USING (asset_id)
+        ORDER BY asset_id
+      """)
+    })
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
@@ -3814,5 +3936,5 @@ object PipelineQueries {
     q190WinnowIncremental, q191StreamingWinnowIngest,
     q193IdempotentIngestReplay, q194AssetDedupIndexed, q196IvfPqRecall,
     q197AssetNearDupIndexed, q198AssetRepair, q199StreamingAssetIngest,
-    q200FrameDedupIndexed, q201StreamingAssetNearDup)
+    q200FrameDedupIndexed, q201StreamingAssetNearDup, q202CurationV9)
 }

@@ -737,6 +737,23 @@ class PlanSpec extends AnyFunSuite {
       s"nothing corpus-sized may join:\n$p")
   }
 
+  test("q202: v9 media manifest — every probe pruned, payloads read once via checkpoints") {
+    val p = plan("q202_curation_v9")
+    // exact-payload clusters + frame fingerprints prune on md5 shards;
+    // the featurized near-dup probe prunes on touched cluster ids
+    assert("PartitionFilters: \\[[^\\]]*shard".r.findAllIn(p).size >= 2,
+      s"asset/frame index scans must stay shard-pruned:\n$p")
+    assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(p).isDefined,
+      s"the featurized semantic probe must stay cid-pruned:\n$p")
+    // the snapshot payload/feature frames ride their checkpoints —
+    // the documents corpus never reappears in the served plan
+    assert(p.contains("Scan ExistingRDD"),
+      "snapshot probes must come from their checkpoints")
+    assert(!p.contains("documents.parquet"),
+      s"the corpus must not re-scan in the manifest plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"nothing may cross-join:\n$p")
+  }
+
   test("q200: frame dedup probes pruned text-free fingerprints; payloads stay in the featurize pass") {
     val p = plan("q200_frame_dedup_indexed")
     assert("PartitionFilters: \\[[^\\]]*shard".r.findFirstIn(p).isDefined,
