@@ -3914,6 +3914,89 @@ object PipelineQueries {
       """)
     })
 
+  // ------------------------------------------------------------------
+  // q203 multimodal drift audit (centroid staleness on the featurized
+  // asset index — q175's detector on the media modality)
+  // ------------------------------------------------------------------
+
+  /** Centroid-staleness drift audit of the FEATURIZED ASSET index —
+    * q175's "when do we re-featurize/retrain?" detector on the media
+    * modality: the base generation is the even-id half of the corpus,
+    * the appended snapshot the odd-id half WITH ITS LONG TAIL
+    * TRUNCATED (payloads over 450 bytes never arrive — the "crawler
+    * started clipping media" drift a real pipeline hits). Frozen
+    * centroids serve the append exactly (q197/q201's equality), but
+    * the clusters holding long payloads lose their snapshot share
+    * entirely while the rest inflate only proportionally —
+    * [[graft.operators.Clustering.semanticDriftAudit]] reads one
+    * grouped scan of the written index (K rows out) and flags
+    * clusters whose share moved more than 5pp. The fixture exercises
+    * BOTH branches with wide margins on either side of the bar
+    * (verified at sf0.01 AND sf0.1: gaps 0.003–0.036 below, 0.062+
+    * above — a pure-length split instead would separate the sides
+    * into disjoint clusters and flag everything).
+    */
+  val q203AssetDrift: QueryDef = QueryDef(
+    "q203_asset_drift",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+      val feats = Multimodal.featurizeVector(
+        Multimodal.attachPayload(docs, "text"), "doc_id")
+        .localCheckpoint()
+      val cents = feats.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("centroid"))
+      val nb = element_at(col("embedding"), 2)
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_assetsem_q203_", dir)
+      Clustering.semanticWriteIndex(
+        Clustering.assignL2(feats.filter(col("vec_id") % 2 === 0), cents),
+        path.toString)
+      Clustering.semanticAppendIndex(
+        Clustering.assignL2(
+          feats.filter(col("vec_id") % 2 === 1 && nb <= 450.0), cents),
+        path.toString, gen = 1)
+      Clustering.semanticDriftAudit(s, path.toString, shareDrift = 0.05)
+        .orderBy(col("cid"))
+    },
+    Some(s"""
+      WITH $assetFeatureCte,
+      cents AS (SELECT vec_id AS cid, v AS centroid
+                FROM feats WHERE vec_id < 8),
+      au AS ${kmeansAssignSql("feats", "cents")},
+      agg AS (SELECT cid,
+                     COUNT(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS n_base,
+                     COUNT(CASE WHEN vec_id % 2 = 1 AND v[2] <= 450.0
+                           THEN 1 END) AS n_new,
+                     SUM(CASE WHEN vec_id % 2 = 0
+                              THEN CAST(FLOOR(d2 * 1000000.0) AS BIGINT) END)
+                       AS sf_base,
+                     SUM(CASE WHEN vec_id % 2 = 1 AND v[2] <= 450.0
+                              THEN CAST(FLOOR(d2 * 1000000.0) AS BIGINT) END)
+                       AS sf_new
+              FROM au GROUP BY 1),
+      sh AS (SELECT cid, n_base, n_new, sf_base, sf_new,
+                    CASE WHEN SUM(n_base) OVER () > 0
+                         THEN CAST(n_base AS DOUBLE)
+                              / CAST(SUM(n_base) OVER () AS DOUBLE) END AS shb,
+                    CASE WHEN SUM(n_new) OVER () > 0
+                         THEN CAST(n_new AS DOUBLE)
+                              / CAST(SUM(n_new) OVER () AS DOUBLE) END AS shn
+             FROM agg)
+      SELECT cid, CAST(n_base AS BIGINT) AS n_base,
+             CAST(n_new AS BIGINT) AS n_new,
+             round(shb, 6) AS share_base, round(shn, 6) AS share_new,
+             CASE WHEN n_base > 0
+                  THEN FLOOR(CAST(sf_base AS DOUBLE) / n_base) / 1000000.0 END
+               AS mean_d2_base,
+             CASE WHEN n_new > 0
+                  THEN FLOOR(CAST(sf_new AS DOUBLE) / n_new) / 1000000.0 END
+               AS mean_d2_new,
+             COALESCE(ABS(shn - shb) > 0.05, FALSE) AS drifted
+      FROM sh
+      ORDER BY cid
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
@@ -3936,5 +4019,6 @@ object PipelineQueries {
     q190WinnowIncremental, q191StreamingWinnowIngest,
     q193IdempotentIngestReplay, q194AssetDedupIndexed, q196IvfPqRecall,
     q197AssetNearDupIndexed, q198AssetRepair, q199StreamingAssetIngest,
-    q200FrameDedupIndexed, q201StreamingAssetNearDup, q202CurationV9)
+    q200FrameDedupIndexed, q201StreamingAssetNearDup, q202CurationV9,
+    q203AssetDrift)
 }

@@ -737,6 +737,17 @@ class PlanSpec extends AnyFunSuite {
       s"nothing corpus-sized may join:\n$p")
   }
 
+  test("q203: asset drift audit keeps q175's shape — one grouped index scan, no join") {
+    val p = plan("q203_asset_drift")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"the audit reads the index once, got $scans:\n$p")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      "per-cluster stats must map-side combine before their shuffle")
+    assert(!p.contains("Join"), "the audit is a grouped scan, never a join")
+    assert(p.contains("Window"),
+      "global shares run as a window on the K-row aggregate")
+  }
+
   test("q202: v9 media manifest — every probe pruned, payloads read once via checkpoints") {
     val p = plan("q202_curation_v9")
     // exact-payload clusters + frame fingerprints prune on md5 shards;
