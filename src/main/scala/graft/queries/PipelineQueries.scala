@@ -3997,6 +3997,50 @@ object PipelineQueries {
       ORDER BY cid
     """))
 
+  // ------------------------------------------------------------------
+  // q204 streaming frame-index ingest (the 9th ledger member)
+  // ------------------------------------------------------------------
+
+  /** STREAMING day-2 ingest for the frame-fingerprint index — q200's
+    * layout maintained by a standing pipeline: the snapshot quarter
+    * arrives as `.bin` files in two micro-batches, each batch framed
+    * and hashed in the batch body and appended as one generation
+    * through the commit ledger
+    * ([[graft.streaming.IndexIngest.frameBatch]]), and the standing
+    * novelty probe must hash-equal q200's fresh whole-corpus oracle —
+    * frame rows depend only on their own payload, so batch boundaries
+    * cannot move a keep-first verdict.
+    */
+  val q204StreamingFrameIngest: QueryDef = QueryDef(
+    "q204_streaming_frame_ingest",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+      val assets = Multimodal.attachPayload(docs, "text")
+        .select(col("doc_id").as("asset_id"), col("payload"))
+        .localCheckpoint()
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_frameidx_q204_", dir)
+      Multimodal.frameWriteIndex(assets.filter(col("asset_id") % 4 =!= 1),
+        path.toString, frameBytes = 64)
+      val snapshot = assets.filter(col("asset_id") % 4 === 1)
+      val deltaDir = graft.operators.TmpWorkspaces
+        .pidScoped("graft_assets_in_q204_", dir)
+      Multimodal.writeAssets(docs.filter(col("doc_id") % 4 === 1),
+        "doc_id", "text", deltaDir.toString)
+      val half = (snapshot.count() / 2 + 1).toInt
+      graft.streaming.IndexIngest.ingestFrames(
+        Multimodal.streamBinaryDir(s, deltaDir.toString,
+          maxFilesPerTrigger = half),
+        path.toString, frameBytes = 64)
+      Multimodal.frameDedupIndexed(s, path.toString, snapshot,
+          frameBytes = 64)
+        .orderBy(col("asset_id"))
+    },
+    // the q200 oracle verbatim: the streamed generations must serve
+    // the identical novelty counts
+    q200FrameDedupIndexed.oracle)
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
@@ -4020,5 +4064,5 @@ object PipelineQueries {
     q193IdempotentIngestReplay, q194AssetDedupIndexed, q196IvfPqRecall,
     q197AssetNearDupIndexed, q198AssetRepair, q199StreamingAssetIngest,
     q200FrameDedupIndexed, q201StreamingAssetNearDup, q202CurationV9,
-    q203AssetDrift)
+    q203AssetDrift, q204StreamingFrameIngest)
 }

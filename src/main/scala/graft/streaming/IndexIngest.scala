@@ -410,6 +410,43 @@ object IndexIngest {
     finally q.stop()
   }
 
+  /** Frame member's per-batch body ([[startFrames]] + replay gates). */
+  def frameBatch(path: String, frameBytes: Int, epoch: String = "0")(
+      batch: DataFrame, batchId: Long): Unit =
+    committedAppend(batch.sparkSession, path, "frame", epoch, batchId) {
+      graft.operators.Multimodal.frameAppendIndex(batch, path, frameBytes)
+    }
+
+  /** The NINTH ingest member — the frame-fingerprint index maintained
+    * by a standing media pipeline: each micro-batch of binary payloads
+    * is framed and hashed in the batch body
+    * ([[graft.operators.Multimodal.frameAppendIndex]]) and lands as
+    * one generation of the written frame layout; the standing
+    * [[graft.operators.Multimodal.frameDedupIndexed]] probe serves the
+    * q200 novelty counts — q204 gates it against the same fresh
+    * whole-corpus oracle. Batch boundaries cannot move a verdict:
+    * frame rows depend only on their own payload, the keep-first rule
+    * reads the union.
+    */
+  def startFrames(assetStream: DataFrame, path: String, frameBytes: Int,
+      epoch: String = "0",
+      checkpointLocation: Option[String] = None): StreamingQuery =
+    withCheckpoint(assetStream.writeStream
+        .foreachBatch(frameBatch(path, frameBytes, epoch) _),
+        checkpointLocation)
+      .outputMode("append")
+      .start()
+
+  /** Runs the frame ingest over all currently-available input, then
+    * stops — the bounded-backfill form the q204 gate drives.
+    */
+  def ingestFrames(assetStream: DataFrame, path: String, frameBytes: Int,
+      epoch: String = "0"): Unit = {
+    val q = startFrames(assetStream, path, frameBytes, epoch)
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
   /** Featurized-asset member's per-batch body ([[startAssetSemantic]]
     * + replay gates): each micro-batch of binary payloads is
     * featurized ([[graft.operators.Multimodal.featurizeVector]] — one

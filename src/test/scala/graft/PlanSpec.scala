@@ -765,6 +765,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"nothing may cross-join:\n$p")
   }
 
+  test("q204: streamed-in frame generations keep the q200 pruned-probe shape") {
+    val p = plan("q204_streaming_frame_ingest")
+    assert("PartitionFilters: \\[[^\\]]*shard".r.findFirstIn(p).isDefined,
+      s"snapshot fingerprint shards must prune the streamed frame index:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "snapshot fingerprints must broadcast-semi-join before the winner agg")
+    assert(p.contains("partial_min"), "winner coordinates must map-side combine")
+    assert(p.contains("Scan ExistingRDD"),
+      "the snapshot frames must come from their checkpoint")
+    assert(!p.contains("CartesianProduct"), s"nothing may cross-join:\n$p")
+  }
+
   test("q200: frame dedup probes pruned text-free fingerprints; payloads stay in the featurize pass") {
     val p = plan("q200_frame_dedup_indexed")
     assert("PartitionFilters: \\[[^\\]]*shard".r.findFirstIn(p).isDefined,

@@ -332,6 +332,46 @@ class IndexIngestSpec extends AnyFunSuite {
     assert(got.map(t => (t._2, t._3)) == Set((0L, 3L), (1L, 2L), (6L, 1L)))
   }
 
+  test("streaming frame ingest: per-batch frame generations, probe equals the batch append, rows land once") {
+    import graft.operators.Multimodal
+    def b(s: String) = s.getBytes("UTF-8")
+    // frameBytes = 4, the MultimodalSpec frame geometry
+    val base = Seq((1L, b("aaaabbbb")), (2L, b("bbbbcccc")))
+      .toDF("asset_id", "payload")
+    val idx = TmpWorkspaces.pidScoped("graft_frameingest_spec_", "fr")
+    Multimodal.frameWriteIndex(base, idx.toString, frameBytes = 4)
+
+    val delta = Seq((11L, b("ccccaaaa")), (13L, b("dddd")),
+      (15L, b("aaaadddd")))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = IndexIngest.startFrames(
+      in.toDS().toDF("asset_id", "payload"), idx.toString, frameBytes = 4)
+    try {
+      Seq(delta.take(1), delta.slice(1, 2), delta.drop(2)).foreach { chunk =>
+        in.addData(chunk)
+        q.processAllAvailable()
+      }
+      assert(q.recentProgress.count(_.numInputRows > 0) == 3,
+        "each add must arrive as its own micro-batch")
+    } finally q.stop()
+
+    // no replayed-batch damage: every (asset, frame) coordinate once
+    assert(spark.read.parquet(s"$idx/frames")
+      .groupBy($"asset_id", $"frame_no").count()
+      .filter($"count" > 1).isEmpty)
+
+    val snap = delta.toDF("asset_id", "payload")
+    val got = Multimodal.frameDedupIndexed(spark, idx.toString, snap,
+        frameBytes = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    // 11: cccc lost to (2,1), aaaa lost to (1,0) -> 0/2; 13: dddd is
+    // globally first -> 1/1; 15: aaaa lost to (1,0), dddd lost to
+    // (13,0) -> 0/2
+    assert(got == Set((11L, 2L, 0L), (13L, 1L, 1L), (15L, 2L, 0L)),
+      s"got $got")
+  }
+
   test("streaming featurized near-dup ingest: per-batch featurize+assign generations, probe equals the batch path") {
     import graft.operators.{Clustering, Multimodal}
     def b(s: String) = s.getBytes("UTF-8")
