@@ -225,6 +225,24 @@ object Multimodal {
       .option("maxFilesPerTrigger", maxFilesPerTrigger).load(dir))
   }
 
+  /** Driver-side count of the landing FILES in `dir` — the
+    * `maxFilesPerTrigger` sizing a gate needs, via one filesystem
+    * metadata listing instead of a Spark count() action over the data
+    * (hidden `_`/`.` entries excluded, matching what the `binaryFile`
+    * source would deliver). Math.toIntExact keeps a >2B-file listing a
+    * loud failure instead of a silent wrap.
+    */
+  def dirFileCount(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Math.toIntExact(fs.listStatus(p).count { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.toLong)
+  }
+
   private def assetProjection(files: DataFrame): DataFrame =
     files.select(
         // filename must be exactly <digits>.bin: anything else (a
@@ -442,10 +460,16 @@ object Multimodal {
         Seq("fingerprint"), "leftsemi")
       .groupBy(col("fingerprint"))
       .agg(min(struct(col("asset_id"), col("frame_no"))).as("m"))
-    frames.join(mins, Seq("fingerprint"))
+    // LEFT join: the contract is append-then-probe (every snapshot
+    // fingerprint is in the index), but a caller probing BEFORE the
+    // append must see a globally-new frame as KEPT, not silently
+    // vanished from both counts — a missing min means no indexed
+    // occurrence exists, so the snapshot frame is first by definition
+    frames.join(mins, Seq("fingerprint"), "left")
       .withColumn("__keep",
-        col("asset_id") === col("m.asset_id") &&
-          col("frame_no") === col("m.frame_no"))
+        col("m").isNull ||
+          (col("asset_id") === col("m.asset_id") &&
+            col("frame_no") === col("m.frame_no")))
       .groupBy(col("asset_id"))
       .agg(count(lit(1)).as("n_frames"),
         sum(when(col("__keep"), lit(1L)).otherwise(lit(0L))).as("n_kept"))

@@ -3660,7 +3660,9 @@ object PipelineQueries {
         .pidScoped("graft_assets_in_q199_", dir)
       Multimodal.writeAssets(docs.filter(col("doc_id") % 4 === 3),
         "doc_id", "text", deltaDir.toString)
-      val half = (snapshot.count() / 2 + 1).toInt
+      // two micro-batches, sized from one FS metadata listing of the
+      // landing dir — no Spark count() action in the gate body
+      val half = Multimodal.dirFileCount(s, deltaDir.toString) / 2 + 1
       graft.streaming.IndexIngest.ingestAssets(
         Multimodal.streamBinaryDir(s, deltaDir.toString,
           maxFilesPerTrigger = half),
@@ -3780,7 +3782,7 @@ object PipelineQueries {
         .pidScoped("graft_assets_in_q201_", dir)
       val snapDocs = docs.filter(col("doc_id") % 4 === 3)
       Multimodal.writeAssets(snapDocs, "doc_id", "text", deltaDir.toString)
-      val half = (snapDocs.count() / 2 + 1).toInt
+      val half = Multimodal.dirFileCount(s, deltaDir.toString) / 2 + 1
       graft.streaming.IndexIngest.ingestAssetSemantic(
         Multimodal.streamBinaryDir(s, deltaDir.toString,
           maxFilesPerTrigger = half),
@@ -4028,7 +4030,7 @@ object PipelineQueries {
         .pidScoped("graft_assets_in_q204_", dir)
       Multimodal.writeAssets(docs.filter(col("doc_id") % 4 === 1),
         "doc_id", "text", deltaDir.toString)
-      val half = (snapshot.count() / 2 + 1).toInt
+      val half = Multimodal.dirFileCount(s, deltaDir.toString) / 2 + 1
       graft.streaming.IndexIngest.ingestFrames(
         Multimodal.streamBinaryDir(s, deltaDir.toString,
           maxFilesPerTrigger = half),

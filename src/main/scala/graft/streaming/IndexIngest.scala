@@ -19,12 +19,17 @@ import org.apache.spark.sql.Row
   * reference's `StreamingFileSink` commits atomically per checkpoint,
   * SURVEY §2.2 `DS/api/functions/sink/filesystem/StreamingFileSink
   * .java`; this is the foreachBatch equivalent): every member routes
-  * its append through [[committedAppend]], a batchId-keyed commit
-  * ledger next to the index. foreachBatch's `batchId` is stable
-  * across retries of the same epoch (and across restarts from the
-  * same `checkpointLocation`), so a replayed batch finds its marker
-  * and lands ZERO rows — q193 gates that a replayed delivery leaves
-  * the audit empty and the served result hash-unchanged. Two caller
+  * its append through [[committedAppend]] — a STAGE → PUBLISH →
+  * MARKER commit keyed by (member, epoch, batchId) next to the index.
+  * foreachBatch's `batchId` is stable across retries of the same
+  * epoch (and across restarts from the same `checkpointLocation`), so
+  * a replayed batch finds its marker and lands ZERO rows — q193 gates
+  * that a replayed delivery leaves the audit empty and the served
+  * result hash-unchanged — and a CRASHED delivery (any point of the
+  * stage/publish/marker sequence) is repaired by its own retry: the
+  * retry purges the crashed attempt's staged and half-published files
+  * before publishing its own, so sequential crash-retry lands every
+  * generation exactly once with no audit damage. Two caller
   * obligations remain, both documented per member: (1) restarts must
   * reuse the run's `checkpointLocation` (pass it to `start*`) —
   * restarting WITHOUT one re-delivers data under fresh batchIds,
@@ -37,47 +42,133 @@ import org.apache.spark.sql.Row
   */
 object IndexIngest {
 
-  /** Batch-commit ledger: runs `append` only if no marker exists for
-    * (member, epoch, batchId) under `indexPath/_ingest_commits/`, then
-    * writes the marker via an atomic create-if-absent. Returns true
-    * if the append ran, false if the delivery was a replay and was
-    * skipped. The marker directory is underscore-prefixed, so parquet
-    * readers of the index never see it (the `_SUCCESS` convention).
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Where a delivery stages its generation before publishing. */
+  private[graft] def stagingPath(indexPath: String, member: String,
+      epoch: String, batchId: Long): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      s"$indexPath/_tmp/$member-$epoch-$batchId")
+
+  /** The deterministic live-file prefix of one generation's files —
+    * what makes a retry able to PURGE a crashed attempt's partial
+    * publish before republishing. The trailing dash closes the key
+    * (batch 1's purge must not match batch 10's files).
+    */
+  private[graft] def generationKey(member: String, epoch: String,
+      batchId: Long): String =
+    s"gen-$member-$epoch-$batchId-"
+
+  private def markerPath(indexPath: String, member: String,
+      epoch: String, batchId: Long): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      s"$indexPath/_ingest_commits/$member/epoch=$epoch/batch-$batchId")
+
+  /** Moves every staged leaf file into the live tree at its relative
+    * directory, renamed under this generation's deterministic prefix.
+    * Idempotent under crash-retry: each touched live directory is
+    * purged of THIS generation's files first, so a previous attempt's
+    * partial publish never mixes with (or duplicates) the current one
+    * — the set of relative directories a batch touches is determined
+    * by its row content, hence identical across attempts. Hidden
+    * (`_`/`.`) entries — `_SUCCESS`, checksum sidecars — stay behind
+    * and are deleted with the staging dir.
+    */
+  private[graft] def publishStaged(fs: org.apache.hadoop.fs.FileSystem,
+      stagingRoot: org.apache.hadoop.fs.Path,
+      liveRoot: org.apache.hadoop.fs.Path, genKey: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val leaves = scala.collection.mutable.ArrayBuffer.empty[(String, Path)]
+    def walk(dir: Path, rel: String): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) {
+          if (st.isDirectory)
+            walk(st.getPath, if (rel.isEmpty) n else s"$rel/$n")
+          else leaves += ((rel, st.getPath))
+        }
+      }
+    if (fs.exists(stagingRoot)) walk(stagingRoot, "")
+    leaves.groupBy(_._1).foreach { case (rel, files) =>
+      val liveDir = if (rel.isEmpty) liveRoot else new Path(liveRoot, rel)
+      fs.mkdirs(liveDir)
+      fs.listStatus(liveDir).foreach { st =>
+        if (st.isFile && st.getPath.getName.startsWith(genKey))
+          fs.delete(st.getPath, false)
+      }
+      files.foreach { case (_, src) =>
+        val dst = new Path(liveDir, genKey + src.getName)
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(
+            s"publishStaged: rename $src -> $dst failed")
+      }
+    }
+  }
+
+  /** Batch-commit ledger with STAGE-AND-RENAME generation commits:
+    * if no marker exists for (member, epoch, batchId) under
+    * `indexPath/_ingest_commits/`, runs `stage` against a private
+    * staging root under `indexPath/_tmp/` (same relative layout as the
+    * live index), publishes the staged files into the live tree under
+    * the generation's deterministic name prefix, and only then writes
+    * the marker via an atomic create-if-absent. Returns true if the
+    * generation landed, false if the delivery was a replay and was
+    * skipped. Both control directories are underscore-prefixed, so
+    * parquet readers of the index never see them (the `_SUCCESS`
+    * convention).
     *
-    * Failure window, stated honestly: the append's parquet job commit
-    * and the marker create are two operations; a crash BETWEEN them
-    * makes the retry re-append (duplicates — exactly the damage the
-    * per-member audit localizes and compaction repairs). The window
-    * is one small-file create wide, versus the whole batch under the
-    * previous caller-owns-everything contract; closing it fully needs
-    * a transactional table format, which is out of scope here.
+    * Crash contract — sequential retries are EXACTLY-ONCE, no repair
+    * needed: a crash during `stage` leaves only invisible `_tmp`
+    * garbage (deleted by the retry before re-staging); a crash during
+    * publish, or between publish and marker, leaves live files that
+    * the retry PURGES by generation prefix before republishing (the
+    * touched directories are a function of the batch's rows, hence
+    * the same on every attempt); a crash after the marker makes the
+    * retry a no-op. What remains audit territory: two deliveries of
+    * one batch running CONCURRENTLY (zombie executor) can interleave
+    * purge/rename and leave duplicate rows — exactly one claims the
+    * marker, the loser logs a warning and reports false so operators
+    * know to run the member's audit/compact repair — and the
+    * documented caller errors (restart without a checkpoint, epoch
+    * reuse), which no ledger can distinguish from new data.
     */
   def committedAppend(spark: SparkSession, indexPath: String,
       member: String, epoch: String, batchId: Long)(
-      append: => Unit): Boolean = {
-    import org.apache.hadoop.fs.Path
-    val marker = new Path(
-      s"$indexPath/_ingest_commits/$member/epoch=$epoch/batch-$batchId")
+      stage: String => Unit): Boolean = {
+    require(member.matches("[A-Za-z0-9_]+") && epoch.matches("[A-Za-z0-9_]+"),
+      s"member/epoch must be [A-Za-z0-9_]+ (the generation key's '-' " +
+        s"separators must stay unambiguous): member=$member epoch=$epoch")
+    val marker = markerPath(indexPath, member, epoch, batchId)
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) false
     else {
-      append
+      val staging = stagingPath(indexPath, member, epoch, batchId)
+      if (fs.exists(staging)) fs.delete(staging, true) // crashed attempt
+      stage(staging.toString)
+      publishStaged(fs, staging,
+        new org.apache.hadoop.fs.Path(indexPath),
+        generationKey(member, epoch, batchId))
+      fs.delete(staging, true)
       fs.mkdirs(marker.getParent)
-      // overwrite=false: only the marker CREATE is atomic — two racing
-      // deliveries that both pass the exists-check above will both run
-      // `append` (duplicate rows; the audit/compaction path localizes
-      // and repairs that), but exactly one claims the commit. The loser
-      // reports false instead of failing its batch.
       try {
         val out = fs.create(marker, false)
         try out.write(Array.emptyByteArray) finally out.close()
         true
       } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case e: java.io.IOException if fs.exists(marker) => false
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          warnLostRace(member, epoch, batchId); false
+        case _: java.io.IOException if fs.exists(marker) =>
+          warnLostRace(member, epoch, batchId); false
       }
     }
   }
+
+  private def warnLostRace(member: String, epoch: String,
+      batchId: Long): Unit =
+    log.warn(s"committedAppend($member, epoch=$epoch, batch=$batchId): " +
+      "lost the marker race to a concurrent delivery of the same batch " +
+      "AFTER publishing — duplicate rows may be live; run the member's " +
+      "audit/compact repair")
 
   private def withCheckpoint(w: DataStreamWriter[Row],
       checkpointLocation: Option[String]): DataStreamWriter[Row] =
@@ -90,7 +181,8 @@ object IndexIngest {
   def exactBatch(path: String, idCol: String, textCol: String,
       epoch: String = "0")(batch: DataFrame, batchId: Long): Unit =
     committedAppend(batch.sparkSession, path, "exact", epoch, batchId) {
-      graft.operators.Dedup.exactAppendIndex(batch, path, idCol, textCol)
+      staged =>
+        graft.operators.Dedup.exactAppendIndex(batch, staged, idCol, textCol)
     }
 
   /** Starts the ingest and returns the query — callers drive the
@@ -122,9 +214,10 @@ object IndexIngest {
       vecCol: String, epoch: String = "0")(
       batch: DataFrame, batchId: Long): Unit =
     committedAppend(batch.sparkSession, path, "ivf", epoch, batchId) {
-      graft.operators.Similarity.ivfAppendIndex(
-        graft.operators.Similarity.ivfAssign(batch, centroids, idCol, vecCol),
-        path)
+      staged =>
+        graft.operators.Similarity.ivfAppendIndex(
+          graft.operators.Similarity.ivfAssign(batch, centroids, idCol, vecCol),
+          staged)
     }
 
   /** Vector-side twin of [[start]]: each micro-batch of newly-arrived
@@ -166,7 +259,9 @@ object IndexIngest {
   def bm25Batch(path: String, idCol: String, textCol: String,
       epoch: String = "0")(batch: DataFrame, batchId: Long): Unit =
     committedAppend(batch.sparkSession, path, "bm25", epoch, batchId) {
-      graft.operators.Retrieval.bm25AppendIndex(batch, path, idCol, textCol)
+      staged =>
+        graft.operators.Retrieval.bm25AppendIndex(batch, staged, idCol,
+          textCol)
     }
 
   /** Lexical twin of [[start]]/[[startIvf]] — the THIRD index modality
@@ -224,9 +319,10 @@ object IndexIngest {
       vecCol: String, startGen: Int, epoch: String = "0")(
       batch: DataFrame, batchId: Long): Unit =
     committedAppend(batch.sparkSession, path, "semantic", epoch, batchId) {
-      graft.operators.Clustering.semanticAppendIndex(
-        graft.operators.Clustering.assignL2(batch, centroids, idCol, vecCol),
-        path, gen = Math.toIntExact(startGen.toLong + batchId), idCol)
+      staged =>
+        graft.operators.Clustering.semanticAppendIndex(
+          graft.operators.Clustering.assignL2(batch, centroids, idCol, vecCol),
+          staged, gen = Math.toIntExact(startGen.toLong + batchId), idCol)
     }
 
   /** Semantic-cluster twin of [[startIvf]], completing the streaming
@@ -279,8 +375,9 @@ object IndexIngest {
       blockCol: String, epoch: String = "0")(
       batch: DataFrame, batchId: Long): Unit =
     committedAppend(batch.sparkSession, path, "winnow", epoch, batchId) {
-      graft.operators.Dedup.winnowAppendIndex(batch, path, idCol,
-        textCol, blockCol)
+      staged =>
+        graft.operators.Dedup.winnowAppendIndex(batch, staged, idCol,
+          textCol, blockCol)
     }
 
   /** Winnowing twin of [[start]] — the pair-index families' streaming
@@ -325,8 +422,9 @@ object IndexIngest {
       textCol: String, epoch: String = "0")(
       batch: DataFrame, batchId: Long): Unit =
     committedAppend(batch.sparkSession, path, "mixture", epoch, batchId) {
-      graft.operators.Curation.mixtureAppendIndex(batch, path,
-        stratumCol, idCol, textCol)
+      staged =>
+        graft.operators.Curation.mixtureAppendIndex(batch, staged,
+          stratumCol, idCol, textCol)
     }
 
   /** The DERIVED-ARTIFACT member of the ingest loop: where the four
@@ -373,7 +471,8 @@ object IndexIngest {
   def assetBatch(path: String, epoch: String = "0")(
       batch: DataFrame, batchId: Long): Unit =
     committedAppend(batch.sparkSession, path, "asset", epoch, batchId) {
-      graft.operators.Multimodal.assetAppendIndex(batch, path)
+      staged =>
+        graft.operators.Multimodal.assetAppendIndex(batch, staged)
     }
 
   /** The NON-TEXT member of the streaming ingest loop — binary media
@@ -414,7 +513,8 @@ object IndexIngest {
   def frameBatch(path: String, frameBytes: Int, epoch: String = "0")(
       batch: DataFrame, batchId: Long): Unit =
     committedAppend(batch.sparkSession, path, "frame", epoch, batchId) {
-      graft.operators.Multimodal.frameAppendIndex(batch, path, frameBytes)
+      staged =>
+        graft.operators.Multimodal.frameAppendIndex(batch, staged, frameBytes)
     }
 
   /** The NINTH ingest member — the frame-fingerprint index maintained
@@ -460,12 +560,12 @@ object IndexIngest {
       startGen: Int, epoch: String = "0")(
       batch: DataFrame, batchId: Long): Unit =
     committedAppend(batch.sparkSession, path, "asset_semantic", epoch,
-        batchId) {
+        batchId) { staged =>
       graft.operators.Clustering.semanticAppendIndex(
         graft.operators.Clustering.assignL2(
           graft.operators.Multimodal.featurizeVector(batch, "asset_id"),
           centroids),
-        path, gen = Math.toIntExact(startGen.toLong + batchId))
+        staged, gen = Math.toIntExact(startGen.toLong + batchId))
     }
 
   /** The EIGHTH ingest member, closing the multimodal near-dup

@@ -80,10 +80,112 @@ class IndexIngestSpec extends AnyFunSuite {
     assert(serve() == first, "serve must be bit-identical after the replay")
     // a NEW batchId is a genuine delivery and must land
     assert(IndexIngest.committedAppend(spark, idx.toString,
-      "exact", "0", 1L) { () } === true)
+      "exact", "0", 1L) { _ => () } === true)
     assert(IndexIngest.committedAppend(spark, idx.toString,
-      "exact", "0", 1L) { fail("replay must not re-run the append") }
-      === false)
+      "exact", "0", 1L) { _ =>
+        fail("replay must not re-run the append") } === false)
+    // the staged path left no residue and the generation's live files
+    // carry the deterministic prefix (proof the publish ran staged)
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(idx.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$idx/_tmp/exact-0-0")),
+      "staging must be deleted after a successful publish")
+    val shardDirs = fs.listStatus(new Path(s"$idx/fingerprints"))
+      .filter(_.isDirectory)
+    val genFiles = shardDirs.flatMap(d => fs.listStatus(d.getPath))
+      .map(_.getPath.getName).filter(_.startsWith("gen-exact-0-0-"))
+    assert(genFiles.nonEmpty,
+      "the published generation's files must carry the gen prefix")
+  }
+
+  test("crash between stage and publish: zero live damage, the retry lands the generation exactly once") {
+    val a = "the quick brown fox jumps over the lazy dog"
+    val base = Seq((0L, a), (1L, "pack my box with five dozen liquor jugs"))
+      .toDF("doc_id", "text")
+    val idx = TmpWorkspaces.pidScoped("graft_crash1_spec_", "led")
+    Dedup.exactWriteIndex(base, idx.toString, "doc_id", "text")
+    val delta = Seq((4L, a), (5L, "an unrelated new document"))
+      .toDF("doc_id", "text").localCheckpoint()
+
+    // simulate the crash: the delivery staged its generation but died
+    // before publishing — run ONLY the stage step of the real body
+    val staging = IndexIngest.stagingPath(idx.toString, "exact", "0", 0L)
+    Dedup.exactAppendIndex(delta, staging.toString, "doc_id", "text")
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(staging), "the crashed attempt left staged files")
+
+    // the crash left ZERO live damage: the index serves the base only
+    assert(spark.read.parquet(s"$idx/fingerprints").count() == 2,
+      "staged-but-unpublished files must be invisible to readers")
+    assert(Dedup.exactAuditIndex(spark, idx.toString).isEmpty)
+
+    // the retry (same batchId, the real body) re-stages and publishes
+    IndexIngest.exactBatch(idx.toString, "doc_id", "text")(delta, 0L)
+    assert(!fs.exists(staging), "retry must clear the crashed staging")
+    assert(Dedup.exactAuditIndex(spark, idx.toString).isEmpty,
+      "crash-retry must land the generation without duplicates")
+    val got = Dedup.exactClustersIndexed(spark, idx.toString, delta,
+        "doc_id", "text")
+      .select($"kept_id", $"cluster_size")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 2L), (5L, 1L)), s"got $got")
+  }
+
+  test("crash mid-publish: the retry purges the partial generation and republishes without duplicates") {
+    import org.apache.hadoop.fs.Path
+    val a = "the quick brown fox jumps over the lazy dog"
+    val base = Seq((0L, a), (1L, "pack my box with five dozen liquor jugs"))
+      .toDF("doc_id", "text")
+    val idx = TmpWorkspaces.pidScoped("graft_crash2_spec_", "led")
+    Dedup.exactWriteIndex(base, idx.toString, "doc_id", "text")
+    val delta = Seq((4L, a), (5L, "an unrelated new document"))
+      .toDF("doc_id", "text").localCheckpoint()
+
+    // simulate a crash AFTER some of the publish renames: stage the
+    // generation, then hand-publish exactly ONE staged leaf under the
+    // generation prefix (what a kill between two renames leaves)
+    val staging = IndexIngest.stagingPath(idx.toString, "exact", "0", 0L)
+    Dedup.exactAppendIndex(delta, staging.toString, "doc_id", "text")
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val genKey = IndexIngest.generationKey("exact", "0", 0L)
+    def leaves(root: Path): Seq[(String, Path)] = {
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Path)]
+      def walk(dir: Path, rel: String): Unit =
+        fs.listStatus(dir).foreach { st =>
+          val n = st.getPath.getName
+          if (!n.startsWith("_") && !n.startsWith(".")) {
+            if (st.isDirectory)
+              walk(st.getPath, if (rel.isEmpty) n else s"$rel/$n")
+            else acc += ((rel, st.getPath))
+          }
+        }
+      walk(root, "")
+      acc.toSeq
+    }
+    val staged = leaves(staging)
+    assert(staged.size >= 2, "need >= 2 staged files to crash between")
+    val (rel, src) = staged.head
+    val liveDir = new Path(s"$idx/$rel")
+    fs.mkdirs(liveDir)
+    assert(fs.rename(src, new Path(liveDir, genKey + src.getName)))
+
+    // the partial publish IS visible (1 of 2 delta rows) — that is the
+    // crash being simulated; the retry must repair it, not stack on it
+    assert(spark.read.parquet(s"$idx/fingerprints").count() == 3)
+
+    // retry: same batchId, the real body — purges the partial rename,
+    // re-stages, republishes; NO duplicate rows anywhere
+    IndexIngest.exactBatch(idx.toString, "doc_id", "text")(delta, 0L)
+    assert(Dedup.exactAuditIndex(spark, idx.toString).isEmpty,
+      "retry after a mid-publish crash must not duplicate rows")
+    assert(spark.read.parquet(s"$idx/fingerprints").count() == 4,
+      "base 2 + delta 2, each exactly once")
+    val got = Dedup.exactClustersIndexed(spark, idx.toString, delta,
+        "doc_id", "text")
+      .select($"kept_id", $"cluster_size")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 2L), (5L, 1L)), s"got $got")
   }
 
   test("committedAppend lost race: a marker landing mid-window reports false, not a failed batch") {
@@ -97,7 +199,7 @@ class IndexIngestSpec extends AnyFunSuite {
     val marker = new Path(s"$idx/_ingest_commits/exact/epoch=0/batch-7")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val won = IndexIngest.committedAppend(spark, idx.toString,
-      "exact", "0", 7L) {
+      "exact", "0", 7L) { _ =>
       fs.mkdirs(marker.getParent)
       fs.create(marker, false).close()
     }

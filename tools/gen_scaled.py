@@ -79,6 +79,18 @@ def main(src: str, dst: str, copies: int) -> None:
         f"text, lang, CASE WHEN {{i}} = 0 THEN source "
         f"ELSE source || 'x{{i}}' END AS source, n_chars "
         f"FROM '{src}/documents.parquet'")
+    # ASCII invariant, enforced at FIXTURE BUILD time: the byte-slicing
+    # media gates (q200/q202/q204 frame family) replay the engine's
+    # payload-BYTE arithmetic with DuckDB substring (CHARACTERS) — exact
+    # only while octet_length == length corpus-wide. A non-ASCII row
+    # must fail HERE, not as an inscrutable hash mismatch at gate time.
+    bad = con.sql(
+        f"SELECT count(*) FROM '{dst}/documents.parquet' "
+        f"WHERE text IS NOT NULL AND octet_length(text) <> length(text)"
+    ).fetchone()[0]
+    assert bad == 0, (
+        f"{bad} non-ASCII documents rows: the frame-gate oracles "
+        f"(char-sliced) would diverge from the engine (byte-sliced)")
     # rotate each copy's vectors by i dimensions: a permutation keeps
     # every within-copy pairwise cosine (up to fp accumulation order)
     # while decorrelating cross-copy clones — byte-identical replicas
