@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.operators.{Bpe, Clustering, Curation, Dedup, Multimodal, Pq, Retrieval, Similarity, TextAnalysis, TextOps}
+import graft.operators.{Bpe, Clustering, Curation, Dedup, IndexStats, Multimodal, Pq, Retrieval, Similarity, TextAnalysis, TextOps}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -4043,6 +4043,120 @@ object PipelineQueries {
     // the identical novelty counts
     q200FrameDedupIndexed.oracle)
 
+  // ------------------------------------------------------------------
+  // q205/q206 compaction read-amplification gates — the maintenance
+  // number the 100 TB story was missing: generations-per-append file
+  // growth, and what a compaction buys back, MEASURED and oracle-gated
+  // ------------------------------------------------------------------
+
+  /** Read-amplification lifecycle of the WRITTEN BM25 index
+    * ([[graft.operators.IndexStats.dataFileCount]] around q156's
+    * build/append/compact machinery): three generations land (build +
+    * two thirds appended), each adding one parquet file per touched
+    * term shard to `postings/` AND `terms/` plus one stats row file —
+    * the per-micro-batch growth a standing ingest pays — then
+    * [[graft.operators.Retrieval.bm25CompactIndex]] collapses the
+    * layout to one file per live shard. BOTH counts are first-class
+    * output columns and the oracle RE-DERIVES them from the data
+    * (files per generation = 2 × distinct md5-prefix shards of the
+    * generation's terms + 1, by the repartition-by-shard write
+    * contract), so a layout change that silently inflates serve-time
+    * file opens hash-fails — and the served ranking from the
+    * compacted index must still hash-equal the same fresh whole-corpus
+    * oracle as q146/q154/q155/q156 (compaction is pure layout
+    * maintenance; moving a score is refusal territory).
+    */
+  val q205Bm25CompactAmplification: QueryDef = QueryDef(
+    "q205_bm25_compact_amplification",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_bm25idx_q205_", dir)
+      Retrieval.bm25WriteIndex(docs.filter(col("doc_id") % 3 === 1),
+        path.toString)
+      Retrieval.bm25AppendIndex(docs.filter(col("doc_id") % 3 === 2),
+        path.toString)
+      Retrieval.bm25AppendIndex(docs.filter(col("doc_id") % 3 === 0),
+        path.toString)
+      val before = IndexStats.dataFileCount(s, path.toString)
+      val compacted = graft.operators.TmpWorkspaces
+        .pidScoped("graft_bm25idx_q205c_", dir)
+      Retrieval.bm25CompactIndex(s, path.toString, compacted.toString)
+      val after = IndexStats.dataFileCount(s, compacted.toString)
+      Retrieval.bm25TopKIndexed(s, compacted.toString,
+          docs.filter(col("doc_id") < 8), k = 10)
+        .withColumn("n_files_before", lit(before))
+        .withColumn("n_files_after", lit(after))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some(s"""
+      WITH ${Retrieval.bm25CtesSql("documents", "doc_id", "text", "doc_id < 8", 10)},
+      gsh AS (SELECT doc_id % 3 AS g, substr(md5(term), 1, 2) AS shard
+              FROM toks),
+      nb AS (SELECT CAST(SUM(nf) AS BIGINT) AS n_files_before
+             FROM (SELECT 2 * COUNT(DISTINCT shard) + 1 AS nf
+                   FROM gsh GROUP BY g)),
+      na AS (SELECT CAST(2 * COUNT(DISTINCT shard) + 1 AS BIGINT)
+               AS n_files_after
+             FROM gsh)
+      SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id,
+             round(score_fp / ${Retrieval.ScoreScale}, 6) AS score,
+             nb.n_files_before, na.n_files_after
+      FROM bm25 CROSS JOIN nb CROSS JOIN na
+      ORDER BY query_id, rnk
+    """))
+
+  /** Read-amplification lifecycle of the written ASSET-fingerprint
+    * index — the media member of the q205 measurement (the family
+    * whose per-document arrival files make file counts THE scale
+    * ceiling): base + two appended generations each add one file per
+    * touched fingerprint shard,
+    * [[graft.operators.Multimodal.assetCompactIndex]] collapses to
+    * one file per live shard, the counts ride every row, and the
+    * compacted index must serve the exact q194 snapshot clustering.
+    */
+  val q206AssetCompactAmplification: QueryDef = QueryDef(
+    "q206_asset_compact_amplification",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+      val assets = Multimodal.attachPayload(docs, "text")
+        .select(col("doc_id").as("asset_id"), col("payload"))
+        .localCheckpoint()
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_assetidx_q206_", dir)
+      Multimodal.assetWriteIndex(assets.filter(col("asset_id") % 4 < 2),
+        path.toString)
+      Multimodal.assetAppendIndex(assets.filter(col("asset_id") % 4 === 2),
+        path.toString)
+      val snapshot = assets.filter(col("asset_id") % 4 === 3)
+      Multimodal.assetAppendIndex(snapshot, path.toString)
+      val before = IndexStats.dataFileCount(s, path.toString)
+      val compacted = graft.operators.TmpWorkspaces
+        .pidScoped("graft_assetidx_q206c_", dir)
+      Multimodal.assetCompactIndex(s, path.toString, compacted.toString)
+      val after = IndexStats.dataFileCount(s, compacted.toString)
+      Multimodal.assetDedupIndexed(s, compacted.toString, snapshot)
+        .withColumn("n_files_before", lit(before))
+        .withColumn("n_files_after", lit(after))
+        .orderBy(col("fingerprint"))
+    },
+    Some(s"""
+      WITH fp AS (SELECT doc_id AS asset_id, md5(text) AS fingerprint
+                  FROM documents WHERE text IS NOT NULL),
+      gsh AS (SELECT CASE WHEN asset_id % 4 < 2 THEN 0
+                          ELSE asset_id % 4 - 1 END AS g,
+                     substr(fingerprint, 1, 2) AS shard
+              FROM fp),
+      nb AS (SELECT CAST(SUM(nf) AS BIGINT) AS n_files_before
+             FROM (SELECT COUNT(DISTINCT shard) AS nf FROM gsh GROUP BY g)),
+      na AS (SELECT CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_files_after
+             FROM gsh)
+      SELECT z.*, nb.n_files_before, na.n_files_after
+      FROM ($assetClustersOracleSelect) z CROSS JOIN nb CROSS JOIN na
+      ORDER BY fingerprint
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
@@ -4066,5 +4180,6 @@ object PipelineQueries {
     q193IdempotentIngestReplay, q194AssetDedupIndexed, q196IvfPqRecall,
     q197AssetNearDupIndexed, q198AssetRepair, q199StreamingAssetIngest,
     q200FrameDedupIndexed, q201StreamingAssetNearDup, q202CurationV9,
-    q203AssetDrift, q204StreamingFrameIngest)
+    q203AssetDrift, q204StreamingFrameIngest,
+    q205Bm25CompactAmplification, q206AssetCompactAmplification)
 }

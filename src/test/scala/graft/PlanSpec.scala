@@ -777,6 +777,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"nothing may cross-join:\n$p")
   }
 
+  test("q205: the compacted BM25 index serves through the q154 pruned shape; file counts ride as literals") {
+    val p = plan("q205_bm25_compact_amplification")
+    assert("PartitionFilters: \\[[^\\]]*shard".r.findAllIn(p).size >= 2,
+      s"query-term shards must prune both compacted-index scans:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "term/df probes must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-sized join may appear at serve time:\n$p")
+    assert(p.contains("WindowGroupLimit"), "per-query top-k must push into the sort")
+    assert(!p.contains("CartesianProduct"),
+      "the file-count scalars are driver literals, never a cross join")
+  }
+
+  test("q206: the compacted asset index serves through the q194 probe shape; file counts ride as literals") {
+    val p = plan("q206_asset_compact_amplification")
+    assert("PartitionFilters: \\[[^\\]]*shard".r.findFirstIn(p).isDefined,
+      s"snapshot fingerprint shards must prune the compacted-index scan:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "snapshot fingerprints must broadcast-semi-join before the agg")
+    assert(p.contains("partial_min") && p.contains("partial_count"),
+      "cluster stats must map-side combine")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"nothing corpus-sized may join; the counts are literals:\n$p")
+  }
+
   test("q200: frame dedup probes pruned text-free fingerprints; payloads stay in the featurize pass") {
     val p = plan("q200_frame_dedup_indexed")
     assert("PartitionFilters: \\[[^\\]]*shard".r.findFirstIn(p).isDefined,
