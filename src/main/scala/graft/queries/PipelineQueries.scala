@@ -4157,6 +4157,66 @@ object PipelineQueries {
       ORDER BY fingerprint
     """))
 
+  // ------------------------------------------------------------------
+  // q207 PACKED asset pipeline — the q194/q199 lifecycle on the
+  // multi-asset parquet landing layout (the per-doc-file fix)
+  // ------------------------------------------------------------------
+
+  /** The q194/q199 asset-index lifecycle with every flow reading the
+    * PACKED landing layout ([[graft.operators.Multimodal.packAssets]]
+    * — multi-asset parquet, payload bytes as a column, a bounded
+    * file count) instead of one `.bin` file per document: the base
+    * 3/4 packs once and builds the written fingerprint index from
+    * the columnar read, the delta quarter lands as packed files and
+    * STREAMS through the same batchId-keyed commit ledger
+    * ([[graft.operators.Multimodal.streamPackedDir]] →
+    * [[graft.streaming.IndexIngest.startAssets]], two micro-batches),
+    * and the standing probe must hash-equal the SAME fresh
+    * whole-corpus oracle as q194/q199 — the layout change moves file
+    * counts (O(corpus/fileSize) opens instead of O(corpus) — the
+    * media family's 100× scale ceiling, measured in BASELINE.md),
+    * never a verdict. `binaryFile` per-doc arrival stays gated by
+    * q118/q194/q199 as the true edge; this member is everything
+    * AFTER the edge.
+    */
+  val q207PackedAssetIngest: QueryDef = QueryDef(
+    "q207_packed_asset_ingest",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+      val assets = Multimodal.attachPayload(docs, "text")
+        .select(col("doc_id").as("asset_id"), col("payload"))
+        .localCheckpoint()
+      // pack at the edge: the base corpus and the arriving delta
+      // quarter each land as a bounded set of multi-asset files
+      val basePacked = graft.operators.TmpWorkspaces
+        .pidScoped("graft_packed_q207_", dir)
+      Multimodal.packAssets(assets.filter(col("asset_id") % 4 =!= 3),
+        basePacked.toString, nFiles = 8)
+      val deltaPacked = graft.operators.TmpWorkspaces
+        .pidScoped("graft_packed_in_q207_", dir)
+      Multimodal.packAssets(assets.filter(col("asset_id") % 4 === 3),
+        deltaPacked.toString, nFiles = 4)
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_assetidx_q207_", dir)
+      Multimodal.assetWriteIndex(
+        Multimodal.readPackedAssets(s, basePacked.toString), path.toString)
+      graft.streaming.IndexIngest.ingestAssets(
+        Multimodal.streamPackedDir(s, deltaPacked.toString,
+          maxFilesPerTrigger = 2),
+        path.toString)
+      Multimodal.assetDedupIndexed(s, path.toString,
+          Multimodal.readPackedAssets(s, deltaPacked.toString))
+        .orderBy(col("fingerprint"))
+    },
+    // the q194/q199 oracle verbatim: packing is a layout change only
+    Some(s"""
+      WITH fp AS (SELECT doc_id AS asset_id, md5(text) AS fingerprint
+                  FROM documents WHERE text IS NOT NULL)
+      $assetClustersOracleSelect
+      ORDER BY fingerprint
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
@@ -4181,5 +4241,6 @@ object PipelineQueries {
     q197AssetNearDupIndexed, q198AssetRepair, q199StreamingAssetIngest,
     q200FrameDedupIndexed, q201StreamingAssetNearDup, q202CurationV9,
     q203AssetDrift, q204StreamingFrameIngest,
-    q205Bm25CompactAmplification, q206AssetCompactAmplification)
+    q205Bm25CompactAmplification, q206AssetCompactAmplification,
+    q207PackedAssetIngest)
 }

@@ -801,6 +801,22 @@ class PlanSpec extends AnyFunSuite {
       s"nothing corpus-sized may join; the counts are literals:\n$p")
   }
 
+  test("q207: the packed-asset probe keeps the q194 shape; the snapshot reads columnar packed parquet") {
+    val p = plan("q207_packed_asset_ingest")
+    assert("PartitionFilters: \\[[^\\]]*shard".r.findFirstIn(p).isDefined,
+      s"snapshot fingerprint shards must prune the index scan:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "snapshot fingerprints must broadcast-semi-join before the agg")
+    assert(p.contains("partial_min") && p.contains("partial_count"),
+      "cluster stats must map-side combine")
+    // the snapshot side scans the PACKED parquet (columnar, bounded
+    // files), not a binaryFile edge — payload reads stay columnar
+    assert("ReadSchema: [^\\n]*payload:binary".r.findFirstIn(p).isDefined,
+      s"the snapshot must read the packed payload column:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"nothing corpus-sized may join:\n$p")
+  }
+
   test("q200: frame dedup probes pruned text-free fingerprints; payloads stay in the featurize pass") {
     val p = plan("q200_frame_dedup_indexed")
     assert("PartitionFilters: \\[[^\\]]*shard".r.findFirstIn(p).isDefined,
