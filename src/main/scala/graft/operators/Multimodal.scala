@@ -526,6 +526,107 @@ object Multimodal {
         sum(when(col("__keep"), lit(1L)).otherwise(lit(0L))).as("n_kept"))
   }
 
+  /** One frame id per (asset, frame) coordinate: `asset_id * 2^20 +
+    * frame_no`, so the frame near-dup family can ride the document
+    * SimHash machinery unchanged (its pair keys are single longs).
+    * 2^20 frames × ≥64-byte frames = 64 MB+ per asset before the
+    * loud [[frameTexts]] refusal; asset ids keep 43 bits.
+    */
+  private[graft] val FrameIdStride: Long = 1L << 20
+
+  /** Frames as DOCUMENTS: each payload split into fixed-size byte
+    * frames (the [[frameFingerprints]] geometry — an empty payload is
+    * one empty frame) and DECODED to text, one (doc_id =
+    * asset_id·2^20 + frame_no, blk, text) row per frame — the input
+    * shape [[Dedup.simhashWriteIndex]]/[[Dedup.simhashNearDupIndexed]]
+    * take, so frame-level NEAR-dup is the q167/q168 contract applied
+    * below the asset. One object-barrier mapPartitions pass; payloads
+    * never shuffle — only the ≤`frameBytes` frame texts leave, and
+    * only into the zero-shuffle fingerprint pass.
+    */
+  def frameTexts(df: DataFrame, idCol: String, frameBytes: Int,
+      blockCol: String): DataFrame = {
+    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
+    val schema = new StructType()
+      .add("doc_id", LongType).add("blk", StringType)
+      .add("text", StringType)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val blkIdx = df.schema.fieldIndex(blockCol)
+    val payIdx = df.schema.fieldIndex("payload")
+    val maxAsset = Long.MaxValue / FrameIdStride
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](payIdx)
+        if (bytes == null) Iterator.empty
+        else {
+          val id = r.getLong(idIdx)
+          val blk = if (r.isNullAt(blkIdx)) null else r.getString(blkIdx)
+          val n = math.max(1, (bytes.length + frameBytes - 1) / frameBytes)
+          if (id < 0 || id >= maxAsset || n >= FrameIdStride)
+            throw new IllegalArgumentException(
+              s"frameTexts: asset $id with $n frames overflows the " +
+                s"asset_id*2^20+frame_no coordinate encoding")
+          (0 until n).iterator.map { i =>
+            val from = math.min(i * frameBytes, bytes.length)
+            val until = math.min(from + frameBytes, bytes.length)
+            Row(id * FrameIdStride + i, blk,
+              new String(bytes, from, until - from,
+                java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Materializes the frame SIMHASH band index — the NEAR-dup member
+    * of the frame family (q200/q204's exact-hash index catches
+    * byte-identical frames; one flipped byte defeats it — this layout
+    * catches the hamming-≤3 ball): [[frameTexts]] frames through
+    * [[Dedup.simhashWriteIndex]] verbatim (60-bit fingerprints, four
+    * 15-bit bands, ≤256 `pshard` directories, fingerprint inline so
+    * the probe never re-reads payloads). Blocked by the asset's
+    * `blockCol` (source), the corpus-wide-banding bound the q167/q168
+    * text members established.
+    */
+  def frameSimhashWriteIndex(assets: DataFrame, path: String,
+      frameBytes: Int, idCol: String = "asset_id",
+      blockCol: String = "source"): Unit =
+    Dedup.simhashWriteIndex(frameTexts(assets, idCol, frameBytes, blockCol),
+      path, "doc_id", "text", "blk")
+
+  /** Appends a NEW-ASSET snapshot's frame band rows — delta-sized,
+    * zero base reads; the usual new-ids / exactly-once contract.
+    */
+  def frameSimhashAppendIndex(assets: DataFrame, path: String,
+      frameBytes: Int, idCol: String = "asset_id",
+      blockCol: String = "source"): Unit =
+    Dedup.simhashAppendIndex(frameTexts(assets, idCol, frameBytes, blockCol),
+      path, "doc_id", "text", "blk")
+
+  /** Incremental frame-level SimHash near-dup: every frame pair
+    * within the hamming ball with at least one endpoint in
+    * `deltaAssets`, served from a [[frameSimhashWriteIndex]] layout
+    * AFTER the snapshot was appended —
+    * [[Dedup.simhashNearDupIndexed]]'s pruned-probe shape (band-shard
+    * PartitionFilters, broadcast snapshot bands, `bit_count` verify
+    * on stored longs) with the pair endpoints decoded back to
+    * (asset, frame) coordinates. Output: (blk, asset_a, frame_a,
+    * asset_b, frame_b, hamming).
+    */
+  def frameSimhashPairsIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, deltaAssets: DataFrame, frameBytes: Int,
+      idCol: String = "asset_id", blockCol: String = "source",
+      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame =
+    Dedup.simhashNearDupIndexed(spark, path,
+        frameTexts(deltaAssets, idCol, frameBytes, blockCol),
+        "doc_id", "text", "blk", maxHamming, maxBucketSize)
+      .select(col("blk"),
+        expr(s"doc_a div $FrameIdStride").as("asset_a"),
+        (col("doc_a") % FrameIdStride).as("frame_a"),
+        expr(s"doc_b div $FrameIdStride").as("asset_b"),
+        (col("doc_b") % FrameIdStride).as("frame_b"),
+        col("hamming"))
+
   /** Frame-sampling stage: split each payload into fixed-size frames
     * (the batch shape a video/audio pipeline hands to a model), one
     * output row per sampled frame.

@@ -2639,20 +2639,27 @@ object PipelineQueries {
     * shape widened), the four 15-bit bands, the bucket cap, the
     * distinct multi-band candidates, and the `bit_count(xor)` verify.
     */
-  private def simhashPairsOracleSql(extraPred: String): String = {
+  /** The WITH-body of the SimHash pair replay over ANY (doc_id, blk,
+    * text) relation — shared by the document members (q167/q168) and
+    * the FRAME member (q208, frames-as-documents): 60-bit fingerprints
+    * from distinct tokens, four 15-bit bands, the bucket cap, the
+    * distinct multi-band candidates. Ends at `shpairs` = (blk, doc_a,
+    * doc_b, fa, fb); callers append their own hamming filter + tail.
+    */
+  private def simhashPairsCtes(rel: String): String = {
     val sums = (0 until 60).map(j =>
       s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
       .mkString(",\n             ")
     val fp = (0 until 60).map(j =>
       s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-    s"""
-      WITH shtok AS (SELECT doc_id, unnest(list_distinct(${TextOps.tokensSql("text")})) AS t
-                     FROM documents),
+    s"""shdocs AS ($rel),
+      shtok AS (SELECT doc_id, unnest(list_distinct(${TextOps.tokensSql("text")})) AS t
+                FROM shdocs),
       shh AS (SELECT doc_id, ${TextOps.hash60Sql("t")} AS h FROM shtok),
       shbits AS (SELECT doc_id, $sums FROM shh GROUP BY doc_id),
-      shfp AS (SELECT f.doc_id, d.source AS blk, CAST($fp AS BIGINT) AS fp
-               FROM shbits f JOIN documents d ON d.doc_id = f.doc_id
-               WHERE d.source IS NOT NULL),
+      shfp AS (SELECT f.doc_id, d.blk, CAST($fp AS BIGINT) AS fp
+               FROM shbits f JOIN shdocs d ON d.doc_id = f.doc_id
+               WHERE d.blk IS NOT NULL),
       shbands AS (SELECT doc_id, blk, fp, j AS bidx,
                          (fp >> (15 * j)) & 32767 AS bval
                   FROM (SELECT doc_id, blk, fp,
@@ -2666,14 +2673,17 @@ object PipelineQueries {
                          y.doc_id AS doc_b, x.fp AS fa, y.fp AS fb
                   FROM shcap x
                   JOIN shcap y ON y.blk = x.blk AND y.bidx = x.bidx
-                              AND y.bval = x.bval AND x.doc_id < y.doc_id)
+                              AND y.bval = x.bval AND x.doc_id < y.doc_id)"""
+  }
+
+  private def simhashPairsOracleSql(extraPred: String): String = s"""
+      WITH ${simhashPairsCtes("SELECT doc_id, source AS blk, text FROM documents")}
       SELECT blk, doc_a, doc_b,
              CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
       FROM shpairs
       WHERE bit_count(xor(fa, fb)) <= 3 AND ($extraPred)
       ORDER BY blk, doc_a, doc_b
     """
-  }
 
   /** Blocked SimHash near-dup pairs ([[graft.operators.Dedup
     * .simhashNearDupPairs]]): hamming-ball search over 60-bit
@@ -4217,6 +4227,71 @@ object PipelineQueries {
       ORDER BY fingerprint
     """))
 
+  // ------------------------------------------------------------------
+  // q208 frame-level SimHash NEAR-dup vs the written band index — the
+  // hamming ball below the asset (q200's exact hashes miss one
+  // flipped byte; this member does not)
+  // ------------------------------------------------------------------
+
+  /** Incremental frame-level SimHash near-dup against the WRITTEN
+    * band index ([[graft.operators.Multimodal.frameSimhashWriteIndex]]
+    * / [[graft.operators.Multimodal.frameSimhashPairsIndexed]]) — the
+    * q167/q168 contract applied BELOW the asset: every payload frames
+    * into 64-byte chunks (the q200 geometry), each frame carries a
+    * 60-bit SimHash banded four ways into the written `pshard` layout,
+    * and the snapshot quarter's probe serves every frame pair within
+    * hamming ≤ 3 that has a snapshot endpoint — "this clip contains a
+    * NEAR-copy of an indexed segment", where the exact-hash q200/q204
+    * members see only bit-identical frames. Blocked by the asset's
+    * source (the corpus-wide-banding bound); frame coordinates ride
+    * the 2^20 stride encoding through the unchanged document
+    * machinery and decode back in the output. The oracle replays the
+    * whole composition — frame slicing, tokenize, fingerprint, bands,
+    * cap, candidate distinct, `bit_count` verify, the stride decode —
+    * restricted to snapshot-endpoint pairs.
+    */
+  val q208FrameSimhashIncremental: QueryDef = QueryDef(
+    "q208_frame_simhash_incremental",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+      val assets = Multimodal.attachPayload(docs, "text")
+        .select(col("doc_id").as("asset_id"), col("source"), col("payload"))
+        .localCheckpoint()
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_frsim_q208_", dir)
+      Multimodal.frameSimhashWriteIndex(
+        assets.filter(col("asset_id") % 4 =!= 3), path.toString,
+        frameBytes = 64)
+      val snapshot = assets.filter(col("asset_id") % 4 === 3)
+      Multimodal.frameSimhashAppendIndex(snapshot, path.toString,
+        frameBytes = 64)
+      Multimodal.frameSimhashPairsIndexed(s, path.toString, snapshot,
+          frameBytes = 64)
+        .orderBy(col("blk"), col("asset_a"), col("frame_a"),
+          col("asset_b"), col("frame_b"))
+    },
+    Some(s"""
+      WITH ${simhashPairsCtes(s"""
+        SELECT doc_id * ${1L << 20} + i AS doc_id, source AS blk,
+               substring(text, CAST(i * 64 + 1 AS BIGINT), 64) AS text
+        FROM (SELECT doc_id, source, text,
+                     unnest(generate_series(0,
+                       CAST(greatest(ceil(strlen(text) / 64.0), 1)
+                         AS BIGINT) - 1)) AS i
+              FROM documents WHERE text IS NOT NULL)""")}
+      SELECT blk,
+             CAST(doc_a // ${1L << 20} AS BIGINT) AS asset_a,
+             CAST(doc_a % ${1L << 20} AS BIGINT) AS frame_a,
+             CAST(doc_b // ${1L << 20} AS BIGINT) AS asset_b,
+             CAST(doc_b % ${1L << 20} AS BIGINT) AS frame_b,
+             CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+      FROM shpairs
+      WHERE bit_count(xor(fa, fb)) <= 3
+        AND ((doc_a // ${1L << 20}) % 4 = 3 OR (doc_b // ${1L << 20}) % 4 = 3)
+      ORDER BY blk, asset_a, frame_a, asset_b, frame_b
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
@@ -4242,5 +4317,5 @@ object PipelineQueries {
     q200FrameDedupIndexed, q201StreamingAssetNearDup, q202CurationV9,
     q203AssetDrift, q204StreamingFrameIngest,
     q205Bm25CompactAmplification, q206AssetCompactAmplification,
-    q207PackedAssetIngest)
+    q207PackedAssetIngest, q208FrameSimhashIncremental)
 }

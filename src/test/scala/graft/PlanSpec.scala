@@ -817,6 +817,17 @@ class PlanSpec extends AnyFunSuite {
       s"nothing corpus-sized may join:\n$p")
   }
 
+  test("q208: frame simhash probe keeps q168's shape — pruned band shards, broadcast snapshot, stored-long verify") {
+    val p = plan("q208_frame_simhash_incremental")
+    assert("PartitionFilters: \\[[^\\]]*pshard".r.findFirstIn(p).isDefined,
+      s"snapshot frame band shards must prune the index scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "snapshot frame bands must broadcast into the probed residue")
+    assert(p.contains("Scan ExistingRDD"),
+      "the snapshot frame fingerprints must come from their checkpoint")
+    assert(!p.contains("CartesianProduct"), s"nothing may cross-join:\n$p")
+  }
+
   test("q200: frame dedup probes pruned text-free fingerprints; payloads stay in the featurize pass") {
     val p = plan("q200_frame_dedup_indexed")
     assert("PartitionFilters: \\[[^\\]]*shard".r.findFirstIn(p).isDefined,
