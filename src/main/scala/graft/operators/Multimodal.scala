@@ -526,6 +526,45 @@ object Multimodal {
         sum(when(col("__keep"), lit(1L)).otherwise(lit(0L))).as("n_kept"))
   }
 
+  /** Cross-modality DECONTAMINATION probe — the q119 eval-set
+    * contract on the media side: for each EVAL asset (a benchmark's
+    * images/clips, NOT part of the corpus and never appended), count
+    * how many of its frames appear ANYWHERE in the training corpus's
+    * written frame index — frame-level containment being the media
+    * equivalent of eval n-gram overlap: a clip is contaminated when
+    * the corpus already carries its segments, wherever they were
+    * spliced in. Output: (asset_id, n_frames, n_contaminated) per
+    * eval asset; the caller thresholds the share.
+    *
+    * Unlike [[frameDedupIndexed]] this is probe-WITHOUT-append (the
+    * eval set must never enter the index), so a fingerprint missing
+    * from the probed shards means CLEAN, not absent-by-bug — the
+    * left-join contract. 100 TB posture: eval sets are small by
+    * nature; the scan prunes to the eval frames' shards (≤256), the
+    * broadcast semi-join keeps only hit fingerprints, and only
+    * (fingerprint) residues reach the driver-side of nothing —
+    * payloads stay in the one framing pass.
+    */
+  def frameDecontamination(spark: org.apache.spark.sql.SparkSession,
+      path: String, evalAssets: DataFrame, frameBytes: Int,
+      idCol: String = "asset_id"): DataFrame = {
+    val frames = frameFingerprints(evalAssets, idCol, frameBytes)
+      .localCheckpoint()
+    val shards = frames
+      .select(substring(col("fingerprint"), 1, 2).as("shard"))
+      .distinct().collect().map(_.getString(0))
+    val hits = spark.read.parquet(s"$path/frames")
+      .filter(col("shard").isin(shards.toSeq: _*))
+      .join(broadcast(frames.select(col("fingerprint")).distinct()),
+        Seq("fingerprint"), "leftsemi")
+      .select(col("fingerprint")).distinct()
+      .withColumn("__hit", lit(1L))
+    frames.join(hits, Seq("fingerprint"), "left")
+      .groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+  }
+
   /** One frame id per (asset, frame) coordinate: `asset_id * 2^20 +
     * frame_no`, so the frame near-dup family can ride the document
     * SimHash machinery unchanged (its pair keys are single longs).

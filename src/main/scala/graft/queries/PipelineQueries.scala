@@ -4292,6 +4292,61 @@ object PipelineQueries {
       ORDER BY blk, asset_a, frame_a, asset_b, frame_b
     """))
 
+  // ------------------------------------------------------------------
+  // q209 media eval-set decontamination vs the written frame index —
+  // the q119 contract on the media modality (probe WITHOUT append)
+  // ------------------------------------------------------------------
+
+  /** Eval-set decontamination on the MEDIA modality
+    * ([[graft.operators.Multimodal.frameDecontamination]]): the %4=3
+    * quarter plays the benchmark eval set — its assets are NEVER
+    * appended to the index — and the training corpus (the other three
+    * quarters) materializes the written frame-fingerprint layout; the
+    * probe reports, per eval asset, how many of its 64-byte frames
+    * the corpus already contains anywhere (the media equivalent of
+    * q119's eval n-gram overlap — segment-level containment, robust
+    * to splicing). Probe-without-append is the semantic difference
+    * from q200: a fingerprint absent from the index means CLEAN and
+    * must count as such (the left-join contract), not vanish. The
+    * oracle replays frame slicing and the cross-quarter containment
+    * from scratch.
+    */
+  val q209FrameDecontamination: QueryDef = QueryDef(
+    "q209_frame_decontamination",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+      val assets = Multimodal.attachPayload(docs, "text")
+        .select(col("doc_id").as("asset_id"), col("payload"))
+        .localCheckpoint()
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_frdecon_q209_", dir)
+      Multimodal.frameWriteIndex(assets.filter(col("asset_id") % 4 =!= 3),
+        path.toString, frameBytes = 64)
+      Multimodal.frameDecontamination(s, path.toString,
+          assets.filter(col("asset_id") % 4 === 3), frameBytes = 64)
+        .orderBy(col("asset_id"))
+    },
+    Some("""
+      WITH fr AS (
+        SELECT doc_id AS asset_id, CAST(i AS BIGINT) AS frame_no,
+               md5(substring(text, CAST(i * 64 + 1 AS BIGINT), 64))
+                 AS fingerprint
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(0,
+                       CAST(greatest(ceil(strlen(text) / 64.0), 1)
+                         AS BIGINT) - 1)) AS i
+              FROM documents WHERE text IS NOT NULL)),
+      corpus AS (SELECT DISTINCT fingerprint FROM fr WHERE asset_id % 4 <> 3)
+      SELECT f.asset_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+             CAST(SUM(CASE WHEN c.fingerprint IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_contaminated
+      FROM fr f LEFT JOIN corpus c USING (fingerprint)
+      WHERE f.asset_id % 4 = 3
+      GROUP BY 1
+      ORDER BY f.asset_id
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
@@ -4317,5 +4372,6 @@ object PipelineQueries {
     q200FrameDedupIndexed, q201StreamingAssetNearDup, q202CurationV9,
     q203AssetDrift, q204StreamingFrameIngest,
     q205Bm25CompactAmplification, q206AssetCompactAmplification,
-    q207PackedAssetIngest, q208FrameSimhashIncremental)
+    q207PackedAssetIngest, q208FrameSimhashIncremental,
+    q209FrameDecontamination)
 }

@@ -828,6 +828,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"nothing may cross-join:\n$p")
   }
 
+  test("q209: the decontamination probe prunes to eval shards, hits broadcast, eval frames from checkpoint") {
+    val p = plan("q209_frame_decontamination")
+    assert("PartitionFilters: \\[[^\\]]*shard".r.findFirstIn(p).isDefined,
+      s"eval frame shards must prune the corpus-index scan:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "eval fingerprints must broadcast-semi-join into the index scan")
+    assert(p.contains("Scan ExistingRDD"),
+      "the eval frames must come from their checkpoint, not a re-hash")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"nothing corpus-sized may join:\n$p")
+  }
+
   test("q200: frame dedup probes pruned text-free fingerprints; payloads stay in the featurize pass") {
     val p = plan("q200_frame_dedup_indexed")
     assert("PartitionFilters: \\[[^\\]]*shard".r.findFirstIn(p).isDefined,
