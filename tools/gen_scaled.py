@@ -82,11 +82,12 @@ def main(src: str, dst: str, copies: int) -> None:
     # ASCII invariant, enforced at FIXTURE BUILD time: the byte-slicing
     # media gates (q200/q202/q204 frame family) replay the engine's
     # payload-BYTE arithmetic with DuckDB substring (CHARACTERS) — exact
-    # only while octet_length == length corpus-wide. A non-ASCII row
-    # must fail HERE, not as an inscrutable hash mismatch at gate time.
+    # only while byte length == char length corpus-wide (DuckDB: strlen
+    # counts bytes, length counts characters). A non-ASCII row must
+    # fail HERE, not as an inscrutable hash mismatch at gate time.
     bad = con.sql(
         f"SELECT count(*) FROM '{dst}/documents.parquet' "
-        f"WHERE text IS NOT NULL AND octet_length(text) <> length(text)"
+        f"WHERE text IS NOT NULL AND strlen(text) <> length(text)"
     ).fetchone()[0]
     assert bad == 0, (
         f"{bad} non-ASCII documents rows: the frame-gate oracles "
