@@ -4347,6 +4347,154 @@ object PipelineQueries {
       ORDER BY f.asset_id
     """))
 
+  // ------------------------------------------------------------------
+  // q210 flagship v10 — the RELEASED media set: q202's dedup admission
+  // composed with q179's temperature mixture on BYTE masses
+  // ------------------------------------------------------------------
+
+  /** The q210 byte budget, sized against the DEDUP-SURVIVOR mass (the
+    * mixture stage only sees q202-admitted assets — 7 of 125 at
+    * sf0.01, the 0.999 near-dup bar is strict on byte-stat features):
+    * 400 bytes ≈ 20% of the sf0.01 survivor mass, verified to
+    * populate BOTH admitted classes at sf0.001 (2/1), sf0.01 (3/4)
+    * and sf0.1 (2/5) with rates strictly inside (0, 1).
+    */
+  private val MediaByteBudget = 400L
+
+  /** Flagship v10 — what v9 stops short of: q202 decides which
+    * snapshot assets are DEDUP-worthy (exact payload hash + featurized
+    * near-dup, the two asset-side index verdicts); this member takes
+    * those survivors through q179's temperature mixture to the
+    * RELEASED media manifest — per-source BYTE masses (media budgets
+    * are bytes, not tokens) reweighted at α = 1/2 with the exact
+    * fixed-point sqrt, the global byte budget split by the reweighted
+    * shares, every surviving asset's frozen hash draw against its
+    * source's rate. One row per snapshot asset shows the full funnel:
+    * the dedup verdicts, then rate/admitted for dedup-survivors and
+    * NULL for assets the dedup stage already dropped. The oracle
+    * replays the entire composition — byte-hash clustering, the
+    * featurize/assign/cosine near-dup, byte-mass measurement,
+    * quantization, the budget split, and every draw — so a drift in
+    * ANY stage moves a verdict and hash-fails.
+    *
+    * 100 TB posture: the dedup stage is the q202 shape (pruned index
+    * probes, snapshot-sized joins); the mixture adds one S-row rate
+    * frame broadcast onto the survivor set — no new corpus pass
+    * (masses come from the `meta.n_bytes` column already in hand).
+    */
+  val q210CurationV10: QueryDef = QueryDef(
+    "q210_curation_v10",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+      val assets = Multimodal.attachPayload(docs, "text")
+        .select(col("doc_id").as("asset_id"), col("source"),
+          col("payload"),
+          octet_length(col("payload")).cast("long").as("n_bytes"))
+        .localCheckpoint()
+      val base = assets.filter(col("asset_id") % 4 =!= 3)
+      val snap = assets.filter(col("asset_id") % 4 === 3)
+      // ---- exact payload modality (q194) ----
+      val fpPath = graft.operators.TmpWorkspaces
+        .pidScoped("graft_assetidx_q210_", dir)
+      Multimodal.assetWriteIndex(base, fpPath.toString)
+      Multimodal.assetAppendIndex(snap, fpPath.toString)
+      val exactKept = snap
+        .withColumn("fingerprint", md5(col("payload")))
+        .join(Multimodal.assetDedupIndexed(s, fpPath.toString, snap),
+          "fingerprint")
+        .select(col("asset_id"),
+          (col("asset_id") === col("kept_id")).as("exact_kept"))
+      // ---- featurized near-dup modality (q197) ----
+      val feats = Multimodal.featurizeVector(assets, "asset_id")
+        .localCheckpoint()
+      val cents = feats.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("centroid"))
+      val semPath = graft.operators.TmpWorkspaces
+        .pidScoped("graft_assetsem_q210_", dir)
+      Clustering.semanticWriteIndex(
+        Clustering.assignL2(feats.filter(col("vec_id") % 4 =!= 3), cents),
+        semPath.toString)
+      val snapAssigned = Clustering.assignL2(
+        feats.filter(col("vec_id") % 4 === 3), cents).localCheckpoint()
+      Clustering.semanticAppendIndex(snapAssigned, semPath.toString, gen = 1)
+      val nearKept = Clustering.semDedupIndexed(s, semPath.toString,
+          snapAssigned, threshold = 0.999)
+        .select(col("vec_id").as("asset_id"), col("kept").as("near_kept"))
+      // ---- the dedup funnel, then the mixture over the survivors ----
+      val verdicts = snap.select(col("asset_id"), col("source"),
+          col("n_bytes"))
+        .join(exactKept, "asset_id")
+        .join(nearKept, "asset_id")
+        .withColumn("__da", col("exact_kept") && col("near_kept"))
+        .localCheckpoint()
+      val mix = Curation.mixtureFromCounts(
+        verdicts.filter(col("__da"))
+          .select(col("source"), col("asset_id"),
+            col("n_bytes").as("n_toks")),
+        "source", "asset_id", budget = MediaByteBudget)
+        .select(col("asset_id"), col("rate"), col("admitted"))
+      verdicts
+        .join(broadcast(mix), Seq("asset_id"), "left")
+        .select(col("asset_id"), col("source"), col("n_bytes"),
+          col("exact_kept"), col("near_kept"), col("rate"),
+          col("admitted"))
+        .orderBy(col("asset_id"))
+    }, {
+      val cosXY = Similarity.cosineSql("x.v", "y.v")
+      Some(s"""
+        WITH fp AS (SELECT doc_id AS asset_id, md5(text) AS fingerprint
+                    FROM documents WHERE text IS NOT NULL),
+        keep10 AS (SELECT fingerprint, MIN(asset_id) AS kept_id
+                   FROM fp GROUP BY 1),
+        ek10 AS (SELECT f.asset_id, (f.asset_id = k.kept_id) AS exact_kept
+                 FROM fp f JOIN keep10 k USING (fingerprint)
+                 WHERE f.asset_id % 4 = 3),
+        $assetFeatureCte,
+        cents AS (SELECT vec_id AS cid, v AS centroid
+                  FROM feats WHERE vec_id < 8),
+        au AS ${kmeansAssignSql("feats", "cents")},
+        csz AS (SELECT cid, COUNT(*) AS cn FROM au GROUP BY 1),
+        rm AS (SELECT DISTINCT y.vec_id
+               FROM au x
+               JOIN au y ON x.cid = y.cid AND x.vec_id < y.vec_id
+               JOIN csz z ON z.cid = x.cid AND z.cn <= 10000
+               WHERE $cosXY >= 0.999),
+        nk10 AS (SELECT a.vec_id AS asset_id, (r.vec_id IS NULL) AS near_kept
+                 FROM au a LEFT JOIN rm r USING (vec_id)
+                 WHERE a.vec_id % 4 = 3),
+        adm AS (SELECT e.asset_id, e.exact_kept, n.near_kept,
+                       (e.exact_kept AND n.near_kept) AS da
+                FROM ek10 e JOIN nk10 n USING (asset_id)),
+        bm AS (SELECT d.source, a.asset_id,
+                      CAST(strlen(d.text) AS BIGINT) AS nb
+               FROM adm a JOIN documents d ON d.doc_id = a.asset_id
+               WHERE a.da),
+        ms AS (SELECT source, SUM(nb) AS src_b,
+                      CAST(FLOOR(SQRT(CAST(SUM(nb) AS DOUBLE))
+                                 * 1000000.0) AS BIGINT) AS q
+               FROM bm GROUP BY 1),
+        qt AS (SELECT SUM(q) AS qtot FROM ms),
+        rt AS (SELECT source,
+                      least(1.0, (CAST(q AS DOUBLE) * $MediaByteBudget.0) /
+                        (CAST(qtot AS DOUBLE) * CAST(src_b AS DOUBLE)))
+                        AS rate
+               FROM ms CROSS JOIN qt)
+        SELECT a.asset_id, d.source, CAST(strlen(d.text) AS BIGINT)
+                 AS n_bytes,
+               a.exact_kept, a.near_kept,
+               CASE WHEN a.da THEN round(r.rate, 6) END AS rate,
+               CASE WHEN a.da THEN
+                 (CAST(${TextOps.hash60Sql("CAST(a.asset_id AS VARCHAR)")}
+                    AS DOUBLE) / 1152921504606846976.0 < r.rate)
+               END AS admitted
+        FROM adm a
+        JOIN documents d ON d.doc_id = a.asset_id
+        LEFT JOIN rt r ON r.source = d.source
+        ORDER BY a.asset_id
+      """)
+    })
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
@@ -4373,5 +4521,5 @@ object PipelineQueries {
     q203AssetDrift, q204StreamingFrameIngest,
     q205Bm25CompactAmplification, q206AssetCompactAmplification,
     q207PackedAssetIngest, q208FrameSimhashIncremental,
-    q209FrameDecontamination)
+    q209FrameDecontamination, q210CurationV10)
 }

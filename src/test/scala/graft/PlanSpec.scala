@@ -840,6 +840,23 @@ class PlanSpec extends AnyFunSuite {
       s"nothing corpus-sized may join:\n$p")
   }
 
+  test("q210: v10 released-media manifest — verdicts from checkpoints, survivor mixture broadcast, no corpus re-scan") {
+    // the dedup probes (shard/cid-pruned — pinned by q194/q197's own
+    // tests) run UPSTREAM of the verdicts checkpoint; the served plan
+    // is the checkpoint + the mixture stage only
+    val p = plan("q210_curation_v10")
+    assert(p.contains("Scan ExistingRDD"),
+      "the snapshot verdicts must ride their checkpoint into the mixture")
+    assert(!p.contains("documents.parquet"),
+      s"the corpus must not re-scan in the manifest plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "the survivor-sized mixture manifest must broadcast onto the funnel")
+    assert(!p.contains("SortMergeJoin"),
+      s"every mixture-stage join is survivor- or S-row-sized — broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the qtot scalar must broadcast, never cross:\n$p")
+  }
+
   test("q200: frame dedup probes pruned text-free fingerprints; payloads stay in the featurize pass") {
     val p = plan("q200_frame_dedup_indexed")
     assert("PartitionFilters: \\[[^\\]]*shard".r.findFirstIn(p).isDefined,
