@@ -720,6 +720,54 @@ object Dedup {
     pairTail(cands, maxHamming)
   }
 
+  /** Replay audit of a [[simhashWriteIndex]] band layout — the family
+    * taxonomy on band rows: (doc_id, bidx) coordinates present more
+    * than once; `n_payloads` = 1 means a replayed append (bit-identical
+    * band rows — harmless to PAIRS, whose candidate tail distincts,
+    * but it inflates raw bucket counts toward `maxBucketSize`, so a
+    * doubled viral bucket can spuriously cross the cap and DROP true
+    * pairs), > 1 means the same document was re-appended with
+    * DIFFERENT content (payload divergence — a rebuild signal). One
+    * narrow grouped scan of the compact band rows; never touches text.
+    */
+  def simhashAuditIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(s"$path/bands")
+      .groupBy(col("doc_id"), col("bidx"))
+      .agg(count(lit(1)).as("n_copies"),
+        count_distinct(col("simhash")).as("n_payloads"))
+      .filter(col("n_copies") > 1)
+
+  /** Compacting repair of [[simhashAuditIndex]]-localized replay
+    * damage — the band-index member of the repair family: replayed
+    * appends land bit-identical (doc_id, blk, bidx, bval, simhash)
+    * rows, removed exactly by a whole-row dedup rewrite; if
+    * coordinates still collide after (payload divergence), compaction
+    * REFUSES — silently picking a fingerprint would move
+    * [[simhashNearDupIndexed]] pair/cap verdicts. Touches only the
+    * ~40-byte band rows — no document text is ever re-read. Stage-
+    * then-swap to a NEW path, the family's idiom.
+    */
+  def simhashCompactIndex(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String): Unit = {
+    val rows = spark.read.parquet(s"$srcPath/bands")
+      .select(col("doc_id"), col("blk"), col("bidx"), col("bval"),
+        col("simhash"), col("pshard"))
+      .dropDuplicates()
+      .localCheckpoint()
+    val divergent = rows.groupBy(col("doc_id"), col("bidx"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
+    require(divergent.isEmpty,
+      s"simhashCompactIndex: doc ${divergent.headOption.map(_.get(0))} " +
+        s"band ${divergent.headOption.map(_.get(1))} has payload-" +
+        "divergent copies (same coordinate, different fingerprint) — " +
+        "not append-replay damage; re-append the document's true band " +
+        "rows and rebuild instead")
+    rows.repartition(col("pshard"))
+      .write.mode("overwrite").partitionBy("pshard")
+      .parquet(s"$dstPath/bands")
+  }
+
   // ------------------------------------------------------------------
   // Blocked n-gram Jaccard (no LSH; exact within blocks)
   // ------------------------------------------------------------------

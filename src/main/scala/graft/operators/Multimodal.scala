@@ -482,6 +482,51 @@ object Multimodal {
       .repartition(col("shard"))
       .write.mode(mode).partitionBy("shard").parquet(s"$path/frames")
 
+  /** Replay audit of a [[frameWriteIndex]] layout — the family
+    * taxonomy on the frame level: (asset_id, frame_no) coordinates
+    * present more than once; `n_payloads` = 1 means a replayed append
+    * (bit-identical copies), > 1 means the same coordinate was
+    * re-appended with DIFFERENT bytes (payload divergence — a rebuild
+    * signal). One narrow grouped scan; never reads payloads.
+    */
+  def frameAuditIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(s"$path/frames")
+      .groupBy(col("asset_id"), col("frame_no"))
+      .agg(count(lit(1)).as("n_copies"),
+        count_distinct(col("fingerprint")).as("n_payloads"))
+      .filter(col("n_copies") > 1)
+
+  /** Compacting repair of [[frameAuditIndex]]-localized replay damage
+    * — the frame member of the repair family ([[assetCompactIndex]]'s
+    * contract one level down): replayed appends land bit-identical
+    * (asset_id, frame_no, fingerprint) rows, removed exactly by a
+    * whole-row dedup rewrite; if coordinates still collide after
+    * (payload divergence), compaction REFUSES — silently picking a
+    * fingerprint would move [[frameDedupIndexed]] keep-first verdicts.
+    * Touches only the 40-byte fingerprint rows — NO payload re-read
+    * (the 100 TB media-repair argument, ×frames-per-asset sharper
+    * here). Stage-then-swap to a NEW path, the family's idiom.
+    */
+  def frameCompactIndex(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String): Unit = {
+    val rows = spark.read.parquet(s"$srcPath/frames")
+      .select(col("asset_id"), col("frame_no"), col("fingerprint"),
+        col("shard"))
+      .dropDuplicates()
+      .localCheckpoint()
+    val divergent = rows.groupBy(col("asset_id"), col("frame_no"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
+    require(divergent.isEmpty,
+      s"frameCompactIndex: frame (${divergent.headOption.map(_.get(0))}, " +
+        s"${divergent.headOption.map(_.get(1))}) has payload-divergent " +
+        "copies (same coordinate, different bytes) — not append-replay " +
+        "damage; re-ingest the asset and rebuild instead")
+    rows.repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$dstPath/frames")
+  }
+
   /** Incremental frame-level exact dedup of a new asset snapshot
     * against a [[frameWriteIndex]] layout AFTER the snapshot was
     * appended — [[Dedup.blockDedupIndexed]]'s rule on media: a
@@ -665,6 +710,88 @@ object Multimodal {
         expr(s"doc_b div $FrameIdStride").as("asset_b"),
         (col("doc_b") % FrameIdStride).as("frame_b"),
         col("hamming"))
+
+  /** Replay audit of a [[frameSimhashWriteIndex]] band layout —
+    * [[Dedup.simhashAuditIndex]] with the packed doc_id decoded back
+    * to (asset_id, frame_no) coordinates; the band index's taxonomy:
+    * `n_payloads` = 1 is a replayed append (bit-identical band rows —
+    * harmless to pairs but inflating bucket counts toward the cap),
+    * > 1 is payload divergence (a rebuild signal).
+    */
+  def frameSimhashAuditIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    Dedup.simhashAuditIndex(spark, path)
+      .select(expr(s"doc_id div $FrameIdStride").as("asset_id"),
+        (col("doc_id") % FrameIdStride).as("frame_no"),
+        col("bidx"), col("n_copies"), col("n_payloads"))
+
+  /** Compacting repair of the frame band index —
+    * [[Dedup.simhashCompactIndex]] verbatim (the packed doc_id needs
+    * no decoding to dedup whole rows): stage-then-swap whole-row
+    * dedup of the ~40-byte band rows, refusing payload divergence;
+    * payload bytes are never re-read.
+    */
+  def frameSimhashCompactIndex(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String): Unit =
+    Dedup.simhashCompactIndex(spark, srcPath, dstPath)
+
+  /** Release MANIFEST of a media corpus — [[Curation.releaseManifest]]'s
+    * contract (q184's release family) on assets: per key-shard (md5 of
+    * the asset id — uniform regardless of payload-size skew) the asset
+    * count, total payload BYTES (media budgets are bytes, not tokens),
+    * and an order-free `bit_xor` checksum of
+    * hash60(asset_id ++ md5(payload)). Checksums XOR and counts add
+    * across DISJOINT corpora ([[assetManifestMerge]]), so a day-2
+    * append folds into a standing release manifest at delta cost with
+    * zero base reads — and a replica diff localizes divergence to a
+    * shard. One narrow pass over payload bytes, S-row output.
+    */
+  def assetReleaseManifest(assets: DataFrame, idCol: String = "asset_id",
+      payloadCol: String = "payload"): DataFrame = {
+    val key = col(idCol).cast("string")
+    assets.select(
+        substring(md5(key), 1, 2).as("shard"),
+        length(col(payloadCol)).cast("long").as("nb"),
+        // no separator needed (unlike q184's variable-length text
+        // fingerprints): md5 is always exactly 32 hex chars, so
+        // key ++ fingerprint splits unambiguously
+        TextOps.hash60(concat(key, md5(col(payloadCol)))).as("h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_assets"), sum(col("nb")).as("n_bytes"),
+        expr("bit_xor(h)").as("checksum"))
+  }
+
+  /** The manifest's (n_assets, checksum) served from a WRITTEN
+    * [[assetWriteIndex]] layout's fingerprint rows — payload bytes
+    * are NEVER re-read (the stored fingerprint IS md5(payload), so
+    * the checksum arithmetic is identical; byte totals need payloads
+    * and stay the edge's job): the 100 TB release-verification path —
+    * proving what a replica serves matches what was released is a
+    * narrow scan of ~40-byte rows plus an S-row aggregate, not a
+    * corpus re-read.
+    */
+  def assetManifestFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(s"$path/fingerprints")
+      .select(
+        substring(md5(col("asset_id").cast("string")), 1, 2).as("shard"),
+        TextOps.hash60(concat(col("asset_id").cast("string"),
+          col("fingerprint"))).as("h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_assets"), expr("bit_xor(h)").as("checksum"))
+
+  /** Combine two [[assetReleaseManifest]]s over DISJOINT asset sets —
+    * [[Curation.manifestMerge]] verbatim behind the media column
+    * names (counts add, byte masses add, checksums XOR).
+    */
+  def assetManifestMerge(a: DataFrame, b: DataFrame): DataFrame = {
+    def std(m: DataFrame) = m.select(col("shard"),
+      col("n_assets").as("n_docs"), col("n_bytes").as("n_tokens"),
+      col("checksum"))
+    Curation.manifestMerge(std(a), std(b))
+      .select(col("shard"), col("n_docs").as("n_assets"),
+        col("n_tokens").as("n_bytes"), col("checksum"))
+  }
 
   /** Frame-sampling stage: split each payload into fixed-size frames
     * (the batch shape a video/audio pipeline hands to a model), one

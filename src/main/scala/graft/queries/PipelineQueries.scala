@@ -4495,6 +4495,301 @@ object PipelineQueries {
       """)
     })
 
+  // ------------------------------------------------------------------
+  // q211 frame-index repair lifecycle — the repair family's member at
+  // the frame granularity (q198 one level down)
+  // ------------------------------------------------------------------
+
+  /** Replay-damage → audit → compact → serve lifecycle on the FRAME
+    * fingerprint index — the repair family at the sub-asset
+    * granularity (IVF-PQ q151, BM25 q156, semantic q178, mixture
+    * q192, assets q198): the snapshot quarter's frames are appended
+    * TWICE (the ledger-less blind retry),
+    * [[graft.operators.Multimodal.frameAuditIndex]] localizes exactly
+    * the doubled coordinates (asserted bit-identical in the closure —
+    * no payload divergence), and
+    * [[graft.operators.Multimodal.frameCompactIndex]] rewrites the
+    * fingerprint rows (coordinates + 32 hex chars — NO payload bytes
+    * re-read: the media-repair argument is ×frames-per-asset sharper
+    * here) to a staged path whose novelty probe must hash-equal the
+    * clean q200 oracle. Damage scalars ride every row: `n_damaged`
+    * (audit count pre-repair = the snapshot's frame count, every
+    * coordinate doubled) and `n_after` (0 — the repair's claim).
+    */
+  val q211FrameRepair: QueryDef = QueryDef(
+    "q211_frame_repair",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+      val assets = Multimodal.attachPayload(docs, "text")
+        .select(col("doc_id").as("asset_id"), col("payload"))
+        .localCheckpoint()
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_frameidx_q211_", dir)
+      Multimodal.frameWriteIndex(assets.filter(col("asset_id") % 4 =!= 1),
+        path.toString, frameBytes = 64)
+      val snapshot = assets.filter(col("asset_id") % 4 === 1)
+      Multimodal.frameAppendIndex(snapshot, path.toString, frameBytes = 64)
+      Multimodal.frameAppendIndex(snapshot, path.toString, frameBytes = 64)
+      val damaged = Multimodal.frameAuditIndex(s, path.toString)
+        .agg(count(lit(1)).as("n_damaged"))
+      val repaired = graft.operators.TmpWorkspaces
+        .pidScoped("graft_frameidx_q211r_", dir)
+      Multimodal.frameCompactIndex(s, path.toString, repaired.toString)
+      val after = Multimodal.frameAuditIndex(s, repaired.toString)
+        .agg(count(lit(1)).as("n_after"))
+      Multimodal.frameDedupIndexed(s, repaired.toString, snapshot,
+          frameBytes = 64)
+        .crossJoin(broadcast(damaged)).crossJoin(broadcast(after))
+        .orderBy(col("asset_id"))
+    },
+    // q200's oracle with the damage scalars: every snapshot frame
+    // coordinate was doubled, the repair leaves zero
+    Some("""
+      WITH fr AS (
+        SELECT doc_id AS asset_id, CAST(i AS BIGINT) AS frame_no,
+               md5(substring(text, CAST(i * 64 + 1 AS BIGINT), 64))
+                 AS fingerprint
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(0,
+                       CAST(greatest(ceil(strlen(text) / 64.0), 1)
+                         AS BIGINT) - 1)) AS i
+              FROM documents WHERE text IS NOT NULL)),
+      rk AS (SELECT asset_id, frame_no,
+                    row_number() OVER (PARTITION BY fingerprint
+                                       ORDER BY asset_id, frame_no) AS rn
+             FROM fr),
+      dmg AS (SELECT COUNT(*) AS n_damaged FROM fr WHERE asset_id % 4 = 1)
+      SELECT asset_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+             CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             dmg.n_damaged, CAST(0 AS BIGINT) AS n_after
+      FROM rk CROSS JOIN dmg
+      WHERE asset_id % 4 = 1
+      GROUP BY asset_id, dmg.n_damaged
+      ORDER BY asset_id
+    """))
+
+  // ------------------------------------------------------------------
+  // q212 streaming frame-SimHash ingest — the TENTH ledger member, on
+  // the PACKED landing layout
+  // ------------------------------------------------------------------
+
+  /** STREAMING day-2 ingest for the frame-SimHash band index — q208's
+    * layout maintained by a standing pipeline, arriving PACKED: the
+    * snapshot quarter lands as multi-asset parquet files
+    * ([[graft.operators.Multimodal.packAssets]], the q207 layout) and
+    * streams in two micro-batches
+    * ([[graft.operators.Multimodal.streamPackedDir]]); each batch is
+    * block-enriched from the static asset-metadata frame, framed, and
+    * banded in the batch body, appended as one generation through the
+    * batchId-keyed commit ledger
+    * ([[graft.streaming.IndexIngest.frameSimhashBatch]]); and the
+    * standing pair probe must hash-equal q208's fresh whole-corpus
+    * oracle — band rows are per-payload facts, generations partition
+    * the delta, the probe reads their union with the bucket cap over
+    * the full post-append membership.
+    */
+  val q212StreamingFrameSimhash: QueryDef = QueryDef(
+    "q212_streaming_frame_simhash",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+      val assets = Multimodal.attachPayload(docs, "text")
+        .select(col("doc_id").as("asset_id"), col("source"), col("payload"))
+        .localCheckpoint()
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_frsim_q212_", dir)
+      Multimodal.frameSimhashWriteIndex(
+        assets.filter(col("asset_id") % 4 =!= 3), path.toString,
+        frameBytes = 64)
+      // the snapshot quarter ARRIVES packed, two micro-batches; the
+      // static metadata frame supplies the blocking key per batch
+      val landing = graft.operators.TmpWorkspaces
+        .pidScoped("graft_packed_in_q212_", dir)
+      val snapshot = assets.filter(col("asset_id") % 4 === 3)
+      Multimodal.packAssets(snapshot, landing.toString, nFiles = 4)
+      graft.streaming.IndexIngest.ingestFrameSimhash(
+        Multimodal.streamPackedDir(s, landing.toString,
+          maxFilesPerTrigger = 2),
+        path.toString, frameBytes = 64,
+        blockOf = assets.select(col("asset_id"), col("source")))
+      Multimodal.frameSimhashPairsIndexed(s, path.toString, snapshot,
+          frameBytes = 64)
+        .orderBy(col("blk"), col("asset_a"), col("frame_a"),
+          col("asset_b"), col("frame_b"))
+    },
+    // the q208 oracle verbatim, with ITS snapshot split: the streamed
+    // generations must serve the identical pair set
+    Some(s"""
+      WITH ${simhashPairsCtes(s"""
+        SELECT doc_id * ${1L << 20} + i AS doc_id, source AS blk,
+               substring(text, CAST(i * 64 + 1 AS BIGINT), 64) AS text
+        FROM (SELECT doc_id, source, text,
+                     unnest(generate_series(0,
+                       CAST(greatest(ceil(strlen(text) / 64.0), 1)
+                         AS BIGINT) - 1)) AS i
+              FROM documents WHERE text IS NOT NULL)""")}
+      SELECT blk,
+             CAST(doc_a // ${1L << 20} AS BIGINT) AS asset_a,
+             CAST(doc_a % ${1L << 20} AS BIGINT) AS frame_a,
+             CAST(doc_b // ${1L << 20} AS BIGINT) AS asset_b,
+             CAST(doc_b % ${1L << 20} AS BIGINT) AS frame_b,
+             CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+      FROM shpairs
+      WHERE bit_count(xor(fa, fb)) <= 3
+        AND ((doc_a // ${1L << 20}) % 4 = 3 OR (doc_b // ${1L << 20}) % 4 = 3)
+      ORDER BY blk, asset_a, frame_a, asset_b, frame_b
+    """))
+
+  // ------------------------------------------------------------------
+  // q213 frame-SimHash band-index repair — the repair family's member
+  // on the NEAR-dup media layout (q211 one contract over)
+  // ------------------------------------------------------------------
+
+  /** Replay-damage → audit → compact → serve lifecycle on the frame
+    * SIMHASH band index — the repair family completing its coverage
+    * of every written-index layout (IVF-PQ q151, BM25 q156, semantic
+    * q178, mixture q192, assets q198, frames q211, bands HERE): the
+    * snapshot quarter's band rows are appended TWICE (the ledger-less
+    * blind retry), [[graft.operators.Multimodal.frameSimhashAuditIndex]]
+    * localizes exactly the doubled (asset, frame, band) coordinates —
+    * band-row duplication is NOT harmless even though the pair tail
+    * distincts: raw bucket counts inflate toward `maxBucketSize`, so
+    * a doubled viral bucket can spuriously cross the cap and DROP
+    * true pairs — and
+    * [[graft.operators.Multimodal.frameSimhashCompactIndex]] rewrites
+    * the ~40-byte band rows (whole-row dedup, payload divergence
+    * refused; payload bytes never re-read) to a staged path whose
+    * pair probe must hash-equal q208's fresh whole-corpus oracle.
+    * Damage scalars ride every row: `n_damaged` (audit rows
+    * pre-repair = 4 band coordinates per snapshot frame, every one
+    * doubled) and `n_after` (0 — the repair's claim).
+    */
+  val q213FrameSimhashRepair: QueryDef = QueryDef(
+    "q213_frame_simhash_repair",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+      val assets = Multimodal.attachPayload(docs, "text")
+        .select(col("doc_id").as("asset_id"), col("source"), col("payload"))
+        .localCheckpoint()
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_frsim_q213_", dir)
+      Multimodal.frameSimhashWriteIndex(
+        assets.filter(col("asset_id") % 4 =!= 3), path.toString,
+        frameBytes = 64)
+      val snapshot = assets.filter(col("asset_id") % 4 === 3)
+      Multimodal.frameSimhashAppendIndex(snapshot, path.toString,
+        frameBytes = 64)
+      Multimodal.frameSimhashAppendIndex(snapshot, path.toString,
+        frameBytes = 64)
+      val damaged = Multimodal.frameSimhashAuditIndex(s, path.toString)
+        .agg(count(lit(1)).as("n_damaged"))
+      val repaired = graft.operators.TmpWorkspaces
+        .pidScoped("graft_frsim_q213r_", dir)
+      Multimodal.frameSimhashCompactIndex(s, path.toString,
+        repaired.toString)
+      val after = Multimodal.frameSimhashAuditIndex(s, repaired.toString)
+        .agg(count(lit(1)).as("n_after"))
+      Multimodal.frameSimhashPairsIndexed(s, repaired.toString, snapshot,
+          frameBytes = 64)
+        .crossJoin(broadcast(damaged)).crossJoin(broadcast(after))
+        .orderBy(col("blk"), col("asset_a"), col("frame_a"),
+          col("asset_b"), col("frame_b"))
+    },
+    // q208's oracle with the damage scalars: 4 band coordinates per
+    // snapshot frame (source non-null — NULL-block frames never land
+    // band rows), every one doubled; the repair leaves zero
+    Some(s"""
+      WITH ${simhashPairsCtes(s"""
+        SELECT doc_id * ${1L << 20} + i AS doc_id, source AS blk,
+               substring(text, CAST(i * 64 + 1 AS BIGINT), 64) AS text
+        FROM (SELECT doc_id, source, text,
+                     unnest(generate_series(0,
+                       CAST(greatest(ceil(strlen(text) / 64.0), 1)
+                         AS BIGINT) - 1)) AS i
+              FROM documents WHERE text IS NOT NULL)""")},
+      dmg AS (
+        SELECT 4 * COUNT(*) AS n_damaged
+        FROM (SELECT doc_id,
+                     unnest(generate_series(0,
+                       CAST(greatest(ceil(strlen(text) / 64.0), 1)
+                         AS BIGINT) - 1)) AS i
+              FROM documents
+              WHERE text IS NOT NULL AND source IS NOT NULL
+                AND doc_id % 4 = 3))
+      SELECT blk,
+             CAST(doc_a // ${1L << 20} AS BIGINT) AS asset_a,
+             CAST(doc_a % ${1L << 20} AS BIGINT) AS frame_a,
+             CAST(doc_b // ${1L << 20} AS BIGINT) AS asset_b,
+             CAST(doc_b % ${1L << 20} AS BIGINT) AS frame_b,
+             CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming,
+             dmg.n_damaged, CAST(0 AS BIGINT) AS n_after
+      FROM shpairs CROSS JOIN dmg
+      WHERE bit_count(xor(fa, fb)) <= 3
+        AND ((doc_a // ${1L << 20}) % 4 = 3 OR (doc_b // ${1L << 20}) % 4 = 3)
+      ORDER BY blk, asset_a, frame_a, asset_b, frame_b
+    """))
+
+  // ------------------------------------------------------------------
+  // q214 media release manifest — the release family's media member
+  // ------------------------------------------------------------------
+
+  /** Release MANIFEST on the media side — q184's contract (order-free
+    * per-shard `bit_xor` checksums, compositional merge) with BYTE
+    * masses and asset fingerprints, exercising BOTH serve paths at
+    * once: (1) COMPOSITIONALITY — manifest(base quarters) ⊕
+    * manifest(snapshot quarter) via
+    * [[graft.operators.Multimodal.assetManifestMerge]] must equal the
+    * fresh whole-corpus derivation (a day-2 append folds into a
+    * standing release manifest at delta cost, zero base reads); and
+    * (2) INDEX-SERVED — the same (n_assets, checksum) recomputed by
+    * [[graft.operators.Multimodal.assetManifestFromIndex]] from the
+    * written asset index's 40-byte fingerprint rows, payload bytes
+    * never re-read (the 100 TB replica-verification path: proving a
+    * replica serves what was released is a narrow fingerprint scan,
+    * not a corpus re-read). One oracle replays the manifest arithmetic
+    * once; both engine paths must land on it, joined per shard.
+    */
+  val q214AssetManifest: QueryDef = QueryDef(
+    "q214_asset_manifest",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+      val assets = Multimodal.attachPayload(docs, "text")
+        .select(col("doc_id").as("asset_id"), col("payload"))
+        .localCheckpoint()
+      val base = assets.filter(col("asset_id") % 4 =!= 3)
+      val delta = assets.filter(col("asset_id") % 4 === 3)
+      val merged = Multimodal.assetManifestMerge(
+        Multimodal.assetReleaseManifest(base),
+        Multimodal.assetReleaseManifest(delta))
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_assetmf_q214_", dir)
+      Multimodal.assetWriteIndex(base, path.toString)
+      Multimodal.assetAppendIndex(delta, path.toString)
+      val fromIdx = Multimodal.assetManifestFromIndex(s, path.toString)
+        .select(col("shard"), col("n_assets").as("n_idx"),
+          col("checksum").as("ck_index"))
+      merged.join(broadcast(fromIdx), Seq("shard"))
+        .orderBy(col("shard"))
+    },
+    // one fresh derivation; the merge AND the index serve must both
+    // reproduce it (n_idx/ck_index are the from-index twins)
+    Some(s"""
+      WITH m AS (
+        SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS shard,
+               CAST(strlen(text) AS BIGINT) AS nb,
+               ${graft.operators.TextOps.hash60Sql(
+                 "concat(CAST(doc_id AS VARCHAR), md5(text))")} AS h
+        FROM documents WHERE text IS NOT NULL)
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_assets,
+             CAST(SUM(nb) AS BIGINT) AS n_bytes, bit_xor(h) AS checksum,
+             CAST(COUNT(*) AS BIGINT) AS n_idx, bit_xor(h) AS ck_index
+      FROM m GROUP BY shard ORDER BY shard
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
@@ -4521,5 +4816,6 @@ object PipelineQueries {
     q203AssetDrift, q204StreamingFrameIngest,
     q205Bm25CompactAmplification, q206AssetCompactAmplification,
     q207PackedAssetIngest, q208FrameSimhashIncremental,
-    q209FrameDecontamination, q210CurationV10)
+    q209FrameDecontamination, q210CurationV10, q211FrameRepair,
+    q212StreamingFrameSimhash, q213FrameSimhashRepair, q214AssetManifest)
 }

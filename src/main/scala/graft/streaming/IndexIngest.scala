@@ -547,6 +547,60 @@ object IndexIngest {
     finally q.stop()
   }
 
+  /** Frame-SimHash member's per-batch body ([[startFrameSimhash]] +
+    * replay gates): the arriving payload batch is enriched with its
+    * blocking key from the STATIC asset-metadata frame (a broadcast
+    * stream-static join inside the batch — the crawler's metadata
+    * table supplies `source`; assets absent from it drop, the
+    * NULL-block convention), framed, fingerprinted, and appended as
+    * one generation of the written band index.
+    */
+  def frameSimhashBatch(path: String, frameBytes: Int,
+      blockOf: DataFrame, epoch: String = "0")(
+      batch: DataFrame, batchId: Long): Unit =
+    committedAppend(batch.sparkSession, path, "frame_simhash", epoch,
+        batchId) { staged =>
+      graft.operators.Multimodal.frameSimhashAppendIndex(
+        batch.join(
+          org.apache.spark.sql.functions.broadcast(blockOf), "asset_id"),
+        staged, frameBytes)
+    }
+
+  /** The TENTH ingest member — q208's frame-SimHash band index
+    * maintained by a standing media pipeline: each micro-batch of
+    * binary payloads (the packed landing layout via
+    * [[graft.operators.Multimodal.streamPackedDir]], or the per-file
+    * edge) is block-enriched, framed, and banded in the batch body
+    * and lands as one generation of the written `pshard` layout; the
+    * standing [[graft.operators.Multimodal.frameSimhashPairsIndexed]]
+    * probe serves the near-dup pairs — q212 gates it against the
+    * same fresh whole-corpus oracle as q208. Batch boundaries cannot
+    * move a pair: band rows depend only on their own payload,
+    * generations partition the delta, the probe reads their union
+    * (and the bucket cap applies to the bucket's full post-append
+    * membership, same as the fresh run). Delivery contract as the
+    * other members: replay-safe via the batchId-keyed commit ledger.
+    */
+  def startFrameSimhash(assetStream: DataFrame, path: String,
+      frameBytes: Int, blockOf: DataFrame, epoch: String = "0",
+      checkpointLocation: Option[String] = None): StreamingQuery =
+    withCheckpoint(assetStream.writeStream
+        .foreachBatch(frameSimhashBatch(path, frameBytes, blockOf, epoch) _),
+        checkpointLocation)
+      .outputMode("append")
+      .start()
+
+  /** Runs the frame-SimHash ingest over all currently-available
+    * input, then stops — the bounded-backfill form the q212 gate
+    * drives.
+    */
+  def ingestFrameSimhash(assetStream: DataFrame, path: String,
+      frameBytes: Int, blockOf: DataFrame, epoch: String = "0"): Unit = {
+    val q = startFrameSimhash(assetStream, path, frameBytes, blockOf, epoch)
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
   /** Featurized-asset member's per-batch body ([[startAssetSemantic]]
     * + replay gates): each micro-batch of binary payloads is
     * featurized ([[graft.operators.Multimodal.featurizeVector]] — one

@@ -857,6 +857,55 @@ class PlanSpec extends AnyFunSuite {
       s"the qtot scalar must broadcast, never cross:\n$p")
   }
 
+  test("q211: the repaired frame index serves through the q200 probe shape; damage scalars broadcast") {
+    val p = plan("q211_frame_repair")
+    assert("PartitionFilters: \\[[^\\]]*shard".r.findFirstIn(p).isDefined,
+      s"snapshot fingerprint shards must prune the repaired frame index:\n$p")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "snapshot fingerprints must broadcast-semi-join before the winner agg")
+    assert(p.contains("partial_min"), "winner coordinates must map-side combine")
+    assert(!p.contains("SortMergeJoin"),
+      s"the 1-row damage scalars must broadcast, never sort-merge:\n$p")
+  }
+
+  test("q212: streamed-in frame-simhash generations keep q208's pruned band probe") {
+    val p = plan("q212_streaming_frame_simhash")
+    assert("PartitionFilters: \\[[^\\]]*pshard".r.findFirstIn(p).isDefined,
+      s"snapshot frame band shards must prune the streamed index scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "snapshot frame bands must broadcast into the probed residue")
+    assert(p.contains("Scan ExistingRDD"),
+      "the snapshot frame fingerprints must come from their checkpoint")
+    assert(!p.contains("CartesianProduct"), s"nothing may cross-join:\n$p")
+  }
+
+  test("q213: band repair serves through q208's pruned probe; damage scalars broadcast") {
+    val p = plan("q213_frame_simhash_repair")
+    assert("PartitionFilters: \\[[^\\]]*pshard".r.findFirstIn(p).isDefined,
+      s"snapshot frame band shards must prune the repaired index scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "snapshot frame bands must broadcast into the probed residue")
+    assert(p.contains("Scan ExistingRDD"),
+      "the snapshot frame fingerprints must come from their checkpoint")
+    assert(!p.contains("SortMergeJoin"),
+      s"the 1-row damage scalars must broadcast, never sort-merge:\n$p")
+  }
+
+  test("q214: the index-served manifest reads only fingerprint rows; manifests map-side combine and broadcast-join") {
+    val p = plan("q214_asset_manifest")
+    assert(p.contains("ReadSchema: struct<asset_id:bigint,fingerprint:string>"),
+      s"the from-index serve must scan only the 40-byte fingerprint rows:\n$p")
+    assert(p.contains("partial_bit_xor") || p.contains("partial_bitxor"),
+      s"shard checksums must map-side combine before the S-row shuffle:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "the index-served manifest must broadcast into the merged one")
+    // the merge's keyed FULL OUTER cannot broadcast in Spark — it
+    // sort-merges, which is fine: manifests are S-row (≤256 shards)
+    // by construction, so the sort is bounded regardless of corpus size
+    assert(!p.contains("CartesianProduct"),
+      s"nothing may cross-join:\n$p")
+  }
+
   test("q200: frame dedup probes pruned text-free fingerprints; payloads stay in the featurize pass") {
     val p = plan("q200_frame_dedup_indexed")
     assert("PartitionFilters: \\[[^\\]]*shard".r.findFirstIn(p).isDefined,

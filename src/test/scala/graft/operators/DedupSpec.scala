@@ -306,6 +306,49 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want, s"incremental drifted:\n$got\nvs\n$want")
   }
 
+  test("simhash band-index repair: audit localizes replayed band rows, compact restores the clean probe, divergence refused") {
+    val a = "the quick brown fox jumps over the lazy dog"
+    val b = "pack my box with five dozen liquor jugs today"
+    val corpus = Seq((0L, "s", a), (1L, "s", b), (4L, "s", a))
+      .toDF("doc_id", "source", "text")
+    val base = corpus.filter($"doc_id" < 4)
+    val snap = corpus.filter($"doc_id" >= 4)
+    val path = TmpWorkspaces.pidScoped("graft_shrep_spec_", "repair")
+    Dedup.simhashWriteIndex(base, path.toString, "doc_id", "text", "source")
+    Dedup.simhashAppendIndex(snap, path.toString, "doc_id", "text", "source")
+    assert(Dedup.simhashAuditIndex(spark, path.toString).isEmpty,
+      "a clean append-once layout must audit empty")
+    Dedup.simhashAppendIndex(snap, path.toString, "doc_id", "text", "source")
+
+    // the blind retry doubled exactly doc 4's four band coordinates,
+    // bit-identically (n_payloads = 1)
+    val dmg = Dedup.simhashAuditIndex(spark, path.toString)
+      .select($"doc_id", $"bidx", $"n_copies", $"n_payloads")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(dmg == (0 until 4).map(j => (4L, j, 2L, 1L)).toSet,
+      s"audit drifted: $dmg")
+
+    val repaired = TmpWorkspaces.pidScoped("graft_shrep_spec_r_", "repair")
+    Dedup.simhashCompactIndex(spark, path.toString, repaired.toString)
+    assert(Dedup.simhashAuditIndex(spark, repaired.toString).isEmpty,
+      "the compacted layout must audit clean")
+    val got = Dedup
+      .simhashNearDupIndexed(spark, repaired.toString, snap, "doc_id",
+        "text", "source")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("s", 0L, 4L, 0L)), s"repaired probe drifted: $got")
+
+    // payload divergence (same doc re-appended with different bytes)
+    // is NOT replay damage: compaction must refuse, not pick a side
+    Dedup.simhashAppendIndex(Seq((4L, "s", b)).toDF("doc_id", "source", "text"),
+      path.toString, "doc_id", "text", "source")
+    val refuse = TmpWorkspaces.pidScoped("graft_shrep_spec_x_", "repair")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashCompactIndex(spark, path.toString, refuse.toString)
+    }
+    assert(e.getMessage.contains("payload-divergent"))
+  }
+
   test("blockDedupIndexed: snapshot paragraphs dedup against the corpus history, reassembly intact") {
     // base doc 0 owns "a b c"; snapshot doc 4 repeats it (block drops)
     // and adds "x y z" (kept — first globally); snapshot doc 6 then

@@ -474,6 +474,55 @@ class IndexIngestSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("streaming frame-simhash ingest: block-enriched band generations per batch, pairs equal the batch append") {
+    import graft.operators.Multimodal
+    def b(s: String) = s.getBytes("UTF-8")
+    val shared = "the quick brown fox jumps over the lazy dog"
+    // fb=1024 -> one frame per asset; 10 is the indexed original
+    val base = Seq((10L, "s", b(shared))).toDF("asset_id", "source", "payload")
+    val idx = TmpWorkspaces.pidScoped("graft_frsimingest_spec_", "fs")
+    Multimodal.frameSimhashWriteIndex(base, idx.toString, frameBytes = 1024)
+
+    // the static metadata frame supplies blocks; asset 99 is ABSENT
+    // from it and must drop (the NULL-block convention)
+    val blockOf = Seq((10L, "s"), (21L, "s"), (23L, "s"))
+      .toDF("asset_id", "source")
+    val delta = Seq((21L, b(shared)), (23L, b("novel words entirely")),
+      (99L, b(shared)))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = IndexIngest.startFrameSimhash(
+      in.toDS().toDF("asset_id", "payload"), idx.toString,
+      frameBytes = 1024, blockOf = blockOf)
+    try {
+      Seq(delta.take(1), delta.slice(1, 2), delta.drop(2)).foreach { chunk =>
+        in.addData(chunk)
+        q.processAllAvailable()
+      }
+      assert(q.recentProgress.count(_.numInputRows > 0) == 3,
+        "each add must arrive as its own micro-batch")
+    } finally q.stop()
+
+    // one ledger marker per batch
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(idx.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(
+      new Path(s"$idx/_ingest_commits/frame_simhash/epoch=0")).length == 3)
+
+    // the standing probe: 21 pairs with 10 at hamming 0; 23 is novel;
+    // 99 (metadata-less) never entered the index
+    val snap = Seq((21L, "s", b(shared)), (23L, "s", b("novel words entirely")))
+      .toDF("asset_id", "source", "payload")
+    val got = Multimodal.frameSimhashPairsIndexed(spark, idx.toString, snap,
+        frameBytes = 1024)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(("s", 10L, 0L, 21L, 0L, 0L)), s"got $got")
+    assert(spark.read.parquet(s"$idx/bands")
+      .filter($"doc_id" / 1048576 === 99).isEmpty,
+      "a metadata-less asset must not land band rows")
+  }
+
   test("streaming featurized near-dup ingest: per-batch featurize+assign generations, probe equals the batch path") {
     import graft.operators.{Clustering, Multimodal}
     def b(s: String) = s.getBytes("UTF-8")
