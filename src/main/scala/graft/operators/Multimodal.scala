@@ -780,6 +780,35 @@ object Multimodal {
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_assets"), expr("bit_xor(h)").as("checksum"))
 
+  /** Appends ONE GENERATION of manifest CONTRIBUTION rows for a
+    * disjoint asset delta — the per-generation contribution-row
+    * pattern (the BM25 df/stats layout invariant) on the release
+    * manifest: layout is `$path/manifest` parquet rows of
+    * (shard, n_assets, n_bytes, checksum), S rows per generation;
+    * counts and byte masses ADD and checksums XOR across generations,
+    * so ANY micro-batch split of a delta sums to the fresh
+    * whole-corpus manifest and [[assetManifestServe]] is an S×gens-row
+    * aggregate — never a corpus pass. Caller owns disjointness
+    * (append-exactly-once, as every index append here).
+    */
+  def manifestAppendGeneration(assets: DataFrame, path: String,
+      idCol: String = "asset_id", payloadCol: String = "payload"): Unit =
+    assetReleaseManifest(assets, idCol, payloadCol)
+      .write.mode("append").parquet(s"$path/manifest")
+
+  /** Serves the standing release manifest from its generation
+    * contribution rows: counts/bytes sum, checksums XOR — the same
+    * (shard, n_assets, n_bytes, checksum) rows a fresh
+    * [[assetReleaseManifest]] over the full corpus would emit.
+    */
+  def assetManifestServe(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(s"$path/manifest")
+      .groupBy(col("shard"))
+      .agg(sum(col("n_assets")).as("n_assets"),
+        sum(col("n_bytes")).as("n_bytes"),
+        expr("bit_xor(checksum)").as("checksum"))
+
   /** Combine two [[assetReleaseManifest]]s over DISJOINT asset sets —
     * [[Curation.manifestMerge]] verbatim behind the media column
     * names (counts add, byte masses add, checksums XOR).

@@ -4790,6 +4790,60 @@ object PipelineQueries {
       FROM m GROUP BY shard ORDER BY shard
     """))
 
+  // ------------------------------------------------------------------
+  // q215 streaming release manifest — the ELEVENTH ledger member
+  // ------------------------------------------------------------------
+
+  /** STREAMING day-2 form of q214's release manifest: the base
+    * quarters land one batch-path generation, the snapshot quarter
+    * arrives PACKED in two micro-batches
+    * ([[graft.operators.Multimodal.streamPackedDir]]), each reduced
+    * to its S manifest contribution rows and ledger-committed as one
+    * generation ([[graft.streaming.IndexIngest.assetManifestBatch]]);
+    * [[graft.operators.Multimodal.assetManifestServe]] folds the
+    * generations (counts/bytes sum, checksums XOR) and must
+    * hash-equal the fresh whole-corpus derivation — the proof that a
+    * standing pipeline maintains the release-verification manifest at
+    * S-rows-per-batch cost, with payloads read exactly once each, at
+    * arrival.
+    */
+  val q215StreamingManifest: QueryDef = QueryDef(
+    "q215_streaming_manifest",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+      val assets = Multimodal.attachPayload(docs, "text")
+        .select(col("doc_id").as("asset_id"), col("payload"))
+        .localCheckpoint()
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_mfing_q215_", dir)
+      Multimodal.manifestAppendGeneration(
+        assets.filter(col("asset_id") % 4 =!= 3), path.toString)
+      val landing = graft.operators.TmpWorkspaces
+        .pidScoped("graft_packed_in_q215_", dir)
+      Multimodal.packAssets(assets.filter(col("asset_id") % 4 === 3),
+        landing.toString, nFiles = 4)
+      graft.streaming.IndexIngest.ingestAssetManifest(
+        Multimodal.streamPackedDir(s, landing.toString,
+          maxFilesPerTrigger = 2),
+        path.toString)
+      Multimodal.assetManifestServe(s, path.toString)
+        .orderBy(col("shard"))
+    },
+    // q214's fresh derivation, verbatim minus the index-served twins:
+    // the streamed generations must fold to the identical manifest
+    Some(s"""
+      WITH m AS (
+        SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS shard,
+               CAST(strlen(text) AS BIGINT) AS nb,
+               ${graft.operators.TextOps.hash60Sql(
+                 "concat(CAST(doc_id AS VARCHAR), md5(text))")} AS h
+        FROM documents WHERE text IS NOT NULL)
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_assets,
+             CAST(SUM(nb) AS BIGINT) AS n_bytes, bit_xor(h) AS checksum
+      FROM m GROUP BY shard ORDER BY shard
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
@@ -4817,5 +4871,6 @@ object PipelineQueries {
     q205Bm25CompactAmplification, q206AssetCompactAmplification,
     q207PackedAssetIngest, q208FrameSimhashIncremental,
     q209FrameDecontamination, q210CurationV10, q211FrameRepair,
-    q212StreamingFrameSimhash, q213FrameSimhashRepair, q214AssetManifest)
+    q212StreamingFrameSimhash, q213FrameSimhashRepair, q214AssetManifest,
+    q215StreamingManifest)
 }

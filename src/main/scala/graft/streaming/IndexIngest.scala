@@ -601,6 +601,56 @@ object IndexIngest {
     finally q.stop()
   }
 
+  /** Release-manifest member's per-batch body
+    * ([[startAssetManifest]] + replay gates): the arriving payload
+    * batch is reduced to its S manifest contribution rows
+    * ([[graft.operators.Multimodal.manifestAppendGeneration]]) and
+    * appended as one generation through the ledger.
+    */
+  def assetManifestBatch(path: String, epoch: String = "0")(
+      batch: DataFrame, batchId: Long): Unit =
+    committedAppend(batch.sparkSession, path, "manifest", epoch, batchId) {
+      staged =>
+        graft.operators.Multimodal.manifestAppendGeneration(batch, staged)
+    }
+
+  /** The ELEVENTH ingest member — the release manifest maintained by
+    * the standing pipeline: each micro-batch of binary payloads
+    * contributes S manifest rows (per-shard count, byte mass, XOR
+    * checksum) as one ledger-committed generation, and
+    * [[graft.operators.Multimodal.assetManifestServe]] folds the
+    * generations into the released corpus's manifest. Batch
+    * boundaries cannot move it: counts/bytes are additive and XOR is
+    * associative-commutative, so ANY split of the delta sums to the
+    * fresh whole-corpus derivation (q215 gates serve ≡ the q214
+    * oracle). This is the day-2 form of the release-verification
+    * story: the manifest a replica is checked against is maintained
+    * at S-rows-per-batch cost, never recomputed from payloads.
+    * Delivery contract as every member: replay-safe via the
+    * batchId-keyed commit ledger (a replayed batch would otherwise
+    * double its shard masses and cancel its checksum contribution —
+    * XOR's even-multiplicity blindness — which is exactly why the
+    * counts ride next to the checksums).
+    */
+  def startAssetManifest(assetStream: DataFrame, path: String,
+      epoch: String = "0",
+      checkpointLocation: Option[String] = None): StreamingQuery =
+    withCheckpoint(assetStream.writeStream
+        .foreachBatch(assetManifestBatch(path, epoch) _),
+        checkpointLocation)
+      .outputMode("append")
+      .start()
+
+  /** Runs the manifest ingest over all currently-available input,
+    * then stops — the bounded-backfill form the q215 gate drives.
+    */
+  def ingestAssetManifest(assetStream: DataFrame, path: String,
+      epoch: String = "0"): Unit = {
+    val q = startAssetManifest(assetStream, path, epoch)
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
   /** Featurized-asset member's per-batch body ([[startAssetSemantic]]
     * + replay gates): each micro-batch of binary payloads is
     * featurized ([[graft.operators.Multimodal.featurizeVector]] — one

@@ -906,6 +906,17 @@ class PlanSpec extends AnyFunSuite {
       s"nothing may cross-join:\n$p")
   }
 
+  test("q215: the served manifest aggregates S-row generation contributions only, map-side combined") {
+    val p = plan("q215_streaming_manifest")
+    assert(p.contains(
+      "ReadSchema: struct<shard:string,n_assets:bigint,n_bytes:bigint,checksum:bigint>"),
+      s"the serve must scan only the S-row contribution rows — never payloads:\n$p")
+    assert(p.contains("partial_bit_xor") || p.contains("partial_bitxor"),
+      s"generation checksums must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"the serve is one bounded aggregate — no joins:\n$p")
+  }
+
   test("q200: frame dedup probes pruned text-free fingerprints; payloads stay in the featurize pass") {
     val p = plan("q200_frame_dedup_indexed")
     assert("PartitionFilters: \\[[^\\]]*shard".r.findFirstIn(p).isDefined,

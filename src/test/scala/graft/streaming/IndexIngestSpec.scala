@@ -523,6 +523,52 @@ class IndexIngestSpec extends AnyFunSuite {
       "a metadata-less asset must not land band rows")
   }
 
+  test("streaming manifest ingest: S contribution rows per batch, serve folds to the fresh manifest, replay skipped") {
+    import graft.operators.Multimodal
+    def b(s: String) = s.getBytes("UTF-8")
+    val all = Seq((1L, b("alpha")), (2L, b("beta!")),
+      (3L, b("gamma ray")), (4L, b("delta")))
+    val idx = TmpWorkspaces.pidScoped("graft_mfingest_spec_", "fs")
+    // the base corpus lands one batch-path generation
+    Multimodal.manifestAppendGeneration(
+      Seq(all.head).toDF("asset_id", "payload"), idx.toString)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = IndexIngest.startAssetManifest(
+      in.toDS().toDF("asset_id", "payload"), idx.toString)
+    try {
+      Seq(all.slice(1, 2), all.slice(2, 4)).foreach { chunk =>
+        in.addData(chunk)
+        q.processAllAvailable()
+      }
+      assert(q.recentProgress.count(_.numInputRows > 0) == 2,
+        "each add must arrive as its own micro-batch")
+    } finally q.stop()
+
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(idx.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(
+      new Path(s"$idx/_ingest_commits/manifest/epoch=0")).length == 2)
+
+    val served = Multimodal.assetManifestServe(spark, idx.toString)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val fresh = Multimodal
+      .assetReleaseManifest(all.toDF("asset_id", "payload"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(served == fresh, s"served drifted:\n$served\nvs\n$fresh")
+
+    // a replayed delivery of the stream's first batch must be skipped
+    // by the ledger (otherwise its shard masses double and its
+    // checksum contribution XOR-cancels)
+    IndexIngest.assetManifestBatch(idx.toString)(
+      all.slice(1, 2).toDF("asset_id", "payload"), 0L)
+    val replayed = Multimodal.assetManifestServe(spark, idx.toString)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(replayed == fresh, "a replayed delivery must not move the manifest")
+  }
+
   test("streaming featurized near-dup ingest: per-batch featurize+assign generations, probe equals the batch path") {
     import graft.operators.{Clustering, Multimodal}
     def b(s: String) = s.getBytes("UTF-8")
