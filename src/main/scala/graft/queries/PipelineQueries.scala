@@ -3804,6 +3804,53 @@ object PipelineQueries {
     },
     Some(assetNearDupOracleSql))
 
+  /** Shared WITH-body of the media admission oracle (q202 batch /
+    * q216 streamed): the three modality verdicts — exact keep-first
+    * (ek9), featurized near-dup survival (nk9), frame novelty counts
+    * (nv9) — replayed from scratch over the whole corpus, snapshot
+    * quarter = asset_id % 4 = 3.
+    */
+  private def mediaAdmissionCtes: String = {
+    val cosXY = Similarity.cosineSql("x.v", "y.v")
+    s"""fp AS (SELECT doc_id AS asset_id, md5(text) AS fingerprint
+                  FROM documents WHERE text IS NOT NULL),
+      keep9 AS (SELECT fingerprint, MIN(asset_id) AS kept_id
+                FROM fp GROUP BY 1),
+      ek9 AS (SELECT f.asset_id, (f.asset_id = k.kept_id) AS exact_kept
+              FROM fp f JOIN keep9 k USING (fingerprint)
+              WHERE f.asset_id % 4 = 3),
+      $assetFeatureCte,
+      cents AS (SELECT vec_id AS cid, v AS centroid
+                FROM feats WHERE vec_id < 8),
+      au AS ${kmeansAssignSql("feats", "cents")},
+      csz AS (SELECT cid, COUNT(*) AS cn FROM au GROUP BY 1),
+      rm AS (SELECT DISTINCT y.vec_id
+             FROM au x
+             JOIN au y ON x.cid = y.cid AND x.vec_id < y.vec_id
+             JOIN csz z ON z.cid = x.cid AND z.cn <= 10000
+             WHERE $cosXY >= 0.999),
+      nk9 AS (SELECT a.vec_id AS asset_id, (r.vec_id IS NULL) AS near_kept
+              FROM au a LEFT JOIN rm r USING (vec_id)
+              WHERE a.vec_id % 4 = 3),
+      fr AS (SELECT doc_id AS asset_id, CAST(i AS BIGINT) AS frame_no,
+                    md5(substring(text, CAST(i * 64 + 1 AS BIGINT), 64))
+                      AS fingerprint
+             FROM (SELECT doc_id, text,
+                          unnest(generate_series(0,
+                            CAST(greatest(ceil(strlen(text) / 64.0), 1)
+                              AS BIGINT) - 1)) AS i
+                   FROM documents WHERE text IS NOT NULL)),
+      rk AS (SELECT asset_id, frame_no,
+                    row_number() OVER (PARTITION BY fingerprint
+                                       ORDER BY asset_id, frame_no) AS rn
+             FROM fr),
+      nv9 AS (SELECT asset_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+                     CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_kept
+              FROM rk WHERE asset_id % 4 = 3
+              GROUP BY 1)"""
+  }
+
   // ------------------------------------------------------------------
   // q202 flagship v9 — the MEDIA admission manifest (day-2 across all
   // three asset-side written indexes at once)
@@ -3879,52 +3926,14 @@ object PipelineQueries {
           col("n_frames"), col("n_kept"),
           (col("exact_kept") && col("near_kept")).as("admitted"))
         .orderBy(col("asset_id"))
-    }, {
-      val cosXY = Similarity.cosineSql("x.v", "y.v")
-      Some(s"""
-        WITH fp AS (SELECT doc_id AS asset_id, md5(text) AS fingerprint
-                    FROM documents WHERE text IS NOT NULL),
-        keep9 AS (SELECT fingerprint, MIN(asset_id) AS kept_id
-                  FROM fp GROUP BY 1),
-        ek9 AS (SELECT f.asset_id, (f.asset_id = k.kept_id) AS exact_kept
-                FROM fp f JOIN keep9 k USING (fingerprint)
-                WHERE f.asset_id % 4 = 3),
-        $assetFeatureCte,
-        cents AS (SELECT vec_id AS cid, v AS centroid
-                  FROM feats WHERE vec_id < 8),
-        au AS ${kmeansAssignSql("feats", "cents")},
-        csz AS (SELECT cid, COUNT(*) AS cn FROM au GROUP BY 1),
-        rm AS (SELECT DISTINCT y.vec_id
-               FROM au x
-               JOIN au y ON x.cid = y.cid AND x.vec_id < y.vec_id
-               JOIN csz z ON z.cid = x.cid AND z.cn <= 10000
-               WHERE $cosXY >= 0.999),
-        nk9 AS (SELECT a.vec_id AS asset_id, (r.vec_id IS NULL) AS near_kept
-                FROM au a LEFT JOIN rm r USING (vec_id)
-                WHERE a.vec_id % 4 = 3),
-        fr AS (SELECT doc_id AS asset_id, CAST(i AS BIGINT) AS frame_no,
-                      md5(substring(text, CAST(i * 64 + 1 AS BIGINT), 64))
-                        AS fingerprint
-               FROM (SELECT doc_id, text,
-                            unnest(generate_series(0,
-                              CAST(greatest(ceil(strlen(text) / 64.0), 1)
-                                AS BIGINT) - 1)) AS i
-                     FROM documents WHERE text IS NOT NULL)),
-        rk AS (SELECT asset_id, frame_no,
-                      row_number() OVER (PARTITION BY fingerprint
-                                         ORDER BY asset_id, frame_no) AS rn
-               FROM fr),
-        nv9 AS (SELECT asset_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
-                       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
-                         AS BIGINT) AS n_kept
-                FROM rk WHERE asset_id % 4 = 3
-                GROUP BY 1)
-        SELECT e.asset_id, e.exact_kept, n.near_kept, v.n_frames,
-               v.n_kept, (e.exact_kept AND n.near_kept) AS admitted
-        FROM ek9 e JOIN nk9 n USING (asset_id) JOIN nv9 v USING (asset_id)
-        ORDER BY asset_id
-      """)
-    })
+    },
+    Some(s"""
+      WITH $mediaAdmissionCtes
+      SELECT e.asset_id, e.exact_kept, n.near_kept, v.n_frames,
+             v.n_kept, (e.exact_kept AND n.near_kept) AS admitted
+      FROM ek9 e JOIN nk9 n USING (asset_id) JOIN nv9 v USING (asset_id)
+      ORDER BY asset_id
+    """))
 
   // ------------------------------------------------------------------
   // q203 multimodal drift audit (centroid staleness on the featurized
@@ -4844,6 +4853,101 @@ object PipelineQueries {
       FROM m GROUP BY shard ORDER BY shard
     """))
 
+  // ------------------------------------------------------------------
+  // q216 streaming MEDIA pipeline — q202's three indexes maintained by
+  // ONE standing stream (the capstone of the ingest-ledger family)
+  // ------------------------------------------------------------------
+
+  /** STREAMING day-2 form of the q202 flagship: the snapshot quarter
+    * arrives PACKED in two micro-batches, and ONE standing pipeline
+    * ([[graft.streaming.IndexIngest.startMedia]]) feeds all three
+    * asset-side indexes per batch — exact payload hash, frozen-
+    * centroid featurized near-dup, frame fingerprints — with the
+    * batch localCheckpoint'ed so payload bytes are read once per
+    * delivery. Each index commits through its OWN ledger member
+    * keyed by the same batchId, so a crash between members heals on
+    * retry (committed members skip, missing ones land — the spec
+    * drives it);
+    * [[graft.streaming.IndexIngest.mediaConsistencyAudit]]'s count
+    * rides every row as `n_inconsistent` (0 — all three indexes hold
+    * identical membership). The served admission manifest must
+    * hash-equal q202's fresh whole-corpus oracle.
+    */
+  val q216StreamingMedia: QueryDef = QueryDef(
+    "q216_streaming_media",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+      val assets = Multimodal.attachPayload(docs, "text")
+        .select(col("doc_id").as("asset_id"), col("payload"))
+        .localCheckpoint()
+      val base = assets.filter(col("asset_id") % 4 =!= 3)
+      val snap = assets.filter(col("asset_id") % 4 === 3)
+      // day-1 backfill of the three indexes via the batch writers
+      val fpPath = graft.operators.TmpWorkspaces
+        .pidScoped("graft_assetidx_q216_", dir)
+      Multimodal.assetWriteIndex(base, fpPath.toString)
+      val feats = Multimodal.featurizeVector(assets, "asset_id")
+        .localCheckpoint()
+      val cents = feats.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("centroid"))
+        .localCheckpoint()
+      val semPath = graft.operators.TmpWorkspaces
+        .pidScoped("graft_assetsem_q216_", dir)
+      Clustering.semanticWriteIndex(
+        Clustering.assignL2(feats.filter(col("vec_id") % 4 =!= 3), cents),
+        semPath.toString)
+      val frPath = graft.operators.TmpWorkspaces
+        .pidScoped("graft_frameidx_q216_", dir)
+      Multimodal.frameWriteIndex(base, frPath.toString, frameBytes = 64)
+      // day-2: ONE stream maintains all three
+      val landing = graft.operators.TmpWorkspaces
+        .pidScoped("graft_packed_in_q216_", dir)
+      Multimodal.packAssets(snap, landing.toString, nFiles = 4)
+      graft.streaming.IndexIngest.ingestMedia(
+        Multimodal.streamPackedDir(s, landing.toString,
+          maxFilesPerTrigger = 2),
+        fpPath.toString, semPath.toString, frPath.toString, cents,
+        frameBytes = 64)
+      // consistency scalar: every delivery landed in all three members
+      val inconsistent = graft.streaming.IndexIngest
+        .mediaConsistencyAudit(s, fpPath.toString, semPath.toString,
+          frPath.toString)
+        .agg(count(lit(1)).as("n_inconsistent"))
+      // q202's admission manifest, served from the streamed indexes
+      val exactKept = snap
+        .withColumn("fingerprint", md5(col("payload")))
+        .join(Multimodal.assetDedupIndexed(s, fpPath.toString, snap),
+          "fingerprint")
+        .select(col("asset_id"),
+          (col("asset_id") === col("kept_id")).as("exact_kept"))
+      val snapAssigned = Clustering.assignL2(
+        feats.filter(col("vec_id") % 4 === 3), cents).localCheckpoint()
+      val nearKept = Clustering.semDedupIndexed(s, semPath.toString,
+          snapAssigned, threshold = 0.999)
+        .select(col("vec_id").as("asset_id"), col("kept").as("near_kept"))
+      val novelty = Multimodal.frameDedupIndexed(s, frPath.toString, snap,
+        frameBytes = 64)
+      snap.select(col("asset_id"))
+        .join(exactKept, "asset_id")
+        .join(nearKept, "asset_id")
+        .join(novelty, "asset_id")
+        .select(col("asset_id"), col("exact_kept"), col("near_kept"),
+          col("n_frames"), col("n_kept"),
+          (col("exact_kept") && col("near_kept")).as("admitted"))
+        .crossJoin(broadcast(inconsistent))
+        .orderBy(col("asset_id"))
+    },
+    // q202's oracle verbatim + the zero consistency scalar
+    Some(s"""
+      WITH $mediaAdmissionCtes
+      SELECT e.asset_id, e.exact_kept, n.near_kept, v.n_frames,
+             v.n_kept, (e.exact_kept AND n.near_kept) AS admitted,
+             CAST(0 AS BIGINT) AS n_inconsistent
+      FROM ek9 e JOIN nk9 n USING (asset_id) JOIN nv9 v USING (asset_id)
+      ORDER BY asset_id
+    """))
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
@@ -4872,5 +4976,5 @@ object PipelineQueries {
     q207PackedAssetIngest, q208FrameSimhashIncremental,
     q209FrameDecontamination, q210CurationV10, q211FrameRepair,
     q212StreamingFrameSimhash, q213FrameSimhashRepair, q214AssetManifest,
-    q215StreamingManifest)
+    q215StreamingManifest, q216StreamingMedia)
 }

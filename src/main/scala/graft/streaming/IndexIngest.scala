@@ -601,6 +601,97 @@ object IndexIngest {
     finally q.stop()
   }
 
+  /** COMBINED media pipeline's per-batch body ([[startMedia]] +
+    * healing/replay gates): ONE arriving payload batch feeds ALL
+    * THREE asset-side indexes — exact payload hash
+    * ([[assetBatch]]), frozen-centroid featurized near-dup
+    * ([[assetSemanticBatch]]), and frame fingerprints
+    * ([[frameBatch]]) — the q202 flagship's index set maintained by a
+    * single standing stream. The batch is localCheckpoint'ed first so
+    * payload bytes are read ONCE per micro-batch and all three
+    * derivations (hash, featurize, frame) reuse the materialized
+    * rows, q202's read-once shape at the micro-batch grain.
+    *
+    * Cross-index atomicity: the three appends commit through THREE
+    * ledger members keyed by the SAME batchId, so a crash between
+    * members leaves the indexes mutually inconsistent only until the
+    * delivery retries — each member's `committedAppend` skips if its
+    * marker exists and lands otherwise, so sequential retry heals the
+    * gap exactly (each-member-exactly-once; the spec drives a
+    * crash-between-members case). [[mediaConsistencyAudit]] localizes
+    * any such in-between state for operators.
+    */
+  def mediaBatch(exactPath: String, semPath: String, framePath: String,
+      centroids: DataFrame, frameBytes: Int, startGen: Int = 1,
+      epoch: String = "0")(batch: DataFrame, batchId: Long): Unit = {
+    val b = batch.localCheckpoint()
+    assetBatch(exactPath, epoch)(b, batchId)
+    assetSemanticBatch(semPath, centroids, startGen, epoch)(b, batchId)
+    frameBatch(framePath, frameBytes, epoch)(b, batchId)
+  }
+
+  /** The combined-media standing pipeline — q202's three asset-side
+    * indexes maintained by ONE stream (q216 gates the served
+    * admission manifest against q202's fresh whole-corpus oracle).
+    * Batch boundaries cannot move any verdict: all three members'
+    * rows are per-payload facts, generations partition the delta,
+    * every probe reads the union.
+    */
+  def startMedia(assetStream: DataFrame, exactPath: String,
+      semPath: String, framePath: String, centroids: DataFrame,
+      frameBytes: Int, startGen: Int = 1, epoch: String = "0",
+      checkpointLocation: Option[String] = None): StreamingQuery =
+    withCheckpoint(assetStream.writeStream
+        .foreachBatch(mediaBatch(exactPath, semPath, framePath, centroids,
+          frameBytes, startGen, epoch) _),
+        checkpointLocation)
+      .outputMode("append")
+      .start()
+
+  /** Runs the combined media ingest over all currently-available
+    * input, then stops — the bounded-backfill form the q216 gate
+    * drives.
+    */
+  def ingestMedia(assetStream: DataFrame, exactPath: String,
+      semPath: String, framePath: String, centroids: DataFrame,
+      frameBytes: Int, startGen: Int = 1, epoch: String = "0"): Unit = {
+    val q = startMedia(assetStream, exactPath, semPath, framePath,
+      centroids, frameBytes, startGen, epoch)
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
+  /** Cross-index CONSISTENCY audit for the combined media pipeline:
+    * asset ids whose membership DIFFERS across the three indexes —
+    * empty iff every delivered batch landed in all three members.
+    * Non-empty rows localize a crash-between-members state (or a
+    * caller error: appending to one index outside [[mediaBatch]]);
+    * the fix is re-delivering the affected batch (the retry skips
+    * committed members) — never a manual append. Three narrow id
+    * scans + distinct + full-outer joins; output is bounded by the
+    * damage, zero rows when healthy.
+    */
+  def mediaConsistencyAudit(spark: SparkSession, exactPath: String,
+      semPath: String, framePath: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def ids(df: DataFrame, idCol: String, flag: String) =
+      df.select(col(idCol).as("asset_id")).distinct()
+        .withColumn(flag, lit(true))
+    ids(spark.read.parquet(s"$exactPath/fingerprints"), "asset_id",
+        "in_exact")
+      .join(ids(spark.read.parquet(semPath), "vec_id", "in_semantic"),
+        Seq("asset_id"), "full_outer")
+      .join(ids(spark.read.parquet(s"$framePath/frames"), "asset_id",
+          "in_frames"),
+        Seq("asset_id"), "full_outer")
+      .filter(col("in_exact").isNull || col("in_semantic").isNull ||
+        col("in_frames").isNull)
+      .select(col("asset_id"),
+        coalesce(col("in_exact"), lit(false)).as("in_exact"),
+        coalesce(col("in_semantic"), lit(false)).as("in_semantic"),
+        coalesce(col("in_frames"), lit(false)).as("in_frames"))
+  }
+
   /** Release-manifest member's per-batch body
     * ([[startAssetManifest]] + replay gates): the arriving payload
     * batch is reduced to its S manifest contribution rows

@@ -917,6 +917,19 @@ class PlanSpec extends AnyFunSuite {
       s"the serve is one bounded aggregate — no joins:\n$p")
   }
 
+  test("q216: streamed media manifest keeps q202's probe shape; consistency scalar broadcasts") {
+    val p = plan("q216_streaming_media")
+    assert("PartitionFilters: \\[[^\\]]*shard".r.findAllIn(p).size >= 2,
+      s"asset/frame index scans must stay shard-pruned:\n$p")
+    assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(p).isDefined,
+      s"the featurized semantic probe must stay cid-pruned:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      "snapshot probes must come from their checkpoints")
+    assert(!p.contains("documents.parquet"),
+      s"the corpus must not re-scan in the manifest plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"nothing may cross-join:\n$p")
+  }
+
   test("q200: frame dedup probes pruned text-free fingerprints; payloads stay in the featurize pass") {
     val p = plan("q200_frame_dedup_indexed")
     assert("PartitionFilters: \\[[^\\]]*shard".r.findFirstIn(p).isDefined,

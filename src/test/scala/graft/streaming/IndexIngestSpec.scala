@@ -523,6 +523,69 @@ class IndexIngestSpec extends AnyFunSuite {
       "a metadata-less asset must not land band rows")
   }
 
+  test("combined media ingest: one batch feeds three ledger members; a crash between members localizes and heals on retry") {
+    import graft.operators.{Clustering, Multimodal}
+    def b(s: String) = s.getBytes("UTF-8")
+    val base = Seq((10L, b("aaaa")), (11L, b("iiii")))
+      .toDF("asset_id", "payload")
+    val fp = TmpWorkspaces.pidScoped("graft_media_spec_", "fp")
+    val sem = TmpWorkspaces.pidScoped("graft_media_spec_", "sem")
+    val fr = TmpWorkspaces.pidScoped("graft_media_spec_", "fr")
+    Multimodal.assetWriteIndex(base, fp.toString)
+    val feats = Multimodal.featurizeVector(base, "asset_id")
+      .localCheckpoint()
+    val cents = feats.select($"vec_id".as("cid"),
+      $"embedding".as("centroid")).localCheckpoint()
+    Clustering.semanticWriteIndex(Clustering.assignL2(feats, cents),
+      sem.toString)
+    Multimodal.frameWriteIndex(base, fr.toString, frameBytes = 1024)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = IndexIngest.startMedia(in.toDS().toDF("asset_id", "payload"),
+      fp.toString, sem.toString, fr.toString, cents, frameBytes = 1024)
+    try {
+      Seq(Seq((21L, b("aaaa"))), Seq((23L, b("zzzz")))).foreach { chunk =>
+        in.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // one delivery = one marker in EACH member's ledger
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(fp.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for ((p, m) <- Seq((fp, "asset"), (sem, "asset_semantic"),
+        (fr, "frame")))
+      assert(fs.listStatus(
+        new Path(s"$p/_ingest_commits/$m/epoch=0")).length == 2,
+        s"member $m must hold one marker per batch")
+    assert(IndexIngest.mediaConsistencyAudit(spark, fp.toString,
+      sem.toString, fr.toString).isEmpty)
+
+    // crash between members: batch 5's delivery dies after the exact
+    // member committed — the audit localizes the asset to the one
+    // index that holds it
+    IndexIngest.assetBatch(fp.toString)(
+      Seq((30L, b("wwww"))).toDF("asset_id", "payload"), 5L)
+    val dmg = IndexIngest.mediaConsistencyAudit(spark, fp.toString,
+        sem.toString, fr.toString)
+      .as[(Long, Boolean, Boolean, Boolean)].collect().toSet
+    assert(dmg == Set((30L, true, false, false)), s"audit drifted: $dmg")
+
+    // the retry (same batchId through the REAL combined body) heals:
+    // the committed exact member skips, the missing two land
+    IndexIngest.mediaBatch(fp.toString, sem.toString, fr.toString, cents,
+      frameBytes = 1024)(
+      Seq((30L, b("wwww"))).toDF("asset_id", "payload"), 5L)
+    assert(IndexIngest.mediaConsistencyAudit(spark, fp.toString,
+      sem.toString, fr.toString).isEmpty,
+      "the healed pipeline must audit consistent")
+    assert(spark.read.parquet(s"$fp/fingerprints")
+      .filter($"asset_id" === 30).count() == 1,
+      "the skipped member must hold the asset exactly once, not twice")
+  }
+
   test("streaming manifest ingest: S contribution rows per batch, serve folds to the fresh manifest, replay skipped") {
     import graft.operators.Multimodal
     def b(s: String) = s.getBytes("UTF-8")
