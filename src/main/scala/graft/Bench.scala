@@ -37,7 +37,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // lossless artifact: the driver parses stdout, where sbt's own
+    // [success] tail has truncated the line twice (BENCH_r18/r19
+    // "parsed: null") — persist the identical JSON to a stable path
+    // so the per-query map survives regardless of stdout framing
+    try {
+      val out = java.nio.file.Paths.get("bench_runs/latest.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -199,8 +199,10 @@ object Clustering {
     * algorithm: Abbas et al. 2023 (SemDeDup), public.
     */
   def semanticWriteIndex(assigned: DataFrame, path: String,
-      idCol: String = "vec_id"): Unit =
+      idCol: String = "vec_id"): Unit = {
+    IndexPaths.clearPointer(assigned.sparkSession, path)
     writeSemGeneration(assigned, path, idCol, gen = 0, mode = "overwrite")
+  }
 
   /** Appends a NEW-SNAPSHOT generation of assignments — delta-sized,
     * zero base reads. The delta must be assigned against the SAME
@@ -218,7 +220,9 @@ object Clustering {
   def semanticAppendIndex(assignedDelta: DataFrame, path: String,
       gen: Int, idCol: String = "vec_id"): Unit = {
     require(gen > 0, s"append generations start at 1 (0 is the base build), got $gen")
-    writeSemGeneration(assignedDelta, path, idCol, gen, mode = "append")
+    writeSemGeneration(assignedDelta,
+      IndexPaths.resolve(assignedDelta.sparkSession, path), idCol, gen,
+      mode = "append")
   }
 
   private def writeSemGeneration(assigned: DataFrame, path: String,
@@ -279,7 +283,7 @@ object Clustering {
         "touches effectively every cluster, where a fresh semDedup " +
         "run reads the same data without the index round-trip")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cid"))
-    val members = spark.read.parquet(path)
+    val members = spark.read.parquet(IndexPaths.resolve(spark, path))
       .filter(col("cid").isin(probed.toSeq: _*))
       .select(col("cid").cast("long").as("cid"), col(idCol).as("uid"),
         asD(col("v")).as("uv"))
@@ -315,7 +319,7 @@ object Clustering {
     */
   def semanticAuditIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String = "vec_id"): DataFrame =
-    spark.read.parquet(path)
+    spark.read.parquet(IndexPaths.resolve(spark, path))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_copies"),
         count_distinct(struct(col("v"), col("d2"), col("gen"), col("cid")))
@@ -337,21 +341,33 @@ object Clustering {
     * replay → audit → compact → probe ≡ the clean fresh-union oracle.
     */
   def semanticCompactIndex(spark: org.apache.spark.sql.SparkSession,
-      srcPath: String, dstPath: String, idCol: String = "vec_id"): Unit = {
+      srcPath0: String, dstPath: String, idCol: String = "vec_id"): Unit = {
+    val srcPath = IndexPaths.resolve(spark, srcPath0)
     val rows = spark.read.parquet(srcPath)
       .select(col(idCol), col("v"), col("d2"), col("gen"), col("cid"))
       .dropDuplicates()
       .localCheckpoint()
     val divergent = rows.groupBy(col(idCol))
       .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
-    require(divergent.isEmpty,
-      s"semanticCompactIndex: member ${divergent.headOption.map(_.get(0))} " +
-        "has payload-divergent copies (same id, different v/cid/gen/d2) — " +
-        "not append-replay damage; rebuild the index from a fresh " +
-        "assignment instead")
+    require(divergent.isEmpty, {
+      val d = divergent.head
+      s"semanticCompactIndex: member ${d.get(0)} has payload-divergent " +
+        "copies (same id, different v/cid/gen/d2) — not append-replay " +
+        "damage; rebuild the index from a fresh assignment instead"
+    })
     rows.repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(dstPath)
   }
+
+  /** ONLINE repair: [[semanticCompactIndex]] into the next generation
+    * under the same root + the atomic [[IndexPaths.compactSwap]]
+    * pointer cutover — standing probes keep the old generation; new
+    * resolves serve the repaired one. Returns the new generation dir.
+    */
+  def semanticCompactSwap(spark: org.apache.spark.sql.SparkSession,
+      root: String, idCol: String = "vec_id"): String =
+    IndexPaths.compactSwap(spark, root)(
+      semanticCompactIndex(spark, _, _, idCol))
 
   /** CENTROID-STALENESS drift audit of a semantic index — the
     * embedding-side twin of the bigram-model drift audit (q169) and of
@@ -384,7 +400,7 @@ object Clustering {
       path: String, shareDrift: Double = 0.05): DataFrame = {
     val wAll = org.apache.spark.sql.expressions.Window
       .partitionBy(lit(1))
-    val agg = spark.read.parquet(path)
+    val agg = spark.read.parquet(IndexPaths.resolve(spark, path))
       .select(col("cid").cast("long").as("cid"), col("gen"),
         floor(col("d2") * lit(Scale)).cast("long").as("d2f"))
       .groupBy(col("cid"))

@@ -327,7 +327,8 @@ object Curation {
       stratumCol: String, keyCol: String, textCol: String): Unit =
     batch.select(col(stratumCol), col(keyCol),
         size(TextOps.tokens(col(textCol))).cast("long").as("n_toks"))
-      .write.mode("append").parquet(path)
+      .write.mode("append")
+      .parquet(IndexPaths.resolve(batch.sparkSession, path))
 
   /** Serves the standing admission manifest from a written mixture
     * payload ([[mixtureAppendIndex]] generations): derive rates from
@@ -339,7 +340,8 @@ object Curation {
   def mixtureServeIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, stratumCol: String, keyCol: String,
       budget: Long): DataFrame =
-    mixtureFromCounts(spark.read.parquet(path), stratumCol, keyCol, budget)
+    mixtureFromCounts(spark.read.parquet(IndexPaths.resolve(spark, path)),
+      stratumCol, keyCol, budget)
 
   /** Replay audit of a written mixture payload ([[mixtureAppendIndex]]
     * generations): duplicate keys, with copy count and DISTINCT-payload
@@ -355,7 +357,7 @@ object Curation {
   def mixtureAuditIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, stratumCol: String = "source",
       keyCol: String = "doc_id"): DataFrame =
-    spark.read.parquet(path)
+    spark.read.parquet(IndexPaths.resolve(spark, path))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_copies"),
         count_distinct(struct(col(stratumCol), col("n_toks")))
@@ -369,8 +371,9 @@ object Curation {
     * count per document and rates would still be wrong.
     */
   def mixtureCompactIndex(spark: org.apache.spark.sql.SparkSession,
-      srcPath: String, dstPath: String, stratumCol: String = "source",
+      srcPath0: String, dstPath: String, stratumCol: String = "source",
       keyCol: String = "doc_id"): Unit = {
+    val srcPath = IndexPaths.resolve(spark, srcPath0)
     val rows = spark.read.parquet(srcPath)
       .select(col(stratumCol), col(keyCol), col("n_toks"))
       .dropDuplicates()
@@ -384,6 +387,16 @@ object Curation {
         "instead")
     rows.write.mode("overwrite").parquet(dstPath)
   }
+
+  /** ONLINE repair: [[mixtureCompactIndex]] into the next generation
+    * under the same root + the atomic [[IndexPaths.compactSwap]]
+    * pointer cutover. Returns the new generation dir.
+    */
+  def mixtureCompactSwap(spark: org.apache.spark.sql.SparkSession,
+      root: String, stratumCol: String = "source",
+      keyCol: String = "doc_id"): String =
+    IndexPaths.compactSwap(spark, root)(
+      mixtureCompactIndex(spark, _, _, stratumCol, keyCol))
 
   /** Day-2 of [[temperatureMixture]]: a snapshot lands, the per-source
     * token masses move, and — the budget being FIXED — every source's

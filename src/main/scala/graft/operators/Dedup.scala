@@ -656,8 +656,10 @@ object Dedup {
     * needs no signature re-read).
     */
   def simhashWriteIndex(df: DataFrame, path: String,
-      idCol: String, textCol: String, blockCol: String): Unit =
+      idCol: String, textCol: String, blockCol: String): Unit = {
+    IndexPaths.clearPointer(df.sparkSession, path)
     writeSimhashGeneration(df, path, idCol, textCol, blockCol, "overwrite")
+  }
 
   /** Appends a NEW-DOCUMENT snapshot's band rows — delta-sized, zero
     * base reads; the usual new-ids / exactly-once append contract (a
@@ -666,7 +668,8 @@ object Dedup {
     */
   def simhashAppendIndex(df: DataFrame, path: String,
       idCol: String, textCol: String, blockCol: String): Unit =
-    writeSimhashGeneration(df, path, idCol, textCol, blockCol, "append")
+    writeSimhashGeneration(df, IndexPaths.resolve(df.sparkSession, path),
+      idCol, textCol, blockCol, "append")
 
   private def writeSimhashGeneration(df: DataFrame, path: String,
       idCol: String, textCol: String, blockCol: String, mode: String): Unit =
@@ -699,7 +702,7 @@ object Dedup {
     val shards = qb
       .select(simhashShard(col("bidx"), col("bval")).as("pshard"))
       .distinct().collect().map(_.getInt(0))
-    val probed = spark.read.parquet(s"$path/bands")
+    val probed = spark.read.parquet(s"${IndexPaths.resolve(spark, path)}/bands")
       .filter(col("pshard").isin(shards.toSeq: _*))
       .join(broadcast(
           qb.select(col("blk"), col("bidx"), col("bval")).distinct()),
@@ -732,7 +735,7 @@ object Dedup {
     */
   def simhashAuditIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
-    spark.read.parquet(s"$path/bands")
+    spark.read.parquet(s"${IndexPaths.resolve(spark, path)}/bands")
       .groupBy(col("doc_id"), col("bidx"))
       .agg(count(lit(1)).as("n_copies"),
         count_distinct(col("simhash")).as("n_payloads"))
@@ -749,7 +752,8 @@ object Dedup {
     * then-swap to a NEW path, the family's idiom.
     */
   def simhashCompactIndex(spark: org.apache.spark.sql.SparkSession,
-      srcPath: String, dstPath: String): Unit = {
+      srcPath0: String, dstPath: String): Unit = {
+    val srcPath = IndexPaths.resolve(spark, srcPath0)
     val rows = spark.read.parquet(s"$srcPath/bands")
       .select(col("doc_id"), col("blk"), col("bidx"), col("bval"),
         col("simhash"), col("pshard"))
@@ -757,16 +761,25 @@ object Dedup {
       .localCheckpoint()
     val divergent = rows.groupBy(col("doc_id"), col("bidx"))
       .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
-    require(divergent.isEmpty,
-      s"simhashCompactIndex: doc ${divergent.headOption.map(_.get(0))} " +
-        s"band ${divergent.headOption.map(_.get(1))} has payload-" +
-        "divergent copies (same coordinate, different fingerprint) — " +
-        "not append-replay damage; re-append the document's true band " +
-        "rows and rebuild instead")
+    require(divergent.isEmpty, {
+      val d = divergent.head
+      s"simhashCompactIndex: doc ${d.get(0)} band ${d.get(1)} has " +
+        "payload-divergent copies (same coordinate, different " +
+        "fingerprint) — not append-replay damage; re-append the " +
+        "document's true band rows and rebuild instead"
+    })
     rows.repartition(col("pshard"))
       .write.mode("overwrite").partitionBy("pshard")
       .parquet(s"$dstPath/bands")
   }
+
+  /** ONLINE repair: [[simhashCompactIndex]] into the next generation
+    * under the same root + the atomic [[IndexPaths.compactSwap]]
+    * pointer cutover. Returns the new generation dir.
+    */
+  def simhashCompactSwap(spark: org.apache.spark.sql.SparkSession,
+      root: String): String =
+    IndexPaths.compactSwap(spark, root)(simhashCompactIndex(spark, _, _))
 
   // ------------------------------------------------------------------
   // Blocked n-gram Jaccard (no LSH; exact within blocks)
@@ -1348,12 +1361,28 @@ object Dedup {
       blockCol: String, k: Int = 7, w: Int = 4, minShared: Long = 2L,
       maxPostingSize: Int = 10000): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    val shards = winnowSets(deltaDocs, idCol, textCol, blockCol, k, w)
-      .select(explode(col("hs")).as("h"))
+    // one delta-sized fingerprint pass, materialized: it feeds the
+    // driver's shard collect AND the (blk, h) semi prune below
+    val qfps = winnowSets(deltaDocs, idCol, textCol, blockCol, k, w)
+      .select(col("blk"), explode(col("hs")).as("h"))
+      .distinct().localCheckpoint()
+    val shards = qfps
       .select(pmod(col("h"), lit(256)).cast("int").as("shard"))
       .distinct().collect().map(_.getInt(0))
     val probe = spark.read.parquet(s"$path/postings")
       .filter(col("shard").isin(shards.toSeq: _*))
+      // the PRUNED-REGIME join: keep only posting groups whose (blk, h)
+      // is one of the delta's own fingerprints. EXACT by the same
+      // argument as the shard pruning one level up — every shared
+      // fingerprint of a delta-endpoint pair is a fingerprint the delta
+      // document itself posts — and kept groups retain their FULL
+      // membership, so the posting cap fires exactly as in the fresh
+      // run. Cost: pair emission drops from the touched shards' entire
+      // content (corpus/256 per shard — the q190 quarter-corpus
+      // worst case) to the matched posting lists only; for a small
+      // delta AQE re-plans this as a broadcast semi join over the
+      // delta's fingerprint set, leaving the probe shuffle-free.
+      .join(qfps, Seq("blk", "h"), "leftsemi")
     val pairs = emitSortedPairs(probe, keys = Seq("blk", "h"),
       item = struct(col("doc_id"), col("n")), capCol = "posting_n",
       maxGroupSize = maxPostingSize, aName = "a", bName = "b",

@@ -324,8 +324,10 @@ object Multimodal {
     * snapshot-touched fingerprints).
     */
   def assetWriteIndex(assets: DataFrame, path: String,
-      idCol: String = "asset_id", payloadCol: String = "payload"): Unit =
+      idCol: String = "asset_id", payloadCol: String = "payload"): Unit = {
+    IndexPaths.clearPointer(assets.sparkSession, path)
     writeAssetFpGeneration(assets, path, idCol, payloadCol, "overwrite")
+  }
 
   /** Appends a NEW-ASSET snapshot's fingerprints — delta-sized, zero
     * base reads; the usual new-ids / exactly-once append contract (a
@@ -334,7 +336,9 @@ object Multimodal {
     */
   def assetAppendIndex(assets: DataFrame, path: String,
       idCol: String = "asset_id", payloadCol: String = "payload"): Unit =
-    writeAssetFpGeneration(assets, path, idCol, payloadCol, "append")
+    writeAssetFpGeneration(assets,
+      IndexPaths.resolve(assets.sparkSession, path), idCol, payloadCol,
+      "append")
 
   private def writeAssetFpGeneration(assets: DataFrame, path: String,
       idCol: String, payloadCol: String, mode: String): Unit =
@@ -352,7 +356,7 @@ object Multimodal {
     */
   def assetAuditIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
-    spark.read.parquet(s"$path/fingerprints")
+    spark.read.parquet(s"${IndexPaths.resolve(spark, path)}/fingerprints")
       .groupBy(col("asset_id"))
       .agg(count(lit(1)).as("n_copies"),
         count_distinct(col("fingerprint")).as("n_payloads"))
@@ -375,7 +379,8 @@ object Multimodal {
     * Stage-then-swap to a NEW path, the family's idiom.
     */
   def assetCompactIndex(spark: org.apache.spark.sql.SparkSession,
-      srcPath: String, dstPath: String): Unit = {
+      srcPath0: String, dstPath: String): Unit = {
+    val srcPath = IndexPaths.resolve(spark, srcPath0)
     val rows = spark.read.parquet(s"$srcPath/fingerprints")
       .select(col("asset_id"), col("fingerprint"), col("shard"))
       .dropDuplicates()
@@ -392,6 +397,14 @@ object Multimodal {
       .parquet(s"$dstPath/fingerprints")
   }
 
+  /** ONLINE repair: [[assetCompactIndex]] into the next generation
+    * under the same root + the atomic [[IndexPaths.compactSwap]]
+    * pointer cutover. Returns the new generation dir.
+    */
+  def assetCompactSwap(spark: org.apache.spark.sql.SparkSession,
+      root: String): String =
+    IndexPaths.compactSwap(spark, root)(assetCompactIndex(spark, _, _))
+
   /** Incremental exact-dup clustering of a new asset snapshot against
     * an [[assetWriteIndex]] layout that already contains it — the
     * [[Dedup.exactClustersIndexed]] probe shape on the binary side:
@@ -406,12 +419,13 @@ object Multimodal {
       path: String, deltaAssets: DataFrame,
       idCol: String = "asset_id", payloadCol: String = "payload")
       : DataFrame = {
+    val root = IndexPaths.resolve(spark, path)
     val deltaFp = deltaAssets
       .select(md5(col(payloadCol)).as("fingerprint")).distinct()
     val shards = deltaFp
       .select(substring(col("fingerprint"), 1, 2).as("shard"))
       .distinct().collect().map(_.getString(0))
-    spark.read.parquet(s"$path/fingerprints")
+    spark.read.parquet(s"$root/fingerprints")
       .filter(col("shard").isin(shards.toSeq: _*))
       .join(broadcast(deltaFp), Seq("fingerprint"), "leftsemi")
       .groupBy(col("fingerprint"))
@@ -419,15 +433,36 @@ object Multimodal {
         count(lit(1)).as("cluster_size"))
   }
 
+  /** Lowercase hex of a byte range — the BYTE-EXACT ORACLE BRIDGE all
+    * frame fingerprints route through: md5-of-hex (not md5-of-bytes)
+    * lets the DuckDB oracle replay the EXACT same hash over
+    * `lower(to_hex(encode(text)))` slices for ARBITRARY payload bytes
+    * — a char-based `substring(text, ...)` slice is only byte-correct
+    * on ASCII, and DuckDB 1.0 exposes no BLOB substring/md5. Hex is
+    * bijective on bytes, so frame identity is unchanged.
+    */
+  private def hexOf(bytes: Array[Byte], from: Int, until: Int): String = {
+    val sb = new java.lang.StringBuilder((until - from) * 2)
+    var i = from
+    while (i < until) {
+      sb.append(Character.forDigit((bytes(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(bytes(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Per-frame content fingerprints: each payload split into
     * fixed-size byte frames (the [[sampleFrames]] geometry), one
-    * (asset_id, frame_no, fingerprint = md5 of the frame's BYTES) row
+    * (asset_id, frame_no, fingerprint = md5 of the frame's lowercase
+    * HEX encoding — see [[hexOf]]: bijective on the frame's bytes and
+    * byte-exactly replayable by the SQL oracle on any payload) row
     * per frame — the SUB-ASSET granularity of the dedup family, the
     * media twin of the text block fingerprints
     * ([[Dedup.blockWriteIndex]]'s explode): "has this video segment /
     * audio chunk appeared anywhere before" needs frame identity, not
     * whole-file identity. An empty payload is one empty frame (md5 of
-    * zero bytes), so every asset appears. One object-barrier
+    * the empty string), so every asset appears. One object-barrier
     * mapPartitions pass; only (id, no, 32-hex) rows leave — payloads
     * never shuffle.
     */
@@ -448,7 +483,8 @@ object Multimodal {
           val from = math.min(i * frameBytes, bytes.length)
           val until = math.min(from + frameBytes, bytes.length)
           md.reset()
-          val d = md.digest(java.util.Arrays.copyOfRange(bytes, from, until))
+          val d = md.digest(hexOf(bytes, from, until)
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
           Row(r.getLong(idIdx), i.toLong,
             d.map("%02x".format(_)).mkString)
         }
@@ -465,15 +501,19 @@ object Multimodal {
     * the payload sizes.
     */
   def frameWriteIndex(assets: DataFrame, path: String, frameBytes: Int,
-      idCol: String = "asset_id"): Unit =
+      idCol: String = "asset_id"): Unit = {
+    IndexPaths.clearPointer(assets.sparkSession, path)
     writeFrameGeneration(assets, path, frameBytes, idCol, "overwrite")
+  }
 
   /** Appends a NEW-ASSET snapshot's frame fingerprints — delta-sized,
     * zero base reads; the usual new-ids / exactly-once append contract.
     */
   def frameAppendIndex(assets: DataFrame, path: String, frameBytes: Int,
       idCol: String = "asset_id"): Unit =
-    writeFrameGeneration(assets, path, frameBytes, idCol, "append")
+    writeFrameGeneration(assets,
+      IndexPaths.resolve(assets.sparkSession, path), frameBytes, idCol,
+      "append")
 
   private def writeFrameGeneration(assets: DataFrame, path: String,
       frameBytes: Int, idCol: String, mode: String): Unit =
@@ -491,7 +531,7 @@ object Multimodal {
     */
   def frameAuditIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
-    spark.read.parquet(s"$path/frames")
+    spark.read.parquet(s"${IndexPaths.resolve(spark, path)}/frames")
       .groupBy(col("asset_id"), col("frame_no"))
       .agg(count(lit(1)).as("n_copies"),
         count_distinct(col("fingerprint")).as("n_payloads"))
@@ -509,7 +549,8 @@ object Multimodal {
     * here). Stage-then-swap to a NEW path, the family's idiom.
     */
   def frameCompactIndex(spark: org.apache.spark.sql.SparkSession,
-      srcPath: String, dstPath: String): Unit = {
+      srcPath0: String, dstPath: String): Unit = {
+    val srcPath = IndexPaths.resolve(spark, srcPath0)
     val rows = spark.read.parquet(s"$srcPath/frames")
       .select(col("asset_id"), col("frame_no"), col("fingerprint"),
         col("shard"))
@@ -517,15 +558,24 @@ object Multimodal {
       .localCheckpoint()
     val divergent = rows.groupBy(col("asset_id"), col("frame_no"))
       .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
-    require(divergent.isEmpty,
-      s"frameCompactIndex: frame (${divergent.headOption.map(_.get(0))}, " +
-        s"${divergent.headOption.map(_.get(1))}) has payload-divergent " +
-        "copies (same coordinate, different bytes) — not append-replay " +
-        "damage; re-ingest the asset and rebuild instead")
+    require(divergent.isEmpty, {
+      val d = divergent.head
+      s"frameCompactIndex: frame (${d.get(0)}, ${d.get(1)}) has payload-" +
+        "divergent copies (same coordinate, different bytes) — not " +
+        "append-replay damage; re-ingest the asset and rebuild instead"
+    })
     rows.repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard")
       .parquet(s"$dstPath/frames")
   }
+
+  /** ONLINE repair: [[frameCompactIndex]] into the next generation
+    * under the same root + the atomic [[IndexPaths.compactSwap]]
+    * pointer cutover. Returns the new generation dir.
+    */
+  def frameCompactSwap(spark: org.apache.spark.sql.SparkSession,
+      root: String): String =
+    IndexPaths.compactSwap(spark, root)(frameCompactIndex(spark, _, _))
 
   /** Incremental frame-level exact dedup of a new asset snapshot
     * against a [[frameWriteIndex]] layout AFTER the snapshot was
@@ -550,7 +600,7 @@ object Multimodal {
     val shards = frames
       .select(substring(col("fingerprint"), 1, 2).as("shard"))
       .distinct().collect().map(_.getString(0))
-    val mins = spark.read.parquet(s"$path/frames")
+    val mins = spark.read.parquet(s"${IndexPaths.resolve(spark, path)}/frames")
       .filter(col("shard").isin(shards.toSeq: _*))
       .join(broadcast(frames.select(col("fingerprint")).distinct()),
         Seq("fingerprint"), "leftsemi")
@@ -598,7 +648,7 @@ object Multimodal {
     val shards = frames
       .select(substring(col("fingerprint"), 1, 2).as("shard"))
       .distinct().collect().map(_.getString(0))
-    val hits = spark.read.parquet(s"$path/frames")
+    val hits = spark.read.parquet(s"${IndexPaths.resolve(spark, path)}/frames")
       .filter(col("shard").isin(shards.toSeq: _*))
       .join(broadcast(frames.select(col("fingerprint")).distinct()),
         Seq("fingerprint"), "leftsemi")
@@ -620,13 +670,26 @@ object Multimodal {
 
   /** Frames as DOCUMENTS: each payload split into fixed-size byte
     * frames (the [[frameFingerprints]] geometry — an empty payload is
-    * one empty frame) and DECODED to text, one (doc_id =
-    * asset_id·2^20 + frame_no, blk, text) row per frame — the input
-    * shape [[Dedup.simhashWriteIndex]]/[[Dedup.simhashNearDupIndexed]]
+    * one empty frame) and rendered as SPACE-JOINED 4-BYTE HEX
+    * SHINGLES — "`c3a90a1b a90a1b2c …`", one shingle per byte offset
+    * (a frame of ≤4 bytes is its single hex token; an empty frame is
+    * the empty text) — one (doc_id = asset_id·2^20 + frame_no, blk,
+    * text) row per frame: the input shape
+    * [[Dedup.simhashWriteIndex]]/[[Dedup.simhashNearDupIndexed]]
     * take, so frame-level NEAR-dup is the q167/q168 contract applied
-    * below the asset. One object-barrier mapPartitions pass; payloads
-    * never shuffle — only the ≤`frameBytes` frame texts leave, and
-    * only into the zero-shuffle fingerprint pass.
+    * below the asset, with the SimHash features being overlapping
+    * byte 4-grams of the RAW frame bytes. Why hex shingles and not a
+    * UTF-8 decode: (a) hex is BIJECTIVE on bytes — a lossy decode
+    * collapses distinct binary frames onto U+FFFD-laden twins, moving
+    * near-dup verdicts on real media; (b) byte 4-grams are the right
+    * locality feature for binary payloads (one flipped byte disturbs
+    * exactly 4 shingles of ~61 in a 64-byte frame); (c) the tokens
+    * are [0-9a-f]+, so the existing normalize/tokenize/hash machinery
+    * AND the SQL oracle (`lower(to_hex(encode(text)))` slices) replay
+    * them byte-exactly on ANY payload — no ASCII fixture assumption.
+    * One object-barrier mapPartitions pass; payloads never shuffle —
+    * only the ~2.2×frameBytes-char shingle texts leave, and only into
+    * the zero-shuffle fingerprint pass.
     */
   def frameTexts(df: DataFrame, idCol: String, frameBytes: Int,
       blockCol: String): DataFrame = {
@@ -653,9 +716,12 @@ object Multimodal {
           (0 until n).iterator.map { i =>
             val from = math.min(i * frameBytes, bytes.length)
             val until = math.min(from + frameBytes, bytes.length)
-            Row(id * FrameIdStride + i, blk,
-              new String(bytes, from, until - from,
-                java.nio.charset.StandardCharsets.UTF_8))
+            val hex = hexOf(bytes, from, until)
+            val text =
+              if (hex.length <= 8) hex
+              else (0 to hex.length / 2 - 4).iterator
+                .map(j => hex.substring(2 * j, 2 * j + 8)).mkString(" ")
+            Row(id * FrameIdStride + i, blk, text)
           }
         }
       }
@@ -735,6 +801,16 @@ object Multimodal {
       srcPath: String, dstPath: String): Unit =
     Dedup.simhashCompactIndex(spark, srcPath, dstPath)
 
+  /** ONLINE repair: [[frameSimhashCompactIndex]] into the next
+    * generation under the same root + the atomic
+    * [[IndexPaths.compactSwap]] pointer cutover. Returns the new
+    * generation dir.
+    */
+  def frameSimhashCompactSwap(spark: org.apache.spark.sql.SparkSession,
+      root: String): String =
+    IndexPaths.compactSwap(spark, root)(
+      frameSimhashCompactIndex(spark, _, _))
+
   /** Release MANIFEST of a media corpus — [[Curation.releaseManifest]]'s
     * contract (q184's release family) on assets: per key-shard (md5 of
     * the asset id — uniform regardless of payload-size skew) the asset
@@ -772,7 +848,7 @@ object Multimodal {
     */
   def assetManifestFromIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
-    spark.read.parquet(s"$path/fingerprints")
+    spark.read.parquet(s"${IndexPaths.resolve(spark, path)}/fingerprints")
       .select(
         substring(md5(col("asset_id").cast("string")), 1, 2).as("shard"),
         TextOps.hash60(concat(col("asset_id").cast("string"),
@@ -794,7 +870,8 @@ object Multimodal {
   def manifestAppendGeneration(assets: DataFrame, path: String,
       idCol: String = "asset_id", payloadCol: String = "payload"): Unit =
     assetReleaseManifest(assets, idCol, payloadCol)
-      .write.mode("append").parquet(s"$path/manifest")
+      .write.mode("append")
+      .parquet(s"${IndexPaths.resolve(assets.sparkSession, path)}/manifest")
 
   /** Serves the standing release manifest from its generation
     * contribution rows: counts/bytes sum, checksums XOR — the same
@@ -803,7 +880,7 @@ object Multimodal {
     */
   def assetManifestServe(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
-    spark.read.parquet(s"$path/manifest")
+    spark.read.parquet(s"${IndexPaths.resolve(spark, path)}/manifest")
       .groupBy(col("shard"))
       .agg(sum(col("n_assets")).as("n_assets"),
         sum(col("n_bytes")).as("n_bytes"),

@@ -484,6 +484,7 @@ object Pq {
       codebook: DataFrame, path: String, idCol: String = "vec_id",
       vecCol: String = "embedding", centroidIdCol: String = "centroid_id")
       : Unit = {
+    IndexPaths.clearPointer(encoded.sparkSession, path)
     ivfPqWriteIndex(encoded, s"$path/codes")
     centroids
       .select(col(centroidIdCol).cast("long").as("centroid_id"),
@@ -506,14 +507,16 @@ object Pq {
       spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, k: Int, nprobe: Int, idCol: String = "vec_id",
       vecCol: String = "embedding",
-      maxProbedBuckets: Int = Similarity.MaxLiteralCentroids): DataFrame =
-    ivfPqTopKIndexed(spark, s"$path/codes",
+      maxProbedBuckets: Int = Similarity.MaxLiteralCentroids): DataFrame = {
+    val root = IndexPaths.resolve(spark, path)
+    ivfPqTopKIndexed(spark, s"$root/codes",
       // metadata persists under canonical names; align to the caller's
       // query-side vecCol (ivfPqTopKIndexed reads one vecCol for both)
-      spark.read.parquet(s"$path/meta/centroids")
+      spark.read.parquet(s"$root/meta/centroids")
         .withColumnRenamed("embedding", vecCol),
-      spark.read.parquet(s"$path/meta/codebook"),
+      spark.read.parquet(s"$root/meta/codebook"),
       queries, k, nprobe, idCol, vecCol, "centroid_id", maxProbedBuckets)
+  }
 
   /** Appends a RAW-vector delta to a self-contained index
     * ([[ivfPqWriteIndexFull]]) using ONLY the path: coarse centroids
@@ -530,15 +533,16 @@ object Pq {
       spark: org.apache.spark.sql.SparkSession, path: String,
       delta: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
-    val centroids = spark.read.parquet(s"$path/meta/centroids")
+    val root = IndexPaths.resolve(spark, path)
+    val centroids = spark.read.parquet(s"$root/meta/centroids")
       .withColumnRenamed("embedding", vecCol)
-    val codebook = spark.read.parquet(s"$path/meta/codebook")
+    val codebook = spark.read.parquet(s"$root/meta/codebook")
     val assigned = Similarity.ivfAssign(delta, centroids, idCol, vecCol,
       "centroid_id")
     ivfPqAppendIndex(
       ivfPqEncode(assigned, centroids, codebook, idCol, vecCol,
         "centroid_id"),
-      s"$path/codes")
+      s"$root/codes")
   }
 
   /** Per-bucket occupancy and norm-range stats of a written IVF-PQ
@@ -581,7 +585,7 @@ object Pq {
     */
   def ivfPqAuditIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String = "vec_id"): DataFrame =
-    spark.read.parquet(s"$path/codes")
+    spark.read.parquet(s"${IndexPaths.resolve(spark, path)}/codes")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_copies"),
         count_distinct(col("bucket")).as("n_buckets"))
@@ -606,7 +610,8 @@ object Pq {
     * repair op should be; day-1 builds and day-2 appends never pay it.
     */
   def ivfPqCompactIndex(spark: org.apache.spark.sql.SparkSession,
-      srcPath: String, dstPath: String, idCol: String = "vec_id"): Unit = {
+      srcPath0: String, dstPath: String, idCol: String = "vec_id"): Unit = {
+    val srcPath = IndexPaths.resolve(spark, srcPath0)
     val codes = spark.read.parquet(s"$srcPath/codes").dropDuplicates()
     val divergent = codes.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).limit(1).collect()
@@ -620,6 +625,16 @@ object Pq {
     spark.read.parquet(s"$srcPath/meta/codebook")
       .coalesce(1).write.mode("overwrite").parquet(s"$dstPath/meta/codebook")
   }
+
+  /** ONLINE repair: [[ivfPqCompactIndex]] into the next generation
+    * under the same root + the atomic [[IndexPaths.compactSwap]]
+    * pointer cutover ([[ivfPqTopKFromIndex]] / append / audit resolve
+    * it). Returns the new generation dir.
+    */
+  def ivfPqCompactSwap(spark: org.apache.spark.sql.SparkSession,
+      root: String, idCol: String = "vec_id"): String =
+    IndexPaths.compactSwap(spark, root)(
+      ivfPqCompactIndex(spark, _, _, idCol))
 
   /** IVF-PQ serving with EXACT re-ranking (the standard two-stage ANN
     * serve, Jégou et al. §V.C): ADC ranks a `shortlist` of R ≥ k

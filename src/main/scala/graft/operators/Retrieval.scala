@@ -157,8 +157,10 @@ object Retrieval {
     * a standing retrieval service serves from.
     */
   def bm25WriteIndex(docs: DataFrame, path: String,
-      idCol: String = "doc_id", textCol: String = "text"): Unit =
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    IndexPaths.clearPointer(docs.sparkSession, path)
     writeIndexGeneration(docs, path, idCol, textCol, "overwrite")
+  }
 
   /** Appends a NEW-DOCUMENT generation to a [[bm25WriteIndex]] layout
     * — the lexical `ivfPqAppendToIndex`: one delta-sized tokenize, a
@@ -178,7 +180,8 @@ object Retrieval {
     */
   def bm25AppendIndex(docs: DataFrame, path: String,
       idCol: String = "doc_id", textCol: String = "text"): Unit =
-    writeIndexGeneration(docs, path, idCol, textCol, "append")
+    writeIndexGeneration(docs,
+      IndexPaths.resolve(docs.sparkSession, path), idCol, textCol, "append")
 
   private def writeIndexGeneration(docs: DataFrame, path: String,
       idCol: String, textCol: String, mode: String): Unit = {
@@ -217,8 +220,9 @@ object Retrieval {
     * q146's own oracle.
     */
   def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession,
-      path: String, queries: DataFrame, k: Int,
+      path0: String, queries: DataFrame, k: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val path = IndexPaths.resolve(spark, path0)
     val qt = queryTerms(queries, idCol, textCol)
     val shards = qt
       .select(substring(md5(col("term")), 1, 2).as("shard"))
@@ -249,7 +253,8 @@ object Retrieval {
     * Two narrow grouped scans + a 256-row join; never reads text.
     */
   def bm25IndexStats(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame = {
+      path0: String): DataFrame = {
+    val path = IndexPaths.resolve(spark, path0)
     val p = spark.read.parquet(s"$path/postings")
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_postings"),
@@ -277,7 +282,7 @@ object Retrieval {
     */
   def bm25AuditIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
-    spark.read.parquet(s"$path/postings")
+    spark.read.parquet(s"${IndexPaths.resolve(spark, path)}/postings")
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("n_copies"),
         count_distinct(struct(col("tf"), col("dl"))).as("n_payloads"))
@@ -308,7 +313,8 @@ object Retrieval {
     * should be.
     */
   def bm25CompactIndex(spark: org.apache.spark.sql.SparkSession,
-      srcPath: String, dstPath: String): Unit = {
+      srcPath0: String, dstPath: String): Unit = {
+    val srcPath = IndexPaths.resolve(spark, srcPath0)
     val postings = spark.read.parquet(s"$srcPath/postings")
       .select(col("doc_id"), col("term"), col("tf"), col("dl"), col("shard"))
       .dropDuplicates()
@@ -347,6 +353,17 @@ object Retrieval {
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dstPath/meta/stats")
   }
+
+  /** ONLINE repair: [[bm25CompactIndex]] into the next generation
+    * directory under the SAME root, then an atomic pointer cutover
+    * ([[IndexPaths.compactSwap]]) — standing readers that resolved
+    * before the swap keep serving the old generation unharmed; every
+    * later [[bm25TopKIndexed]]/append through `root` resolves to the
+    * repaired one. Returns the new generation's directory.
+    */
+  def bm25CompactSwap(spark: org.apache.spark.sql.SparkSession,
+      root: String): String =
+    IndexPaths.compactSwap(spark, root)(bm25CompactIndex(spark, _, _))
 
   /** DuckDB twin of [[bm25TopK]] as a WITH-clause body (no trailing
     * SELECT): defines CTEs `bm25` = (query_id, rnk, doc_id, score_fp)

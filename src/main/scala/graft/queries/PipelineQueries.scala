@@ -589,6 +589,38 @@ object PipelineQueries {
     },
     Some(winnowPairOracleSql("doc_a % 3 = 0 OR doc_b % 3 = 0")))
 
+  /** The PRUNED REGIME of the winnowing probe — q190's lifecycle with
+    * the realistic SMALL delta (the ~1% snapshot a daily crawl drop
+    * is, vs q190's quarter-corpus worst case, whose pair emission is
+    * corpus-linear by construction): base ≈99% indexed, the % 97 = 5
+    * snapshot appended, pairs served from the same
+    * [[graft.operators.Dedup.winnowPairsIndexed]] probe. Two pruning
+    * levels now engage: the snapshot's fingerprint shards prune the
+    * scan (PartitionFilters — pinned in PlanSpec), and the (blk, h)
+    * SEMI JOIN against the delta's own fingerprint set prunes pair
+    * emission to the matched posting lists (AQE re-plans it broadcast
+    * at this delta size) — the shape whose cost tracks the DELTA, not
+    * the corpus, which the sf1/sf3 band points measure. Oracle: the
+    * fresh whole-corpus replay restricted to snapshot-endpoint pairs,
+    * exactly q190's equality at the new split.
+    */
+  val q219WinnowSmallDelta: QueryDef = QueryDef(
+    "q219_winnow_small_delta",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_wnidx_q219_", dir)
+      Dedup.winnowWriteIndex(docs.filter(col("doc_id") % 97 =!= 5),
+        path.toString, "doc_id", "text", "source")
+      val snapshot = docs.filter(col("doc_id") % 97 === 5)
+      Dedup.winnowAppendIndex(snapshot, path.toString, "doc_id", "text",
+        "source")
+      Dedup.winnowPairsIndexed(s, path.toString, snapshot,
+          "doc_id", "text", "source")
+        .orderBy(col("blk"), col("doc_a"), col("doc_b"))
+    },
+    Some(winnowPairOracleSql("doc_a % 97 = 5 OR doc_b % 97 = 5")))
+
   /** Streaming ingest into the winnowing postings index
     * ([[graft.streaming.IndexIngest.startWinnow]]): the % 3 = 0
     * snapshot arrives as a stream in micro-batch chunks, each appended
@@ -623,6 +655,98 @@ object PipelineQueries {
         .orderBy(col("blk"), col("doc_a"), col("doc_b"))
     },
     Some(winnowPairOracleSql("doc_a % 3 = 0 OR doc_b % 3 = 0")))
+
+  /** The q220/q221 oracle: maximal cross-document repeated substrings
+    * of length ≥ minLen normalized chars — the full window-fingerprint
+    * + diagonal-merge replay (same md5 window keys, same posting cap,
+    * same gaps-and-islands run numbering), with an optional extra
+    * predicate (q221 restricts to snapshot-endpoint pairs).
+    */
+  private def substringPairOracleSql(minLen: Int,
+      extraPred: String): String = s"""
+      WITH snrm AS (SELECT doc_id,
+                           regexp_replace(${TextOps.normalizeSql("text")},
+                             ' ', '', 'g') AS norm
+                    FROM documents),
+      sws AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                     md5(substring(norm, CAST(i + 1 AS BIGINT), $minLen))
+                       AS h
+              FROM (SELECT doc_id, norm,
+                           unnest(generate_series(0,
+                             CAST(length(norm) - $minLen AS BIGINT))) AS i
+                    FROM snrm WHERE length(norm) >= $minLen)),
+      scap AS (SELECT doc_id, pos, h FROM (
+                 SELECT *, COUNT(*) OVER (PARTITION BY h) AS pn
+                 FROM sws) t
+               WHERE pn <= 10000),
+      sp AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                    x.pos AS pa, y.pos AS pb, x.pos - y.pos AS d
+             FROM scap x
+             JOIN scap y ON y.h = x.h AND x.doc_id < y.doc_id),
+      sruns AS (SELECT doc_a, doc_b, d, pa, pb,
+                       CASE WHEN pa - lag(pa) OVER (PARTITION BY doc_a,
+                              doc_b, d ORDER BY pa) = 1
+                            THEN 0 ELSE 1 END AS brk
+                FROM sp),
+      sruns2 AS (SELECT *, SUM(brk) OVER (PARTITION BY doc_a, doc_b, d
+                            ORDER BY pa) AS run
+                 FROM sruns)
+      SELECT doc_a, doc_b,
+             CAST(MIN(pa) AS BIGINT) AS pos_a,
+             CAST(MIN(pb) AS BIGINT) AS pos_b,
+             CAST(MAX(pa) - MIN(pa) + $minLen AS BIGINT) AS len
+      FROM sruns2
+      WHERE $extraPred
+      GROUP BY doc_a, doc_b, d, run
+      ORDER BY doc_a, doc_b, pos_a, pos_b
+    """
+
+  /** EXACT-SUBSTRING dedup at arbitrary offsets ([[graft.operators
+    * .SubstringDedup.substringPairs]]) — the full Lee et al. 2021
+    * contract the fixed-block member (q123/q172) approximates:
+    * every MAXIMAL repeated substring of ≥ 12 normalized chars
+    * between two documents, wherever it starts, as (doc_a, doc_b,
+    * pos_a, pos_b, len) runs. The oracle replays the identical
+    * window-fingerprint + posting-cap + diagonal gaps-and-islands
+    * derivation — a wrong window key, a broken run merge, or a cap
+    * drift all hash-fail.
+    */
+  val q220SubstringPairs: QueryDef = QueryDef(
+    "q220_substring_pairs",
+    (s, dir) =>
+      graft.operators.SubstringDedup.substringPairs(
+          Tables.load(s, dir, "documents"), "doc_id", "text", minLen = 12)
+        .orderBy(col("doc_a"), col("doc_b"), col("pos_a"), col("pos_b")),
+    Some(substringPairOracleSql(12, "TRUE")))
+
+  /** The written-index member of the exact-substring family
+    * ([[graft.operators.SubstringDedup.substringWriteIndex]] /
+    * [[graft.operators.SubstringDedup.substringPairsIndexed]]) —
+    * the postings contract at stride 1: base 2/3 indexed, the
+    * % 3 = 0 snapshot appended delta-sized, maximal repeats served
+    * from a probe that prunes BOTH ways (the snapshot's window-hash
+    * shards as PartitionFilters, an (h) semi join against the
+    * snapshot's own window set gating pair emission). Oracle: the
+    * fresh whole-corpus replay restricted to snapshot-endpoint pairs
+    * — q190's family equality on the arbitrary-offset member.
+    */
+  val q221SubstringIncremental: QueryDef = QueryDef(
+    "q221_substring_incremental",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val path = graft.operators.TmpWorkspaces
+        .pidScoped("graft_ssidx_q221_", dir)
+      graft.operators.SubstringDedup.substringWriteIndex(
+        docs.filter(col("doc_id") % 3 =!= 0), path.toString,
+        "doc_id", "text", minLen = 12)
+      val snapshot = docs.filter(col("doc_id") % 3 === 0)
+      graft.operators.SubstringDedup.substringAppendIndex(snapshot,
+        path.toString, "doc_id", "text", minLen = 12)
+      graft.operators.SubstringDedup.substringPairsIndexed(s,
+          path.toString, snapshot, "doc_id", "text", minLen = 12)
+        .orderBy(col("doc_a"), col("doc_b"), col("pos_a"), col("pos_b"))
+    },
+    Some(substringPairOracleSql(12, "doc_a % 3 = 0 OR doc_b % 3 = 0")))
 
   // ------------------------------------------------------------------
   // q114 hyperplane-LSH near-dup pairs (global, no blocking column)
@@ -3705,13 +3829,14 @@ object PipelineQueries {
     * snapshot asset's globally-first frames under the q172 keep-first
     * rule (min (asset_id, frame_no) per fingerprint over the union).
     *
-    * Oracle exactness contract: DuckDB `substring` slices CHARS while
-    * the engine slices payload BYTES — equal exactly when the text is
-    * ASCII, which holds for EVERY row of the synthetic fixture (both
-    * engines verified: octet_length ≡ length corpus-wide), so the
-    * replay is exact here; on a non-ASCII corpus the oracle would
-    * need byte-level slicing the SQL engine doesn't expose (the
-    * operator itself is byte-correct regardless).
+    * Oracle exactness contract — BYTE-EXACT on any corpus: frame
+    * fingerprints are md5 over the frame bytes' lowercase-HEX encoding
+    * ([[graft.operators.Multimodal.frameFingerprints]]), so the oracle
+    * slices `lower(to_hex(encode(text)))` at 2×-byte offsets — byte
+    * positions, not char positions — and replays the identical hash
+    * for arbitrary (non-ASCII, multi-byte) payloads. The fixture's
+    * ASCII invariant (tools/gen_scaled.py) remains as belt-and-braces
+    * but is no longer load-bearing for these gates.
     */
   val q200FrameDedupIndexed: QueryDef = QueryDef(
     "q200_frame_dedup_indexed",
@@ -3734,11 +3859,12 @@ object PipelineQueries {
     Some("""
       WITH fr AS (
         SELECT doc_id AS asset_id, CAST(i AS BIGINT) AS frame_no,
-               md5(substring(text, CAST(i * 64 + 1 AS BIGINT), 64))
+               md5(substring(lower(to_hex(encode(text))),
+                 CAST(i * 128 + 1 AS BIGINT), 128))
                  AS fingerprint
         FROM (SELECT doc_id, text,
                      unnest(generate_series(0,
-                       CAST(greatest(ceil(strlen(text) / 64.0), 1)
+                       CAST(greatest(ceil(octet_length(encode(text)) / 64.0), 1)
                          AS BIGINT) - 1)) AS i
               FROM documents WHERE text IS NOT NULL)),
       rk AS (SELECT asset_id, frame_no,
@@ -3833,11 +3959,12 @@ object PipelineQueries {
               FROM au a LEFT JOIN rm r USING (vec_id)
               WHERE a.vec_id % 4 = 3),
       fr AS (SELECT doc_id AS asset_id, CAST(i AS BIGINT) AS frame_no,
-                    md5(substring(text, CAST(i * 64 + 1 AS BIGINT), 64))
+                    md5(substring(lower(to_hex(encode(text))),
+                 CAST(i * 128 + 1 AS BIGINT), 128))
                       AS fingerprint
              FROM (SELECT doc_id, text,
                           unnest(generate_series(0,
-                            CAST(greatest(ceil(strlen(text) / 64.0), 1)
+                            CAST(greatest(ceil(octet_length(encode(text)) / 64.0), 1)
                               AS BIGINT) - 1)) AS i
                    FROM documents WHERE text IS NOT NULL)),
       rk AS (SELECT asset_id, frame_no,
@@ -4282,13 +4409,22 @@ object PipelineQueries {
     },
     Some(s"""
       WITH ${simhashPairsCtes(s"""
-        SELECT doc_id * ${1L << 20} + i AS doc_id, source AS blk,
-               substring(text, CAST(i * 64 + 1 AS BIGINT), 64) AS text
-        FROM (SELECT doc_id, source, text,
-                     unnest(generate_series(0,
-                       CAST(greatest(ceil(strlen(text) / 64.0), 1)
-                         AS BIGINT) - 1)) AS i
-              FROM documents WHERE text IS NOT NULL)""")}
+        SELECT doc_id, blk,
+               CASE WHEN strlen(h) <= 8 THEN h
+                    ELSE array_to_string(list_transform(
+                      generate_series(1,
+                        CAST(strlen(h) // 2 AS BIGINT) - 3),
+                      j -> substring(h, (j - 1) * 2 + 1, 8)), ' ')
+               END AS text
+        FROM (SELECT doc_id * ${1L << 20} + i AS doc_id, source AS blk,
+                     substring(lower(to_hex(encode(text))),
+                       CAST(i * 128 + 1 AS BIGINT), 128) AS h
+              FROM (SELECT doc_id, source, text,
+                           unnest(generate_series(0,
+                             CAST(greatest(
+                               ceil(octet_length(encode(text)) / 64.0), 1)
+                               AS BIGINT) - 1)) AS i
+                    FROM documents WHERE text IS NOT NULL))""")}
       SELECT blk,
              CAST(doc_a // ${1L << 20} AS BIGINT) AS asset_a,
              CAST(doc_a % ${1L << 20} AS BIGINT) AS frame_a,
@@ -4339,11 +4475,12 @@ object PipelineQueries {
     Some("""
       WITH fr AS (
         SELECT doc_id AS asset_id, CAST(i AS BIGINT) AS frame_no,
-               md5(substring(text, CAST(i * 64 + 1 AS BIGINT), 64))
+               md5(substring(lower(to_hex(encode(text))),
+                 CAST(i * 128 + 1 AS BIGINT), 128))
                  AS fingerprint
         FROM (SELECT doc_id, text,
                      unnest(generate_series(0,
-                       CAST(greatest(ceil(strlen(text) / 64.0), 1)
+                       CAST(greatest(ceil(octet_length(encode(text)) / 64.0), 1)
                          AS BIGINT) - 1)) AS i
               FROM documents WHERE text IS NOT NULL)),
       corpus AS (SELECT DISTINCT fingerprint FROM fr WHERE asset_id % 4 <> 3)
@@ -4557,11 +4694,12 @@ object PipelineQueries {
     Some("""
       WITH fr AS (
         SELECT doc_id AS asset_id, CAST(i AS BIGINT) AS frame_no,
-               md5(substring(text, CAST(i * 64 + 1 AS BIGINT), 64))
+               md5(substring(lower(to_hex(encode(text))),
+                 CAST(i * 128 + 1 AS BIGINT), 128))
                  AS fingerprint
         FROM (SELECT doc_id, text,
                      unnest(generate_series(0,
-                       CAST(greatest(ceil(strlen(text) / 64.0), 1)
+                       CAST(greatest(ceil(octet_length(encode(text)) / 64.0), 1)
                          AS BIGINT) - 1)) AS i
               FROM documents WHERE text IS NOT NULL)),
       rk AS (SELECT asset_id, frame_no,
@@ -4632,13 +4770,22 @@ object PipelineQueries {
     // generations must serve the identical pair set
     Some(s"""
       WITH ${simhashPairsCtes(s"""
-        SELECT doc_id * ${1L << 20} + i AS doc_id, source AS blk,
-               substring(text, CAST(i * 64 + 1 AS BIGINT), 64) AS text
-        FROM (SELECT doc_id, source, text,
-                     unnest(generate_series(0,
-                       CAST(greatest(ceil(strlen(text) / 64.0), 1)
-                         AS BIGINT) - 1)) AS i
-              FROM documents WHERE text IS NOT NULL)""")}
+        SELECT doc_id, blk,
+               CASE WHEN strlen(h) <= 8 THEN h
+                    ELSE array_to_string(list_transform(
+                      generate_series(1,
+                        CAST(strlen(h) // 2 AS BIGINT) - 3),
+                      j -> substring(h, (j - 1) * 2 + 1, 8)), ' ')
+               END AS text
+        FROM (SELECT doc_id * ${1L << 20} + i AS doc_id, source AS blk,
+                     substring(lower(to_hex(encode(text))),
+                       CAST(i * 128 + 1 AS BIGINT), 128) AS h
+              FROM (SELECT doc_id, source, text,
+                           unnest(generate_series(0,
+                             CAST(greatest(
+                               ceil(octet_length(encode(text)) / 64.0), 1)
+                               AS BIGINT) - 1)) AS i
+                    FROM documents WHERE text IS NOT NULL))""")}
       SELECT blk,
              CAST(doc_a // ${1L << 20} AS BIGINT) AS asset_a,
              CAST(doc_a % ${1L << 20} AS BIGINT) AS frame_a,
@@ -4712,18 +4859,27 @@ object PipelineQueries {
     // band rows), every one doubled; the repair leaves zero
     Some(s"""
       WITH ${simhashPairsCtes(s"""
-        SELECT doc_id * ${1L << 20} + i AS doc_id, source AS blk,
-               substring(text, CAST(i * 64 + 1 AS BIGINT), 64) AS text
-        FROM (SELECT doc_id, source, text,
-                     unnest(generate_series(0,
-                       CAST(greatest(ceil(strlen(text) / 64.0), 1)
-                         AS BIGINT) - 1)) AS i
-              FROM documents WHERE text IS NOT NULL)""")},
+        SELECT doc_id, blk,
+               CASE WHEN strlen(h) <= 8 THEN h
+                    ELSE array_to_string(list_transform(
+                      generate_series(1,
+                        CAST(strlen(h) // 2 AS BIGINT) - 3),
+                      j -> substring(h, (j - 1) * 2 + 1, 8)), ' ')
+               END AS text
+        FROM (SELECT doc_id * ${1L << 20} + i AS doc_id, source AS blk,
+                     substring(lower(to_hex(encode(text))),
+                       CAST(i * 128 + 1 AS BIGINT), 128) AS h
+              FROM (SELECT doc_id, source, text,
+                           unnest(generate_series(0,
+                             CAST(greatest(
+                               ceil(octet_length(encode(text)) / 64.0), 1)
+                               AS BIGINT) - 1)) AS i
+                    FROM documents WHERE text IS NOT NULL))""")},
       dmg AS (
         SELECT 4 * COUNT(*) AS n_damaged
         FROM (SELECT doc_id,
                      unnest(generate_series(0,
-                       CAST(greatest(ceil(strlen(text) / 64.0), 1)
+                       CAST(greatest(ceil(octet_length(encode(text)) / 64.0), 1)
                          AS BIGINT) - 1)) AS i
               FROM documents
               WHERE text IS NOT NULL AND source IS NOT NULL
@@ -4948,6 +5104,106 @@ object PipelineQueries {
       ORDER BY asset_id
     """))
 
+  /** ONLINE index repair behind the ATOMIC SERVE-PATH SWAP
+    * ([[graft.operators.IndexPaths]]) — q156's replay-damage lifecycle
+    * with the repair CUT OVER IN PLACE instead of handed to the
+    * caller as a second path: the blind-retry damage lands, the audit
+    * localizes it, and [[graft.operators.Retrieval.bm25CompactSwap]]
+    * compacts into `<root>/_gens/gen-000001` and atomically repoints
+    * `<root>/_current` — after which serving THROUGH THE ORIGINAL
+    * ROOT (the path a standing service configured once) resolves the
+    * repaired generation and must hash-equal the clean whole-corpus
+    * oracle. A post-swap append then lands INSIDE the live generation
+    * (the ledger and appends resolve the pointer too), which the
+    * closure asserts before serving — a swap that stranded appends in
+    * the stale flat root would hash-fail.
+    */
+  val q217Bm25PointerSwap: QueryDef = QueryDef(
+    "q217_bm25_pointer_swap",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val root = graft.operators.TmpWorkspaces
+        .pidScoped("graft_bm25idx_q217_", dir)
+      Retrieval.bm25WriteIndex(docs.filter(col("doc_id") % 3 === 1),
+        root.toString)
+      val deltaA = docs.filter(col("doc_id") % 3 === 2)
+      Retrieval.bm25AppendIndex(deltaA, root.toString)
+      // the injected failure: a blind retry replays the same append
+      Retrieval.bm25AppendIndex(deltaA, root.toString)
+      require(!Retrieval.bm25AuditIndex(s, root.toString).isEmpty,
+        "the replay damage must be visible before the repair")
+      // ONLINE repair: compact + atomic pointer cutover, same root
+      val gen = Retrieval.bm25CompactSwap(s, root.toString)
+      require(graft.operators.IndexPaths.resolve(s, root.toString) == gen,
+        s"the pointer must resolve to the repaired generation $gen")
+      // day-2 continues THROUGH the root: the append must land in the
+      // live generation, not the stale flat layout
+      Retrieval.bm25AppendIndex(docs.filter(col("doc_id") % 3 === 0),
+        root.toString)
+      require(Retrieval.bm25AuditIndex(s, root.toString).isEmpty,
+        "the repaired+appended layout must audit clean")
+      Retrieval.bm25TopKIndexed(s, root.toString,
+          docs.filter(col("doc_id") < 8), k = 10)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some(bm25Top10OracleSql))
+
+  /** AUTO-COMPACTION in the standing ingest loop — the op that ACTS
+    * on q205's read-amplification measurement: q177's streaming BM25
+    * ingest with the opt-in post-commit hook armed
+    * ([[graft.streaming.IndexIngest.startBm25]] `maxDataFiles` →
+    * [[graft.operators.IndexPaths.maybeCompact]]), a threshold set
+    * just above the base build's file floor so the growing per-batch
+    * generations CROSS it mid-stream: the hook compact-swaps behind
+    * the atomic pointer, later micro-batches append into the live
+    * generation, and the served top-10 must STILL hash-equal the same
+    * fresh-whole-corpus oracle as q146/q154/q155/q177 — a compaction
+    * that dropped a posting, double-kept a replayed row, or stranded
+    * a generation on the wrong side of the swap all hash-fail. The
+    * closure asserts the policy actually fired (pointer present) and
+    * that the live layout's file count returned to the compacted
+    * baseline (a fresh full-corpus build's floor).
+    */
+  val q218AutoCompactIngest: QueryDef = QueryDef(
+    "q218_auto_compact_ingest",
+    (s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val root = graft.operators.TmpWorkspaces
+        .pidScoped("graft_bm25idx_q218_", dir)
+      Retrieval.bm25WriteIndex(docs.filter(col("doc_id") % 3 =!= 0),
+        root.toString)
+      val floor = graft.operators.IndexStats.dataFileCount(s, root.toString)
+      val snapshot = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      val inPath = graft.operators.TmpWorkspaces
+        .pidScoped("graft_ingest_in_q218_", dir)
+      Seq(col("doc_id") % 2 === 0, col("doc_id") % 2 =!= 0).foreach { p =>
+        snapshot.filter(p).coalesce(1)
+          .write.mode("append").parquet(inPath.toString)
+      }
+      graft.streaming.IndexIngest.ingestBm25Docs(
+        s.readStream.schema(snapshot.schema)
+          .option("maxFilesPerTrigger", 1).parquet(inPath.toString),
+        root.toString, maxDataFiles = Some(floor + 2))
+      require(graft.operators.IndexPaths
+          .currentGeneration(s, root.toString).nonEmpty,
+        "the file-count threshold must have fired a compact-swap")
+      val fresh = graft.operators.TmpWorkspaces
+        .pidScoped("graft_bm25idx_q218f_", dir)
+      Retrieval.bm25WriteIndex(docs, fresh.toString)
+      val floorFull = graft.operators.IndexStats
+        .dataFileCount(s, fresh.toString)
+      val served = graft.operators.IndexStats.dataFileCount(s,
+        graft.operators.IndexPaths.resolve(s, root.toString))
+      require(served <= floorFull + 2,
+        s"serve cost must return to the compacted baseline: " +
+          s"$served vs fresh floor $floorFull")
+      Retrieval.bm25TopKIndexed(s, root.toString,
+          docs.filter(col("doc_id") < 8), k = 10)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+    Some(bm25Top10OracleSql))
+
   val all: Seq[QueryDef] = Seq(
     q30ExactDedup, q31MinhashDedup, q32Simhash, q33NgramJaccard,
     q34SimilarityTopK, q35IvfTopK, q36CosineNearDup, q37TextStats,
@@ -4976,5 +5232,7 @@ object PipelineQueries {
     q207PackedAssetIngest, q208FrameSimhashIncremental,
     q209FrameDecontamination, q210CurationV10, q211FrameRepair,
     q212StreamingFrameSimhash, q213FrameSimhashRepair, q214AssetManifest,
-    q215StreamingManifest, q216StreamingMedia)
+    q215StreamingManifest, q216StreamingMedia, q217Bm25PointerSwap,
+    q218AutoCompactIngest, q219WinnowSmallDelta, q220SubstringPairs,
+    q221SubstringIncremental)
 }

@@ -64,6 +64,77 @@ object IndexIngest {
     new org.apache.hadoop.fs.Path(
       s"$indexPath/_ingest_commits/$member/epoch=$epoch/batch-$batchId")
 
+  /** The publish claim for (member, epoch, batchId) — created
+    * atomically BEFORE any live-tree mutation, so of two concurrent
+    * deliveries of one batch at most one proceeds past staging (the
+    * loser aborts with only `_tmp` garbage). Content is the owning
+    * attempt's uuid: a sequential retry SUPERSEDES its own crashed
+    * predecessor by atomically replacing the claim with its id.
+    */
+  private[graft] def claimPath(indexPath: String, member: String,
+      epoch: String, batchId: Long): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      s"$indexPath/_ingest_claims/$member/epoch=$epoch/batch-$batchId")
+
+  /** Create-if-absent write of `content` at `p`; true iff THIS call
+    * created the file (the atomic-claim primitive — `fs.create(p,
+    * overwrite=false)` is atomic on HDFS and local fs).
+    */
+  private def tryCreateFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, content: String): Boolean = {
+    fs.mkdirs(p.getParent)
+    try {
+      val out = fs.create(p, false)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.io.IOException if fs.exists(p) => false
+    }
+  }
+
+  private def readSmall(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](256)
+        var n = in.read(tmp)
+        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        Some(new String(buf.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+
+  /** Atomically replaces the file at `p` with one containing
+    * `content` — write-to-sibling-temp + FileContext rename with
+    * OVERWRITE (atomic on HDFS and local fs). The supersede primitive:
+    * a retry takes the claim over from its crashed predecessor.
+    */
+  private def atomicReplace(fs: org.apache.hadoop.fs.FileSystem,
+      conf: org.apache.hadoop.conf.Configuration,
+      p: org.apache.hadoop.fs.Path, content: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+      s".${p.getName}.replace-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(p),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Thrown when a publish observes mid-flight that it no longer owns
+    * the batch (the commit marker appeared, or the claim was
+    * superseded) — the delivery aborts instead of purging committed
+    * data. Caught by [[committedAppend]], which reports false.
+    */
+  private[graft] final class LostPublishRace(msg: String)
+    extends RuntimeException(msg)
+
   /** Moves every staged leaf file into the live tree at its relative
     * directory, renamed under this generation's deterministic prefix.
     * Idempotent under crash-retry: each touched live directory is
@@ -73,10 +144,19 @@ object IndexIngest {
     * by its row content, hence identical across attempts. Hidden
     * (`_`/`.`) entries — `_SUCCESS`, checksum sidecars — stay behind
     * and are deleted with the staging dir.
+    *
+    * `stillOwned` is consulted immediately before EVERY destructive
+    * step (each live directory's generation-prefix purge): the purge
+    * deletes files of this generation's key, so if a concurrent
+    * delivery of the SAME batch already committed (marker exists) the
+    * purge would delete COMMITTED data — the silent-loss mode. A false
+    * fence throws [[LostPublishRace]] and leaves the remaining
+    * directories untouched.
     */
   private[graft] def publishStaged(fs: org.apache.hadoop.fs.FileSystem,
       stagingRoot: org.apache.hadoop.fs.Path,
-      liveRoot: org.apache.hadoop.fs.Path, genKey: String): Unit = {
+      liveRoot: org.apache.hadoop.fs.Path, genKey: String,
+      stillOwned: () => Boolean = () => true): Unit = {
     import org.apache.hadoop.fs.Path
     val leaves = scala.collection.mutable.ArrayBuffer.empty[(String, Path)]
     def walk(dir: Path, rel: String): Unit =
@@ -92,6 +172,9 @@ object IndexIngest {
     leaves.groupBy(_._1).foreach { case (rel, files) =>
       val liveDir = if (rel.isEmpty) liveRoot else new Path(liveRoot, rel)
       fs.mkdirs(liveDir)
+      if (!stillOwned())
+        throw new LostPublishRace(
+          s"publish of $genKey lost ownership before purging $liveDir")
       fs.listStatus(liveDir).foreach { st =>
         if (st.isFile && st.getPath.getName.startsWith(genKey))
           fs.delete(st.getPath, false)
@@ -123,45 +206,128 @@ object IndexIngest {
     * publish, or between publish and marker, leaves live files that
     * the retry PURGES by generation prefix before republishing (the
     * touched directories are a function of the batch's rows, hence
-    * the same on every attempt); a crash after the marker makes the
-    * retry a no-op. What remains audit territory: two deliveries of
-    * one batch running CONCURRENTLY (zombie executor) can interleave
-    * purge/rename and leave duplicate rows — exactly one claims the
-    * marker, the loser logs a warning and reports false so operators
-    * know to run the member's audit/compact repair — and the
-    * documented caller errors (restart without a checkpoint, epoch
-    * reuse), which no ledger can distinguish from new data.
+    * the same on every attempt — and the retry first SUPERSEDES its
+    * crashed predecessor's claim, see below); a crash after the
+    * marker makes the retry a no-op.
+    *
+    * Concurrency contract — CLAIM-BEFORE-PUBLISH: before any live-tree
+    * mutation, the delivery atomically creates
+    * `_ingest_claims/<member>/epoch=<epoch>/batch-<batchId>` holding
+    * its attempt uuid. Of two CONCURRENT deliveries of one batch
+    * (zombie executor), at most one proceeds past staging — the other
+    * fails the claim (or observes a superseded claim / an existing
+    * marker at the pre-publish fence) and aborts with only `_tmp`
+    * garbage, no live rows. The fence is also re-checked before every
+    * destructive purge inside [[publishStaged]], so a delivery that
+    * loses mid-publish STOPS rather than deleting a committed
+    * generation. Residual window (documented, not silent-loss): two
+    * zombies that BOTH pass the pre-publish ownership read before
+    * either's supersede lands can still interleave renames and leave
+    * duplicate rows of this one batch — rows the member's audit
+    * localizes and compact repairs; committed data is never deleted
+    * because every purge re-checks the marker first. What remains
+    * audit territory proper is the documented caller errors (restart
+    * without a checkpoint, epoch reuse), which no ledger can
+    * distinguish from new data.
+    *
+    * `beforePublish` is a test seam: invoked after staging, before the
+    * pre-publish ownership fence (specs interleave a full concurrent
+    * delivery there to drive the zombie case through the REAL path).
     */
   def committedAppend(spark: SparkSession, indexPath: String,
-      member: String, epoch: String, batchId: Long)(
+      member: String, epoch: String, batchId: Long,
+      beforePublish: () => Unit = () => ())(
       stage: String => Unit): Boolean = {
     require(member.matches("[A-Za-z0-9_]+") && epoch.matches("[A-Za-z0-9_]+"),
       s"member/epoch must be [A-Za-z0-9_]+ (the generation key's '-' " +
         s"separators must stay unambiguous): member=$member epoch=$epoch")
     val marker = markerPath(indexPath, member, epoch, batchId)
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = marker.getFileSystem(conf)
     if (fs.exists(marker)) false
     else {
-      val staging = stagingPath(indexPath, member, epoch, batchId)
-      if (fs.exists(staging)) fs.delete(staging, true) // crashed attempt
-      stage(staging.toString)
-      publishStaged(fs, staging,
-        new org.apache.hadoop.fs.Path(indexPath),
-        generationKey(member, epoch, batchId))
-      fs.delete(staging, true)
-      fs.mkdirs(marker.getParent)
-      try {
-        val out = fs.create(marker, false)
-        try out.write(Array.emptyByteArray) finally out.close()
-        true
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-          warnLostRace(member, epoch, batchId); false
-        case _: java.io.IOException if fs.exists(marker) =>
-          warnLostRace(member, epoch, batchId); false
+      val attemptId = java.util.UUID.randomUUID().toString
+      val claim = claimPath(indexPath, member, epoch, batchId)
+      val owned = tryCreateFile(fs, claim, attemptId) || {
+        // claim already exists: a crashed predecessor (marker absent,
+        // holder dead — supersede it) or a live concurrent duplicate
+        // (the supersede + read-back makes at most one attempt
+        // plausible; the loser aborts here or at the fence below)
+        if (fs.exists(marker)) false
+        else {
+          atomicReplace(fs, conf, claim, attemptId)
+          readSmall(fs, claim).contains(attemptId)
+        }
+      }
+      if (!owned) {
+        if (!fs.exists(marker)) warnLostClaim(member, epoch, batchId)
+        false
+      } else {
+        val staging = stagingPath(indexPath, member, epoch, batchId)
+        if (fs.exists(staging)) fs.delete(staging, true) // crashed attempt
+        stage(staging.toString)
+        beforePublish()
+        // the fence: marker absent AND the claim still carries this
+        // attempt's id — re-read before the publish and before every
+        // destructive purge inside it (a marker appearing means a
+        // concurrent delivery COMMITTED; purging then would delete
+        // committed data)
+        def fenced(): Boolean =
+          !fs.exists(marker) && readSmall(fs, claim).contains(attemptId)
+        if (!fenced()) {
+          fs.delete(staging, true)
+          warnLostClaim(member, epoch, batchId)
+          false
+        } else {
+          try {
+            // publish into the POINTER-RESOLVED live tree: after a
+            // compact-swap cutover (IndexPaths), appended generations
+            // must land in the live generation directory, not the
+            // stale flat root. Markers/claims/_tmp stay at the raw
+            // root — the ledger spans generations (a batch committed
+            // pre-compact was carried into the new generation by the
+            // compact itself and must stay skipped). Out-of-band
+            // compacts must be quiesced against in-flight deliveries:
+            // a swap BETWEEN a crashed publish and its retry moves the
+            // retry's purge target away from the crashed partial files
+            // (which the compact already carried over as live rows) —
+            // the in-loop post-commit hook (maybeCompact) is sequential
+            // with deliveries, so the ledgered members never hit this.
+            publishStaged(fs, staging,
+              new org.apache.hadoop.fs.Path(
+                graft.operators.IndexPaths.resolve(spark, indexPath)),
+              generationKey(member, epoch, batchId), fenced _)
+            fs.delete(staging, true)
+            fs.mkdirs(marker.getParent)
+            try {
+              val out = fs.create(marker, false)
+              try out.write(Array.emptyByteArray) finally out.close()
+              true
+            } catch {
+              case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+                warnLostRace(member, epoch, batchId); false
+              case _: java.io.IOException if fs.exists(marker) =>
+                warnLostRace(member, epoch, batchId); false
+            }
+          } catch {
+            case e: LostPublishRace =>
+              fs.delete(staging, true)
+              log.warn(s"committedAppend($member, epoch=$epoch, " +
+                s"batch=$batchId): ${e.getMessage} — aborted mid-publish; " +
+                "already-renamed files of THIS generation may duplicate " +
+                "the winner's; run the member's audit/compact repair")
+              false
+          }
+        }
       }
     }
   }
+
+  private def warnLostClaim(member: String, epoch: String,
+      batchId: Long): Unit =
+    log.warn(s"committedAppend($member, epoch=$epoch, batch=$batchId): " +
+      "lost the publish claim to a concurrent delivery of the same batch " +
+      "BEFORE publishing — this attempt landed no rows; no repair needed")
 
   private def warnLostRace(member: String, epoch: String,
       batchId: Long): Unit =
@@ -255,14 +421,30 @@ object IndexIngest {
     finally q.stop()
   }
 
-  /** BM25 member's per-batch body ([[startBm25]] + replay gates). */
+  /** BM25 member's per-batch body ([[startBm25]] + replay gates).
+    * `maxDataFiles` opts into the post-commit auto-compaction hook
+    * ([[graft.operators.IndexPaths.maybeCompact]]): after a landed
+    * delivery, if the live layout's file count crossed the threshold,
+    * compact-swap it ([[graft.operators.Retrieval.bm25CompactSwap]] —
+    * atomic pointer cutover; the ledger and later appends resolve it).
+    * Runs AFTER the marker, sequentially within the delivery, so the
+    * swap never interleaves with a publish; a replayed/lost delivery
+    * (landed = false) never compacts.
+    */
   def bm25Batch(path: String, idCol: String, textCol: String,
-      epoch: String = "0")(batch: DataFrame, batchId: Long): Unit =
-    committedAppend(batch.sparkSession, path, "bm25", epoch, batchId) {
-      staged =>
-        graft.operators.Retrieval.bm25AppendIndex(batch, staged, idCol,
-          textCol)
+      epoch: String = "0", maxDataFiles: Option[Long] = None)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val landed =
+      committedAppend(batch.sparkSession, path, "bm25", epoch, batchId) {
+        staged =>
+          graft.operators.Retrieval.bm25AppendIndex(batch, staged, idCol,
+            textCol)
+      }
+    if (landed) maxDataFiles.foreach { m =>
+      graft.operators.IndexPaths.maybeCompact(batch.sparkSession, path, m)(
+        graft.operators.Retrieval.bm25CompactSwap(batch.sparkSession, path))
     }
+  }
 
   /** Lexical twin of [[start]]/[[startIvf]] — the THIRD index modality
     * on the streaming ingest loop: each micro-batch of newly-arrived
@@ -287,9 +469,11 @@ object IndexIngest {
   def startBm25(docsStream: DataFrame, path: String,
       idCol: String = "doc_id", textCol: String = "text",
       epoch: String = "0",
-      checkpointLocation: Option[String] = None): StreamingQuery =
+      checkpointLocation: Option[String] = None,
+      maxDataFiles: Option[Long] = None): StreamingQuery =
     withCheckpoint(docsStream.writeStream
-        .foreachBatch(bm25Batch(path, idCol, textCol, epoch) _),
+        .foreachBatch(bm25Batch(path, idCol, textCol, epoch,
+          maxDataFiles) _),
         checkpointLocation)
       .outputMode("append")
       .start()
@@ -299,8 +483,9 @@ object IndexIngest {
     */
   def ingestBm25Docs(docsStream: DataFrame, path: String,
       idCol: String = "doc_id", textCol: String = "text",
-      epoch: String = "0"): Unit = {
-    val q = startBm25(docsStream, path, idCol, textCol, epoch)
+      epoch: String = "0", maxDataFiles: Option[Long] = None): Unit = {
+    val q = startBm25(docsStream, path, idCol, textCol, epoch,
+      maxDataFiles = maxDataFiles)
     try q.processAllAvailable()
     finally q.stop()
   }
@@ -467,13 +652,26 @@ object IndexIngest {
     finally q.stop()
   }
 
-  /** Asset member's per-batch body ([[startAssets]] + replay gates). */
-  def assetBatch(path: String, epoch: String = "0")(
-      batch: DataFrame, batchId: Long): Unit =
-    committedAppend(batch.sparkSession, path, "asset", epoch, batchId) {
-      staged =>
-        graft.operators.Multimodal.assetAppendIndex(batch, staged)
+  /** Asset member's per-batch body ([[startAssets]] + replay gates).
+    * `maxDataFiles` opts into the post-commit auto-compaction hook —
+    * [[bm25Batch]]'s contract on the media fingerprint index
+    * ([[graft.operators.Multimodal.assetCompactSwap]]; fingerprint
+    * rows only, payloads never re-read).
+    */
+  def assetBatch(path: String, epoch: String = "0",
+      maxDataFiles: Option[Long] = None)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val landed =
+      committedAppend(batch.sparkSession, path, "asset", epoch, batchId) {
+        staged =>
+          graft.operators.Multimodal.assetAppendIndex(batch, staged)
+      }
+    if (landed) maxDataFiles.foreach { m =>
+      graft.operators.IndexPaths.maybeCompact(batch.sparkSession, path, m)(
+        graft.operators.Multimodal.assetCompactSwap(batch.sparkSession,
+          path))
     }
+  }
 
   /** The NON-TEXT member of the streaming ingest loop — binary media
     * arriving as files ([[graft.operators.Multimodal.streamBinaryDir]]
@@ -493,9 +691,11 @@ object IndexIngest {
     */
   def startAssets(assetStream: DataFrame, path: String,
       epoch: String = "0",
-      checkpointLocation: Option[String] = None): StreamingQuery =
+      checkpointLocation: Option[String] = None,
+      maxDataFiles: Option[Long] = None): StreamingQuery =
     withCheckpoint(assetStream.writeStream
-        .foreachBatch(assetBatch(path, epoch) _), checkpointLocation)
+        .foreachBatch(assetBatch(path, epoch, maxDataFiles) _),
+        checkpointLocation)
       .outputMode("append")
       .start()
 

@@ -1215,6 +1215,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "no all-pairs fallback")
   }
 
+  test("q219: small-delta winnow probe — shard pruning AND the (blk,h) fingerprint semi prune in the served plan") {
+    val p = plan("q219_winnow_small_delta")
+    assert("PartitionFilters: \\[[^\\]]*shard".r.findFirstIn(p).isDefined,
+      s"snapshot fingerprint shards must prune the postings scan:\n$p")
+    assert(!p.contains("winnow_fp"),
+      s"the served plan must be purely index-driven:\n$p")
+    // the pruned-regime core: pair emission is gated by a LeftSemi join
+    // against the delta's own (blk, h) fingerprint set — probe cost
+    // tracks the delta's matches, not the touched shards' full content
+    // (AQE re-plans it broadcast at runtime for a delta this small)
+    assert(p.contains("LeftSemi"),
+      s"the (blk, h) fingerprint semi prune must gate pair emission:\n$p")
+    assert("posting_n#\\d+L? <= \\d+".r.findFirstIn(p).isDefined,
+      s"posting-size cap filter missing:\n$p")
+    assert(!p.contains("CartesianProduct"), "no all-pairs fallback")
+  }
+
   test("q192: repaired mixture payload serves like q185 — no text rescan, broadcast rates") {
     val p = plan("q192_mixture_repair")
     assert(!p.contains("FileScan parquet"),

@@ -207,6 +207,90 @@ class IndexIngestSpec extends AnyFunSuite {
     assert(fs.exists(marker))
   }
 
+  test("zombie concurrent delivery: two interleaved deliveries of one batchId land zero duplicate rows, one winner") {
+    // The concurrent-duplicate case the claim-before-publish protocol
+    // closes: delivery A passes the marker check, claims, and stages;
+    // a zombie twin B then runs the ENTIRE real path (B supersedes
+    // A's claim — from B's view A is indistinguishable from a crashed
+    // claimant — publishes, and commits the marker); A resumes at its
+    // pre-publish fence, observes it no longer owns the claim (and
+    // the marker exists), and ABORTS with only _tmp garbage. Exactly
+    // one winner, zero duplicate rows, audit empty.
+    val a = "the quick brown fox jumps over the lazy dog"
+    val base = Seq((0L, a), (1L, "pack my box with five dozen liquor jugs"))
+      .toDF("doc_id", "text")
+    val idx = TmpWorkspaces.pidScoped("graft_zombie_spec_", "led")
+    Dedup.exactWriteIndex(base, idx.toString, "doc_id", "text")
+    val delta = Seq((4L, a), (5L, "an unrelated new document"))
+      .toDF("doc_id", "text").localCheckpoint()
+
+    var bWon = false
+    val aWon = IndexIngest.committedAppend(spark, idx.toString,
+      "exact", "0", 0L,
+      beforePublish = () => {
+        // the zombie twin: the SAME (member, epoch, batchId), the
+        // REAL path end-to-end, interleaved mid-A
+        bWon = IndexIngest.committedAppend(spark, idx.toString,
+          "exact", "0", 0L) { staged =>
+          Dedup.exactAppendIndex(delta, staged, "doc_id", "text")
+        }
+      }) { staged =>
+      Dedup.exactAppendIndex(delta, staged, "doc_id", "text")
+    }
+    assert(bWon, "the interleaved twin must win the superseded claim")
+    assert(!aWon, "the fenced delivery must abort pre-publish")
+    assert(Dedup.exactAuditIndex(spark, idx.toString).isEmpty,
+      "zero duplicate rows after the interleave")
+    assert(spark.read.parquet(s"$idx/fingerprints").count() == 4,
+      "base 2 + delta 2, each exactly once")
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(idx.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$idx/_tmp/exact-0-0")),
+      "the loser's staging must be cleaned up")
+    // a later replay of the batch is skipped as usual
+    assert(IndexIngest.committedAppend(spark, idx.toString,
+      "exact", "0", 0L) { _ =>
+        fail("replay must not re-run the append") } === false)
+  }
+
+  test("crashed claimant is superseded: the sequential retry takes over the claim and lands the generation") {
+    // A delivery that claimed and then died (any point before the
+    // marker) leaves its claim file holding a dead attempt id. The
+    // retry must not deadlock on it: it atomically replaces the claim
+    // with its own id and proceeds through the normal publish.
+    import org.apache.hadoop.fs.Path
+    val a = "the quick brown fox jumps over the lazy dog"
+    val base = Seq((0L, a), (1L, "pack my box with five dozen liquor jugs"))
+      .toDF("doc_id", "text")
+    val idx = TmpWorkspaces.pidScoped("graft_deadclaim_spec_", "led")
+    Dedup.exactWriteIndex(base, idx.toString, "doc_id", "text")
+    val delta = Seq((4L, a), (5L, "an unrelated new document"))
+      .toDF("doc_id", "text").localCheckpoint()
+
+    val claim = IndexIngest.claimPath(idx.toString, "exact", "0", 0L)
+    val fs = claim.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(claim.getParent)
+    val out = fs.create(claim, false)
+    try out.write("dead-attempt-uuid".getBytes("UTF-8")) finally out.close()
+
+    // the retry: the real body under the same (member, epoch, batchId)
+    IndexIngest.exactBatch(idx.toString, "doc_id", "text")(delta, 0L)
+    assert(Dedup.exactAuditIndex(spark, idx.toString).isEmpty)
+    assert(spark.read.parquet(s"$idx/fingerprints").count() == 4,
+      "the superseding retry must land the generation exactly once")
+    // and the claim now names the retry's attempt, not the dead one
+    val content = {
+      val in = fs.open(claim)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        new String(buf, 0, n, "UTF-8")
+      } finally in.close()
+    }
+    assert(content != "dead-attempt-uuid", "the claim must be superseded")
+  }
+
   test("semanticBatch generation overflow fails loudly instead of wrapping negative") {
     val cents = Seq((0L, Array(1.0, 1.0))).toDF("cid", "centroid")
     val batch = Seq((1L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding")
@@ -248,6 +332,54 @@ class IndexIngestSpec extends AnyFunSuite {
     val fresh = TmpWorkspaces.pidScoped("graft_bm25ingest_spec_", "fresh")
     Retrieval.bm25WriteIndex(base.union(delta.toDF("doc_id", "text")),
       fresh.toString)
+    val qs = Seq((0L, "spark shuffles keyed data")).toDF("doc_id", "text")
+    def serve(path: String) =
+      Retrieval.bm25TopKIndexed(spark, path, qs, k = 10)
+        .as[(Long, Long, Long, Double)].collect().toSet
+    val got = serve(idx.toString)
+    assert(got == serve(fresh.toString) && got.nonEmpty, s"got $got")
+  }
+
+  test("auto-compaction crosses the threshold mid-stream: the hook compact-swaps and serving stays hash-equal") {
+    import graft.operators.{IndexPaths, IndexStats, Retrieval}
+    val base = Seq((0L, "spark shuffles keyed data"),
+      (1L, "flink keyed state backend")).toDF("doc_id", "text")
+    val idx = TmpWorkspaces.pidScoped("graft_autocompact_spec_", "lex")
+    Retrieval.bm25WriteIndex(base, idx.toString)
+    val floor = IndexStats.dataFileCount(spark, idx.toString)
+
+    val delta = Seq((4L, "spark broadcast joins small data"),
+      (5L, "keyed state ttl in flink"), (6L, "unrelated pelican document"),
+      (7L, "spark keyed shuffles again"))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    // threshold just above the fresh build's floor: the growing
+    // generation files must cross it mid-stream and trigger the hook
+    val q = IndexIngest.startBm25(in.toDS().toDF("doc_id", "text"),
+      idx.toString, maxDataFiles = Some(floor + 2))
+    try {
+      Seq(delta.take(1), delta.slice(1, 3), delta.drop(3)).foreach { chunk =>
+        in.addData(chunk)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // the policy fired: the index now serves through a swapped pointer
+    val gen = IndexPaths.currentGeneration(spark, idx.toString)
+    assert(gen.nonEmpty, "the threshold must have triggered a compact-swap")
+    // read amplification returned to the compacted baseline — the file
+    // count a FRESH build over the full corpus pays (the floor grows
+    // with the corpus's term-shard coverage, so the fresh full-corpus
+    // build IS the baseline, not the base-only build)
+    val fresh = TmpWorkspaces.pidScoped("graft_autocompact_spec_", "fresh")
+    Retrieval.bm25WriteIndex(base.union(delta.toDF("doc_id", "text")),
+      fresh.toString)
+    val freshCount = IndexStats.dataFileCount(spark, fresh.toString)
+    assert(IndexStats.dataFileCount(spark,
+        IndexPaths.resolve(spark, idx.toString)) <= freshCount + 2,
+      "serve cost must return to the compacted baseline")
+    // and the audit + serve through the root are exactly the fresh run's
+    assert(Retrieval.bm25AuditIndex(spark, idx.toString).isEmpty)
     val qs = Seq((0L, "spark shuffles keyed data")).toDF("doc_id", "text")
     def serve(path: String) =
       Retrieval.bm25TopKIndexed(spark, path, qs, k = 10)
