@@ -380,11 +380,12 @@ object Curation {
       .localCheckpoint()
     val divergent = rows.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
-    require(divergent.isEmpty,
-      s"mixtureCompactIndex: key ${divergent.headOption.map(_.get(0))} " +
-        "has payload-divergent copies (same key, different source/" +
-        "n_toks) — not append-replay damage; re-ingest the corpus " +
-        "instead")
+    require(divergent.isEmpty, {
+      val d = divergent.head
+      s"mixtureCompactIndex: key ${d.get(0)} has payload-divergent " +
+        "copies (same key, different source/n_toks) — not append-replay " +
+        "damage; re-ingest the corpus instead"
+    })
     rows.write.mode("overwrite").parquet(dstPath)
   }
 

@@ -387,11 +387,12 @@ object Multimodal {
       .localCheckpoint()
     val divergent = rows.groupBy(col("asset_id"))
       .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
-    require(divergent.isEmpty,
-      s"assetCompactIndex: asset ${divergent.headOption.map(_.get(0))} " +
-        "has payload-divergent copies (same id, different content " +
-        "bytes) — not append-replay damage; re-ingest the asset and " +
-        "rebuild instead")
+    require(divergent.isEmpty, {
+      val d = divergent.head
+      s"assetCompactIndex: asset ${d.get(0)} has payload-divergent " +
+        "copies (same id, different content bytes) — not append-replay " +
+        "damage; re-ingest the asset and rebuild instead"
+    })
     rows.repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard")
       .parquet(s"$dstPath/fingerprints")
@@ -671,9 +672,9 @@ object Multimodal {
   /** Frames as DOCUMENTS: each payload split into fixed-size byte
     * frames (the [[frameFingerprints]] geometry — an empty payload is
     * one empty frame) and rendered as SPACE-JOINED 4-BYTE HEX
-    * SHINGLES — "`c3a90a1b a90a1b2c …`", one shingle per byte offset
-    * (a frame of ≤4 bytes is its single hex token; an empty frame is
-    * the empty text) — one (doc_id = asset_id·2^20 + frame_no, blk,
+    * SHINGLES — "`c3a90a1b 0a1b2c3d …`", one shingle per 2-BYTE offset
+    * plus the frame's tail shingle (a frame of ≤4 bytes is its single
+    * hex token; an empty frame is the empty text) — one (doc_id = asset_id·2^20 + frame_no, blk,
     * text) row per frame: the input shape
     * [[Dedup.simhashWriteIndex]]/[[Dedup.simhashNearDupIndexed]]
     * take, so frame-level NEAR-dup is the q167/q168 contract applied
@@ -683,7 +684,7 @@ object Multimodal {
     * collapses distinct binary frames onto U+FFFD-laden twins, moving
     * near-dup verdicts on real media; (b) byte 4-grams are the right
     * locality feature for binary payloads (one flipped byte disturbs
-    * exactly 4 shingles of ~61 in a 64-byte frame); (c) the tokens
+    * 2 shingles of ~29 in a 64-byte frame); (c) the tokens
     * are [0-9a-f]+, so the existing normalize/tokenize/hash machinery
     * AND the SQL oracle (`lower(to_hex(encode(text)))` slices) replay
     * them byte-exactly on ANY payload — no ASCII fixture assumption.
@@ -719,8 +720,26 @@ object Multimodal {
             val hex = hexOf(bytes, from, until)
             val text =
               if (hex.length <= 8) hex
-              else (0 to hex.length / 2 - 4).iterator
-                .map(j => hex.substring(2 * j, 2 * j + 8)).mkString(" ")
+              else {
+                // 4-byte shingles STEPPED 2 bytes (offsets 0,2,4,… plus
+                // the frame tail): half the tokens of a per-byte stride
+                // at the same aligned-corruption sensitivity — a flipped
+                // byte still disturbs 2 shingles; shingle SETS dedup
+                // downstream, so the tail token may repeat harmlessly
+                val h = hex.length
+                val b = new java.lang.StringBuilder(h * 2)
+                var o = 0
+                while (o + 8 <= h) {
+                  if (b.length > 0) b.append(' ')
+                  b.append(hex, o, o + 8)
+                  o += 4
+                }
+                if ((h - 8) % 4 != 0) {
+                  b.append(' ')
+                  b.append(hex, h - 8, h)
+                }
+                b.toString
+              }
             Row(id * FrameIdStride + i, blk, text)
           }
         }

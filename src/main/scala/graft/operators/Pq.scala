@@ -615,10 +615,12 @@ object Pq {
     val codes = spark.read.parquet(s"$srcPath/codes").dropDuplicates()
     val divergent = codes.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).limit(1).collect()
-    require(divergent.isEmpty,
-      s"ivfPqCompactIndex: id ${divergent.headOption.map(_.get(0))} has " +
-        "payload-divergent copies (different codes/bucket under one id) " +
-        "— not append-replay damage; rebuild the index instead")
+    require(divergent.isEmpty, {
+      val d = divergent.head
+      s"ivfPqCompactIndex: id ${d.get(0)} has payload-divergent copies " +
+        "(different codes/bucket under one id) — not append-replay " +
+        "damage; rebuild the index instead"
+    })
     ivfPqWriteIndex(codes.repartition(col("bucket")), s"$dstPath/codes")
     spark.read.parquet(s"$srcPath/meta/centroids")
       .coalesce(1).write.mode("overwrite").parquet(s"$dstPath/meta/centroids")

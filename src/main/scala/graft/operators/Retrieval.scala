@@ -321,11 +321,12 @@ object Retrieval {
       .localCheckpoint()
     val divergent = postings.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).collect()
-    require(divergent.isEmpty,
-      s"bm25CompactIndex: (doc ${divergent.headOption.map(_.get(0))}, term " +
-        s"${divergent.headOption.map(_.get(1))}) has payload-divergent copies " +
-        "(same key, different tf/dl) — not append-replay damage; rebuild " +
-        "the index instead")
+    require(divergent.isEmpty, {
+      val d = divergent.head
+      s"bm25CompactIndex: (doc ${d.get(0)}, term ${d.get(1)}) has " +
+        "payload-divergent copies (same key, different tf/dl) — not " +
+        "append-replay damage; rebuild the index instead"
+    })
     // the key check above misses a doc re-appended with DIFFERENT text
     // sharing no term with the original — per-doc dl uniqueness and the
     // Σtf = dl invariant catch that class (see the scaladoc)
@@ -334,12 +335,14 @@ object Retrieval {
         sum(col("tf")).as("sum_tf"), first(col("dl")).as("dl"))
       .filter(col("n_dl") > 1 || col("sum_tf") =!= col("dl"))
       .limit(1).collect()
-    require(inconsistent.isEmpty,
-      s"bm25CompactIndex: doc ${inconsistent.headOption.map(_.get(0))} has " +
-        "inconsistent postings (multiple distinct dl values, or summed tf " +
-        "not equal to dl) — a doc id was re-appended with different text, " +
-        "or posting rows were lost/corrupted by partial-write damage; " +
-        "not append-replay damage; rebuild the index instead")
+    require(inconsistent.isEmpty, {
+      val d = inconsistent.head
+      s"bm25CompactIndex: doc ${d.get(0)} has inconsistent postings " +
+        "(multiple distinct dl values, or summed tf not equal to dl) — " +
+        "a doc id was re-appended with different text, or posting rows " +
+        "were lost/corrupted by partial-write damage; not append-replay " +
+        "damage; rebuild the index instead"
+    })
     postings
       .repartition(col("shard"))
       .write.mode("overwrite").partitionBy("shard")

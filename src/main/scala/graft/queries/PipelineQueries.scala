@@ -4411,10 +4411,11 @@ object PipelineQueries {
       WITH ${simhashPairsCtes(s"""
         SELECT doc_id, blk,
                CASE WHEN strlen(h) <= 8 THEN h
-                    ELSE array_to_string(list_transform(
-                      generate_series(1,
-                        CAST(strlen(h) // 2 AS BIGINT) - 3),
-                      j -> substring(h, (j - 1) * 2 + 1, 8)), ' ')
+                    ELSE array_to_string(list_append(list_transform(
+                      generate_series(0,
+                        CAST((strlen(h) - 8) // 4 AS BIGINT)),
+                      j -> substring(h, j * 4 + 1, 8)),
+                      substring(h, strlen(h) - 7, 8)), ' ')
                END AS text
         FROM (SELECT doc_id * ${1L << 20} + i AS doc_id, source AS blk,
                      substring(lower(to_hex(encode(text))),
@@ -4772,10 +4773,11 @@ object PipelineQueries {
       WITH ${simhashPairsCtes(s"""
         SELECT doc_id, blk,
                CASE WHEN strlen(h) <= 8 THEN h
-                    ELSE array_to_string(list_transform(
-                      generate_series(1,
-                        CAST(strlen(h) // 2 AS BIGINT) - 3),
-                      j -> substring(h, (j - 1) * 2 + 1, 8)), ' ')
+                    ELSE array_to_string(list_append(list_transform(
+                      generate_series(0,
+                        CAST((strlen(h) - 8) // 4 AS BIGINT)),
+                      j -> substring(h, j * 4 + 1, 8)),
+                      substring(h, strlen(h) - 7, 8)), ' ')
                END AS text
         FROM (SELECT doc_id * ${1L << 20} + i AS doc_id, source AS blk,
                      substring(lower(to_hex(encode(text))),
@@ -4861,10 +4863,11 @@ object PipelineQueries {
       WITH ${simhashPairsCtes(s"""
         SELECT doc_id, blk,
                CASE WHEN strlen(h) <= 8 THEN h
-                    ELSE array_to_string(list_transform(
-                      generate_series(1,
-                        CAST(strlen(h) // 2 AS BIGINT) - 3),
-                      j -> substring(h, (j - 1) * 2 + 1, 8)), ' ')
+                    ELSE array_to_string(list_append(list_transform(
+                      generate_series(0,
+                        CAST((strlen(h) - 8) // 4 AS BIGINT)),
+                      j -> substring(h, j * 4 + 1, 8)),
+                      substring(h, strlen(h) - 7, 8)), ' ')
                END AS text
         FROM (SELECT doc_id * ${1L << 20} + i AS doc_id, source AS blk,
                      substring(lower(to_hex(encode(text))),
