@@ -76,10 +76,16 @@ object SubstringDedup {
     * doc_a < doc_b. Posting lists longer than `maxPostingSize` are
     * dropped whole (the family's boilerplate cap — under-reports,
     * never fabricates; runs THROUGH a capped window key split into
-    * two shorter reported runs at worst).
+    * two shorter reported runs at worst). The default cap is 200 —
+    * far below the sampled-fingerprint families' 10000 — because
+    * stride-1 windows make posting lists HOT: pair emission is
+    * Σ|posting|² and a minLen-char string appearing in hundreds of
+    * documents is template boilerplate, not a meaningful pair witness
+    * (measured on the 10× fixture: cap 200 bounds the join at ~1.6e8
+    * rows where cap 10000 admits ~3.8e9 — a 20× super-linear cliff).
     */
   def substringPairs(df: DataFrame, idCol: String, textCol: String,
-      minLen: Int, maxPostingSize: Int = 10000): DataFrame =
+      minLen: Int, maxPostingSize: Int = 200): DataFrame =
     pairsFromWindows(substringWindows(df, idCol, textCol, minLen),
       minLen, maxPostingSize)
 
@@ -161,7 +167,7 @@ object SubstringDedup {
     */
   def substringPairsIndexed(spark: org.apache.spark.sql.SparkSession,
       path: String, deltaDocs: DataFrame, idCol: String, textCol: String,
-      minLen: Int, maxPostingSize: Int = 10000): DataFrame = {
+      minLen: Int, maxPostingSize: Int = 200): DataFrame = {
     val qw = substringWindows(deltaDocs, idCol, textCol, minLen)
       .select(col("h")).distinct().localCheckpoint()
     val shards = qw

@@ -678,7 +678,7 @@ object PipelineQueries {
       scap AS (SELECT doc_id, pos, h FROM (
                  SELECT *, COUNT(*) OVER (PARTITION BY h) AS pn
                  FROM sws) t
-               WHERE pn <= 10000),
+               WHERE pn <= 200),
       sp AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
                     x.pos AS pa, y.pos AS pb, x.pos - y.pos AS d
              FROM scap x
