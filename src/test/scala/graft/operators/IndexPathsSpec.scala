@@ -117,6 +117,36 @@ class IndexPathsSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSet == Set((2L, "new")))
   }
 
+  test("asset compact-swap: the media family's online repair serves repaired verdicts through the root") {
+    import graft.operators.Multimodal
+    def b(s: String) = s.getBytes("UTF-8")
+    val base = Seq((1L, b("alpha")), (2L, b("beta")))
+      .toDF("asset_id", "payload")
+    val snap = Seq((4L, b("alpha")), (5L, b("gamma")))
+      .toDF("asset_id", "payload").localCheckpoint()
+    val root = TmpWorkspaces.pidScoped("graft_ixp_spec_", "asset").toString
+    Multimodal.assetWriteIndex(base, root)
+    Multimodal.assetAppendIndex(snap, root)
+    Multimodal.assetAppendIndex(snap, root) // the injected blind retry
+    assert(!Multimodal.assetAuditIndex(spark, root).isEmpty)
+
+    val gen = Multimodal.assetCompactSwap(spark, root)
+    assert(IndexPaths.resolve(spark, root) == gen)
+    assert(Multimodal.assetAuditIndex(spark, root).isEmpty,
+      "the audit through the root must see the repaired generation")
+    val got = Multimodal.assetDedupIndexed(spark, root, snap)
+      .as[(String, Long, Long)].collect().toSet
+    // alpha {1,4} kept 1 size 2; gamma {5} singleton
+    assert(got.map(t => (t._2, t._3)) == Set((1L, 2L), (5L, 1L)), s"got $got")
+    // post-swap appends land live and serve
+    Multimodal.assetAppendIndex(
+      Seq((7L, b("alpha"))).toDF("asset_id", "payload"), root)
+    val got2 = Multimodal.assetDedupIndexed(spark, root, snap)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got2.map(t => (t._2, t._3)) == Set((1L, 3L), (5L, 1L)),
+      s"got $got2")
+  }
+
   test("maybeCompact: below threshold is a no-op listing, above it compacts and swaps") {
     import graft.operators.Retrieval
     val docs = Seq((0L, "alpha beta"), (1L, "beta gamma"))

@@ -137,6 +137,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == Set((11L, 2L, 0L), (13L, 1L, 1L)), s"got $got")
   }
 
+  test("frame fingerprints and shingle texts are byte-exact on NON-ASCII and raw binary payloads") {
+    // the byte-exact oracle-bridge contract on payloads the old
+    // UTF-8-decode path could not represent: multi-byte chars and raw
+    // non-UTF-8 bytes. Ground truth is hand md5 over the lowercase hex
+    // of the exact byte slice.
+    val nonAscii = "héllo wörld ✓".getBytes("UTF-8") // multi-byte chars
+    val rawBin = Array[Byte](0, -1, -61, 40, 7, 127, -128, 66, 1, 2)
+    val df = Seq((1L, nonAscii), (2L, rawBin)).toDF("asset_id", "payload")
+    def hex(bs: Array[Byte]) = bs.map("%02x".format(_)).mkString
+    def md5hex(bs: Array[Byte]) = java.security.MessageDigest
+      .getInstance("MD5").digest(hex(bs).getBytes("US-ASCII"))
+      .map("%02x".format(_)).mkString
+    val fps = Multimodal.frameFingerprints(df, "asset_id", 8)
+      .as[(Long, Long, String)].collect().toSet
+    val want = Seq((1L, nonAscii), (2L, rawBin)).flatMap { case (id, bs) =>
+      val n = math.max(1, (bs.length + 7) / 8)
+      (0 until n).map { i =>
+        val s = bs.slice(i * 8, math.min((i + 1) * 8, bs.length))
+        (id, i.toLong, md5hex(s))
+      }
+    }.toSet
+    assert(fps == want, s"got $fps want $want")
+    // distinct binary frames must stay distinct (the lossy-decode
+    // failure mode: both of these collapsed onto U+FFFD twins before)
+    val tricky = Seq((3L, Array[Byte](-1, -2)), (4L, Array[Byte](-3, -4)))
+      .toDF("asset_id", "payload")
+    val tfps = Multimodal.frameFingerprints(tricky, "asset_id", 8)
+      .as[(Long, Long, String)].collect().map(_._3).toSet
+    assert(tfps.size == 2, "distinct binary frames must fingerprint apart")
+    // and the shingle texts are pure lowercase hex + spaces (the SQL
+    // oracle's replayable alphabet), never a lossy decode
+    val texts = Multimodal.frameTexts(
+        Seq((5L, "s", rawBin)).toDF("asset_id", "source", "payload"),
+        "asset_id", 8, "source")
+      .as[(Long, String, String)].collect().map(_._3)
+    assert(texts.forall(_.matches("[0-9a-f ]*")), s"got ${texts.toSeq}")
+    assert(texts.exists(_.contains("00ffc328")),
+      s"shingles must carry the raw bytes' hex: ${texts.toSeq}")
+  }
+
   test("featurizeVector: hand-counted byte statistics, bias first") {
     val feats = Multimodal.featurizeVector(
         Multimodal.attachPayload(
