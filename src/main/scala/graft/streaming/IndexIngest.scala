@@ -501,14 +501,23 @@ object IndexIngest {
     * checkpoint, epoch reuse).
     */
   def semanticBatch(path: String, centroids: DataFrame, idCol: String,
-      vecCol: String, startGen: Int, epoch: String = "0")(
-      batch: DataFrame, batchId: Long): Unit =
-    committedAppend(batch.sparkSession, path, "semantic", epoch, batchId) {
-      staged =>
-        graft.operators.Clustering.semanticAppendIndex(
-          graft.operators.Clustering.assignL2(batch, centroids, idCol, vecCol),
-          staged, gen = Math.toIntExact(startGen.toLong + batchId), idCol)
+      vecCol: String, startGen: Int, epoch: String = "0",
+      maxDataFiles: Option[Long] = None)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val landed =
+      committedAppend(batch.sparkSession, path, "semantic", epoch, batchId) {
+        staged =>
+          graft.operators.Clustering.semanticAppendIndex(
+            graft.operators.Clustering.assignL2(batch, centroids, idCol,
+              vecCol),
+            staged, gen = Math.toIntExact(startGen.toLong + batchId), idCol)
+      }
+    if (landed) maxDataFiles.foreach { m =>
+      graft.operators.IndexPaths.maybeCompact(batch.sparkSession, path, m)(
+        graft.operators.Clustering.semanticCompactSwap(batch.sparkSession,
+          path, idCol))
     }
+  }
 
   /** Semantic-cluster twin of [[startIvf]], completing the streaming
     * ingest loop over ALL FOUR written index families (exact
@@ -533,11 +542,13 @@ object IndexIngest {
       centroids: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", startGen: Int = 1,
       epoch: String = "0",
-      checkpointLocation: Option[String] = None): StreamingQuery = {
+      checkpointLocation: Option[String] = None,
+      maxDataFiles: Option[Long] = None): StreamingQuery = {
     require(startGen > 0, s"append generations start at 1, got $startGen")
     withCheckpoint(vecStream.writeStream
         .foreachBatch(
-          semanticBatch(path, centroids, idCol, vecCol, startGen, epoch) _),
+          semanticBatch(path, centroids, idCol, vecCol, startGen, epoch,
+            maxDataFiles) _),
         checkpointLocation)
       .outputMode("append")
       .start()
@@ -604,13 +615,21 @@ object IndexIngest {
     * gates).
     */
   def mixtureBatch(path: String, stratumCol: String, idCol: String,
-      textCol: String, epoch: String = "0")(
-      batch: DataFrame, batchId: Long): Unit =
-    committedAppend(batch.sparkSession, path, "mixture", epoch, batchId) {
-      staged =>
-        graft.operators.Curation.mixtureAppendIndex(batch, staged,
-          stratumCol, idCol, textCol)
+      textCol: String, epoch: String = "0",
+      maxDataFiles: Option[Long] = None)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val landed =
+      committedAppend(batch.sparkSession, path, "mixture", epoch, batchId) {
+        staged =>
+          graft.operators.Curation.mixtureAppendIndex(batch, staged,
+            stratumCol, idCol, textCol)
+      }
+    if (landed) maxDataFiles.foreach { m =>
+      graft.operators.IndexPaths.maybeCompact(batch.sparkSession, path, m)(
+        graft.operators.Curation.mixtureCompactSwap(batch.sparkSession,
+          path, stratumCol, idCol))
     }
+  }
 
   /** The DERIVED-ARTIFACT member of the ingest loop: where the four
     * index sinks above maintain retrieval/dedup state, this one
@@ -633,9 +652,11 @@ object IndexIngest {
   def startMixture(docsStream: DataFrame, path: String,
       stratumCol: String = "source", idCol: String = "doc_id",
       textCol: String = "text", epoch: String = "0",
-      checkpointLocation: Option[String] = None): StreamingQuery =
+      checkpointLocation: Option[String] = None,
+      maxDataFiles: Option[Long] = None): StreamingQuery =
     withCheckpoint(docsStream.writeStream
-        .foreachBatch(mixtureBatch(path, stratumCol, idCol, textCol, epoch) _),
+        .foreachBatch(mixtureBatch(path, stratumCol, idCol, textCol, epoch,
+          maxDataFiles) _),
         checkpointLocation)
       .outputMode("append")
       .start()
@@ -709,13 +730,26 @@ object IndexIngest {
     finally q.stop()
   }
 
-  /** Frame member's per-batch body ([[startFrames]] + replay gates). */
-  def frameBatch(path: String, frameBytes: Int, epoch: String = "0")(
-      batch: DataFrame, batchId: Long): Unit =
-    committedAppend(batch.sparkSession, path, "frame", epoch, batchId) {
-      staged =>
-        graft.operators.Multimodal.frameAppendIndex(batch, staged, frameBytes)
+  /** Frame member's per-batch body ([[startFrames]] + replay gates).
+    * `maxDataFiles` opts into the post-commit auto-compaction hook —
+    * [[bm25Batch]]'s contract on the frame-fingerprint index
+    * ([[graft.operators.Multimodal.frameCompactSwap]]).
+    */
+  def frameBatch(path: String, frameBytes: Int, epoch: String = "0",
+      maxDataFiles: Option[Long] = None)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val landed =
+      committedAppend(batch.sparkSession, path, "frame", epoch, batchId) {
+        staged =>
+          graft.operators.Multimodal.frameAppendIndex(batch, staged,
+            frameBytes)
+      }
+    if (landed) maxDataFiles.foreach { m =>
+      graft.operators.IndexPaths.maybeCompact(batch.sparkSession, path, m)(
+        graft.operators.Multimodal.frameCompactSwap(batch.sparkSession,
+          path))
     }
+  }
 
   /** The NINTH ingest member — the frame-fingerprint index maintained
     * by a standing media pipeline: each micro-batch of binary payloads
@@ -730,9 +764,10 @@ object IndexIngest {
     */
   def startFrames(assetStream: DataFrame, path: String, frameBytes: Int,
       epoch: String = "0",
-      checkpointLocation: Option[String] = None): StreamingQuery =
+      checkpointLocation: Option[String] = None,
+      maxDataFiles: Option[Long] = None): StreamingQuery =
     withCheckpoint(assetStream.writeStream
-        .foreachBatch(frameBatch(path, frameBytes, epoch) _),
+        .foreachBatch(frameBatch(path, frameBytes, epoch, maxDataFiles) _),
         checkpointLocation)
       .outputMode("append")
       .start()
@@ -756,15 +791,23 @@ object IndexIngest {
     * one generation of the written band index.
     */
   def frameSimhashBatch(path: String, frameBytes: Int,
-      blockOf: DataFrame, epoch: String = "0")(
-      batch: DataFrame, batchId: Long): Unit =
-    committedAppend(batch.sparkSession, path, "frame_simhash", epoch,
-        batchId) { staged =>
-      graft.operators.Multimodal.frameSimhashAppendIndex(
-        batch.join(
-          org.apache.spark.sql.functions.broadcast(blockOf), "asset_id"),
-        staged, frameBytes)
+      blockOf: DataFrame, epoch: String = "0",
+      maxDataFiles: Option[Long] = None)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val landed =
+      committedAppend(batch.sparkSession, path, "frame_simhash", epoch,
+          batchId) { staged =>
+        graft.operators.Multimodal.frameSimhashAppendIndex(
+          batch.join(
+            org.apache.spark.sql.functions.broadcast(blockOf), "asset_id"),
+          staged, frameBytes)
+      }
+    if (landed) maxDataFiles.foreach { m =>
+      graft.operators.IndexPaths.maybeCompact(batch.sparkSession, path, m)(
+        graft.operators.Multimodal.frameSimhashCompactSwap(
+          batch.sparkSession, path))
     }
+  }
 
   /** The TENTH ingest member — q208's frame-SimHash band index
     * maintained by a standing media pipeline: each micro-batch of
@@ -783,9 +826,11 @@ object IndexIngest {
     */
   def startFrameSimhash(assetStream: DataFrame, path: String,
       frameBytes: Int, blockOf: DataFrame, epoch: String = "0",
-      checkpointLocation: Option[String] = None): StreamingQuery =
+      checkpointLocation: Option[String] = None,
+      maxDataFiles: Option[Long] = None): StreamingQuery =
     withCheckpoint(assetStream.writeStream
-        .foreachBatch(frameSimhashBatch(path, frameBytes, blockOf, epoch) _),
+        .foreachBatch(frameSimhashBatch(path, frameBytes, blockOf, epoch,
+          maxDataFiles) _),
         checkpointLocation)
       .outputMode("append")
       .start()

@@ -1232,6 +1232,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "no all-pairs fallback")
   }
 
+  test("q217: pointer-swapped bm25 serve keeps the q154 pruned shape through the resolved generation") {
+    val p = plan("q217_bm25_pointer_swap")
+    assert("PartitionFilters: \\[[^\\]]*shard".r.findFirstIn(p).isDefined,
+      s"query-term shards must prune the repaired generation's scans:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "query terms / df / stats must broadcast into the postings scan")
+    assert(!p.contains("CartesianProduct") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"only the broadcast 1-row stats product is allowed:\n$p")
+  }
+
+  test("q220: substring pairs — cap filter present, no cartesian, run merge windows on pair-local keys") {
+    val p = plan("q220_substring_pairs")
+    assert("posting_n#\\d+L? <= \\d+".r.findFirstIn(p).isDefined,
+      s"posting-size cap filter missing:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"pairing must be keyed on the window hash, never all-pairs:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"the h-keyed pair join must be a hash/merge join:\n$p")
+  }
+
+  test("q221: substring incremental — pruned shards AND the (h) semi prune gate the probe") {
+    val p = plan("q221_substring_incremental")
+    assert("PartitionFilters: \\[[^\\]]*shard".r.findFirstIn(p).isDefined,
+      s"snapshot window shards must prune the postings scan:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"the (h) window-set semi prune must gate pair emission:\n$p")
+    assert("posting_n#\\d+L? <= \\d+".r.findFirstIn(p).isDefined,
+      s"posting-size cap filter missing:\n$p")
+    assert(!p.contains("CartesianProduct"), "no all-pairs fallback")
+  }
+
   test("q192: repaired mixture payload serves like q185 — no text rescan, broadcast rates") {
     val p = plan("q192_mixture_repair")
     assert(!p.contains("FileScan parquet"),

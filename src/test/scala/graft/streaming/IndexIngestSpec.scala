@@ -388,6 +388,47 @@ class IndexIngestSpec extends AnyFunSuite {
     assert(got == serve(fresh.toString) && got.nonEmpty, s"got $got")
   }
 
+  test("auto-compaction on the frame member: the media-side hook compact-swaps and novelty verdicts stay exact") {
+    import graft.operators.{IndexPaths, IndexStats, Multimodal}
+    def b(s: String) = s.getBytes("UTF-8")
+    val base = Seq((1L, b("aaaabbbb")), (2L, b("bbbbcccc")))
+      .toDF("asset_id", "payload")
+    val idx = TmpWorkspaces.pidScoped("graft_autoframe_spec_", "fr")
+    Multimodal.frameWriteIndex(base, idx.toString, frameBytes = 4)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = IndexIngest.startFrames(
+      in.toDS().toDF("asset_id", "payload"), idx.toString, frameBytes = 4,
+      maxDataFiles = Some(0L)) // force the policy every batch
+    val delta = Seq(11L -> b("ccccaaaa"), 13L -> b("dddd"))
+    try {
+      delta.foreach { row =>
+        in.addData(Seq(row))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    assert(IndexPaths.currentGeneration(spark, idx.toString).nonEmpty,
+      "the hook must have compact-swapped")
+    assert(Multimodal.frameAuditIndex(spark, idx.toString).isEmpty)
+    val fresh = TmpWorkspaces.pidScoped("graft_autoframe_spec_", "fresh")
+    Multimodal.frameWriteIndex(
+      base.union(delta.toDF("asset_id", "payload")), fresh.toString,
+      frameBytes = 4)
+    assert(IndexStats.dataFileCount(spark,
+        IndexPaths.resolve(spark, idx.toString)) <=
+      IndexStats.dataFileCount(spark, fresh.toString),
+      "the compacted live generation must be at the fresh-build floor")
+    // novelty verdicts through the root equal the fresh-index probe
+    def serve(p: String) = Multimodal.frameDedupIndexed(spark, p,
+        delta.toDF("asset_id", "payload"), frameBytes = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    val got = serve(idx.toString)
+    assert(got == serve(fresh.toString) &&
+      got == Set((11L, 2L, 0L), (13L, 1L, 1L)), s"got $got")
+  }
+
   test("streaming semantic ingest: per-batch generations, probe equals the batch append, audit clean") {
     import graft.operators.Clustering
     val cents = Seq((0L, Array(1.0, 1.0)), (1L, Array(-5.0, 5.0)))
