@@ -110,8 +110,12 @@ object Dedup {
 
   private def writeFpGeneration(df: DataFrame, path: String,
       idCol: String, textCol: String, mode: String): Unit =
-    df.select(col(idCol).cast("long").as("doc_id"),
-        md5(normalize(col(textCol))).as("fingerprint"))
+    // fan out before the per-doc normalize+md5 (guide §2.5): a small-
+    // file corpus otherwise hashes serially in the scan stage
+    Parallelism.fanOut(
+        df.select(col(idCol).cast("long").as("doc_id"),
+          col(textCol).cast("string").as("__t")), "doc_id")
+      .select(col("doc_id"), md5(normalize(col("__t"))).as("fingerprint"))
       .withColumn("shard", substring(col("fingerprint"), 1, 2))
       .repartition(col("shard"))
       .write.mode(mode).partitionBy("shard").parquet(s"$path/fingerprints")
@@ -185,10 +189,12 @@ object Dedup {
       blockCol: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val src = df.select(
+    // fan out before the per-shingle hashing (guide §2.5): cost is
+    // shingles × md5, the scan stage is sized by input bytes
+    val src = Parallelism.fanOut(df.select(
       blockCol.map(c => col(c).cast("string")).getOrElse(lit("")).as("blk"),
       col(idCol).cast("long").as("doc_id"),
-      col(textCol).cast("string").as("text"))
+      col(textCol).cast("string").as("text")), "doc_id")
     src.as[(String, Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -213,7 +219,12 @@ object Dedup {
     val params = hashParams(numHashes).toArray
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("doc_id"), col(textCol).cast("string").as("text"))
+    // NO fan-out here (unlike the other fingerprint passes): PlanSpec
+    // pins a zero-shuffle scan→signature contract for q31, and the
+    // sf0.1 A/B measured noise-level difference; at production scale
+    // the scan is wide and a fan-out would be a no-op anyway
+    df.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).cast("string").as("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -456,7 +467,9 @@ object Dedup {
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+    Parallelism.fanOut(
+        df.select(col(idCol).cast("long").as("__id"),
+          col(textCol).cast("string").as("__t")), "__id")
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -502,7 +515,9 @@ object Dedup {
   def simhash60(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+    Parallelism.fanOut(
+        df.select(col(idCol).cast("long").as("__id"),
+          col(textCol).cast("string").as("__t")), "__id")
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -531,9 +546,11 @@ object Dedup {
       textCol: String, blockCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.filter(col(blockCol).isNotNull)
-      .select(col(idCol).cast("long"), col(blockCol).cast("string"),
-        col(textCol).cast("string"))
+    Parallelism.fanOut(
+        df.filter(col(blockCol).isNotNull)
+          .select(col(idCol).cast("long").as("__id"),
+            col(blockCol).cast("string").as("__blk"),
+            col(textCol).cast("string").as("__t")), "__id")
       .as[(Long, String, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -1114,6 +1131,9 @@ object Dedup {
     */
   private def docBlocks(df: DataFrame, idCol: String, textCol: String,
       blockTokens: Int): DataFrame =
+    // NO fan-out here: PlanSpec pins q123 at ≤3 keyed shuffles and the
+    // sf0.1 A/B measured noise-level difference; at production scale
+    // the scan is wide and a fan-out would be a no-op anyway
     df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
       .withColumn("__start",
         explode(sequence(lit(1), greatest(size(col("__toks")), lit(1)),
@@ -1257,9 +1277,14 @@ object Dedup {
     */
   private def winnowSets(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, k: Int, w: Int): DataFrame =
-    df.select(col(blockCol).cast("string").as("blk"),
-        col(idCol).cast("long").as("doc_id"),
-        regexp_replace(TextOps.normalize(col(textCol)), " ", "").as("norm"))
+    // fan out before the per-char winnow_fp pass (guide §2.5): the scan
+    // stage is sized by input bytes, the hashing by chars × k
+    Parallelism.fanOut(
+        df.select(col(blockCol).cast("string").as("blk"),
+          col(idCol).cast("long").as("doc_id"),
+          col(textCol).cast("string").as("__t")), "doc_id")
+      .select(col("blk"), col("doc_id"),
+        regexp_replace(TextOps.normalize(col("__t")), " ", "").as("norm"))
       .withColumn("hs", expr(s"winnow_fp(norm, $k, $w)"))
       .select(col("blk"), col("doc_id"), col("hs"),
         size(col("hs")).cast("long").as("n"))
@@ -1333,6 +1358,10 @@ object Dedup {
         explode(col("hs")).as("h"))
       .withColumn("shard", pmod(col("h"), lit(256)).cast("int"))
       .repartition(col("shard"))
+      // h-clustered files (guide §6): the partitioned writer sorts by
+      // the partition column anyway, so (shard, h) costs ~nothing and
+      // makes h delta-encoding-friendly — smaller files, cheaper probes
+      .sortWithinPartitions(col("shard"), col("h"))
       .write.mode(mode).partitionBy("shard").parquet(s"$path/postings")
 
   /** Replay audit of a [[winnowWriteIndex]] layout: duplicate
@@ -1379,10 +1408,14 @@ object Dedup {
       // membership, so the posting cap fires exactly as in the fresh
       // run. Cost: pair emission drops from the touched shards' entire
       // content (corpus/256 per shard — the q190 quarter-corpus
-      // worst case) to the matched posting lists only; for a small
-      // delta AQE re-plans this as a broadcast semi join over the
-      // delta's fingerprint set, leaving the probe shuffle-free.
-      .join(qfps, Seq("blk", "h"), "leftsemi")
+      // worst case) to the matched posting lists only. For a BOUNDED
+      // delta the semi side broadcasts EXPLICITLY (guide §3.1: size
+      // estimates for checkpointed frames are unreliable, and waiting
+      // for AQE to convert still map-writes the corpus-sized probe
+      // side to shuffle disk first) so the probe stays shuffle-free by
+      // construction; above the bound it degrades to the planner's
+      // choice — the 100 TB posture where the delta itself is huge.
+      .join(Parallelism.boundedBroadcast(qfps), Seq("blk", "h"), "leftsemi")
     val pairs = emitSortedPairs(probe, keys = Seq("blk", "h"),
       item = struct(col("doc_id"), col("n")), capCol = "posting_n",
       maxGroupSize = maxPostingSize, aName = "a", bName = "b",

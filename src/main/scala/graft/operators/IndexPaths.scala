@@ -113,21 +113,40 @@ object IndexPaths {
 
   /** Deletes every generation directory under `<root>/_gens/` except
     * the one `_current` names — the operational reclaim step, run once
-    * standing readers of older generations have drained. The flat
+    * standing readers of older generations have drained AND no compact
+    * (manual or an armed [[maybeCompact]] hook on a still-streaming
+    * member) is in flight: quiesce covers writers too. The flat
     * day-1 files at the root are NEVER touched (they are not a
     * generation; a root that has swapped at least once simply carries
     * them as dead weight until the index is rebuilt). Returns the
     * deleted generation names.
+    *
+    * A compactSwap racing this call could land a NEW generation between
+    * the pointer read and the deletes; deleting it would leave
+    * `_current` pointing at nothing. Guard: re-read the pointer after
+    * listing and keep every generation at or above the newest of the
+    * two reads — newer-than-kept generations are an in-flight compact's
+    * work, never garbage.
     */
   def gc(spark: SparkSession, root: String): Seq[String] = {
     val fs = fsOf(spark, root)
-    val keep = currentGeneration(spark, root)
+    val before = currentGeneration(spark, root)
     val gens = new Path(s"$root/_gens")
     if (!fs.exists(gens)) Seq.empty
-    else fs.listStatus(gens).toSeq
-      .map(_.getPath)
-      .filter(p => p.getName.startsWith("gen-") && !keep.contains(p.getName))
-      .map { p => fs.delete(p, true); p.getName }
+    else {
+      val listed = fs.listStatus(gens).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("gen-"))
+      // re-read AFTER listing: a compactSwap landing mid-gc creates a
+      // generation the first read did not see — keep both pointer
+      // values and anything newer than the newest of them
+      // (lexicographic = numeric for gen-%06d names); a pointerless
+      // root keeps nothing, as before
+      val after = currentGeneration(spark, root)
+      val newest = (before.toSeq ++ after.toSeq).sorted.lastOption
+      listed
+        .filter(p => newest.forall(k => p.getName < k))
+        .map { p => fs.delete(p, true); p.getName }
+    }
   }
 
   /** AUTO-COMPACTION policy — the op that ACTS on the

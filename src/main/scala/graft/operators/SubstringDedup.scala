@@ -57,8 +57,14 @@ object SubstringDedup {
   def substringWindows(df: DataFrame, idCol: String, textCol: String,
       minLen: Int): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
-    df.select(col(idCol).cast("long").as("doc_id"),
-        regexp_replace(TextOps.normalize(col(textCol)), " ", "").as("norm"))
+    // fan out BEFORE the per-char explode: one input row becomes one
+    // output row per char, so scan-partitioning (sized by input bytes)
+    // under-parallelizes the md5 pass by that factor (guide §2.5)
+    Parallelism.fanOut(
+        df.select(col(idCol).cast("long").as("doc_id"),
+          col(textCol).cast("string").as("__t")), "doc_id")
+      .select(col("doc_id"),
+        regexp_replace(TextOps.normalize(col("__t")), " ", "").as("norm"))
       .filter(length(col("norm")) >= minLen)
       .select(col("doc_id"),
         explode(sequence(lit(0L),
@@ -150,6 +156,12 @@ object SubstringDedup {
     substringWindows(df, idCol, textCol, minLen)
       .withColumn("shard", substring(col("h"), 1, 2))
       .repartition(col("shard"))
+      // h-clustered files (guide §6 "sort order on write"): the
+      // partitioned writer sorts each task by the partition column
+      // anyway (sort-based write path), so extending the key to
+      // (shard, h) costs ~nothing and makes the h column
+      // delta/dictionary-friendly — smaller files, cheaper probe scans
+      .sortWithinPartitions(col("shard"), col("h"))
       .write.mode(mode).partitionBy("shard").parquet(s"$path/postings")
 
   /** Incremental [[substringPairs]] of a new snapshot against
@@ -177,7 +189,10 @@ object SubstringDedup {
       .distinct()
     val probe = spark.read.parquet(s"$path/postings")
       .filter(col("shard").isin(shards.toSeq: _*))
-      .join(qw, Seq("h"), "leftsemi")
+      // bounded-delta broadcast for the (h) semi prune — same rationale
+      // as [[Dedup.winnowPairsIndexed]]: keep the corpus-sized postings
+      // scan out of any shuffle by construction (guide §3.1)
+      .join(Parallelism.boundedBroadcast(qw), Seq("h"), "leftsemi")
       .select(col("doc_id"), col("pos"), col("h"))
     pairsFromWindows(probe, minLen, maxPostingSize)
       .join(broadcast(snapIds.select(col("doc_id").as("doc_a"))

@@ -77,8 +77,12 @@ object IndexIngest {
       s"$indexPath/_ingest_claims/$member/epoch=$epoch/batch-$batchId")
 
   /** Create-if-absent write of `content` at `p`; true iff THIS call
-    * created the file (the atomic-claim primitive — `fs.create(p,
-    * overwrite=false)` is atomic on HDFS and local fs).
+    * created the file (the atomic-claim primitive). Atomic where the
+    * filesystem implements create-if-absent atomically (HDFS); on
+    * LocalFileSystem (ChecksumFileSystem) and object stores the
+    * create(p, overwrite=false) is exists-then-create, so the claim
+    * degrades to best-effort there — the supersede + read-back in
+    * [[committedAppend]] narrows but does not close that window.
     */
   private def tryCreateFile(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path, content: String): Boolean = {
@@ -224,8 +228,11 @@ object IndexIngest {
     * zombies that BOTH pass the pre-publish ownership read before
     * either's supersede lands can still interleave renames and leave
     * duplicate rows of this one batch — rows the member's audit
-    * localizes and compact repairs; committed data is never deleted
-    * because every purge re-checks the marker first. What remains
+    * localizes and compact repairs. Every purge and the marker write
+    * re-check the fence first, so deleting a COMMITTED generation
+    * requires a supersede landing inside the fence-to-purge (or
+    * fence-to-marker) gap AND the superseder crashing mid-republish —
+    * a narrow crash-after-purge loss window, not "never". What remains
     * audit territory proper is the documented caller errors (restart
     * without a checkpoint, epoch reuse), which no ledger can
     * distinguish from new data.
@@ -299,6 +306,16 @@ object IndexIngest {
               generationKey(member, epoch, batchId), fenced _)
             fs.delete(staging, true)
             fs.mkdirs(marker.getParent)
+            // re-check the fence immediately before the marker: a
+            // superseded claim here means a concurrent duplicate took
+            // over and may purge this attempt's files — writing the
+            // marker anyway could record "committed" for a generation
+            // the superseder is about to delete (and whose own publish
+            // may then crash). Aborting instead leaves the superseder
+            // to republish and write the marker itself.
+            if (!fenced())
+              throw new LostPublishRace(
+                s"ownership lost after publish, before the marker")
             try {
               val out = fs.create(marker, false)
               try out.write(Array.emptyByteArray) finally out.close()
