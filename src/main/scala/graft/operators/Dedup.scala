@@ -425,26 +425,57 @@ object Dedup {
       threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
     val deltaSig = minhashSignatures(deltaDocs, idCol, textCol,
       numHashes, shingleN)
-    val shards = bandKeys(deltaSig, numHashes, bands)
+    // delta band-key set, materialized once: feeds the bounded shard
+    // collect AND the (bk) semi prune (r21 — the q219 pruned-regime
+    // argument on the minhash member: every bucket holding a snapshot
+    // doc has a band key the snapshot itself posts; kept buckets
+    // retain FULL membership so the bucket cap fires exactly as fresh)
+    val qbk = bandKeys(deltaSig, numHashes, bands)
+      .select(col("bk")).distinct().localCheckpoint()
+    val shards = qbk
       .select(substring(md5(col("bk")), 1, 2).as("shard"))
       .distinct().collect().map(_.getString(0))
     val probe = spark.read.parquet(s"$path/bands")
       .filter(col("shard").isin(shards.toSeq: _*))
+      .join(Parallelism.boundedBroadcast(qbk), Seq("bk"), "leftsemi")
       .select(col("doc_id"), col("bk"))
-    val cands = emitSortedPairs(probe, keys = Seq("bk"),
-      item = col("doc_id"), capCol = "bucket_n",
-      maxGroupSize = maxBucketSize, aName = "doc_a", bName = "doc_b",
+    // EARLY endpoint filter — same as [[winnowPairsIndexed]]: a
+    // (base, base) bucket pair is discarded by the endpoint filter no
+    // matter what, so filter at emission instead of after the distinct
+    val deltaIds = deltaDocs.select(col(idCol).cast("long").as("doc_id"))
+      .distinct().localCheckpoint()
+    val flagged = probe
+      .join(broadcast(deltaIds.withColumn("__delta", lit(true))),
+        Seq("doc_id"), "left")
+      .withColumn("__delta", coalesce(col("__delta"), lit(false)))
+    val cands = emitSortedPairs(flagged, keys = Seq("bk"),
+      item = struct(col("doc_id"), col("__delta")), capCol = "bucket_n",
+      maxGroupSize = maxBucketSize, aName = "a", bName = "b",
       dedupPairs = true)
-    val fa = deltaDocs.select(col(idCol).cast("long").as("doc_a"))
-      .distinct().withColumn("fa", lit(1))
-    val fb = deltaDocs.select(col(idCol).cast("long").as("doc_b"))
-      .distinct().withColumn("fb", lit(1))
+      .filter(col("a.__delta") || col("b.__delta"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val fa = deltaIds.select(col("doc_id").as("doc_a"))
+      .withColumn("fa", lit(1))
+    val fb = deltaIds.select(col("doc_id").as("doc_b"))
+      .withColumn("fb", lit(1))
     val dcands = cands
       .join(broadcast(fa), Seq("doc_a"), "left")
       .join(broadcast(fb), Seq("doc_b"), "left")
       .filter(col("fa").isNotNull || col("fb").isNotNull)
       .select(col("doc_a"), col("doc_b"))
-    verifyJaccard(dcands, spark.read.parquet(s"$path/sigs"), threshold)
+    // prune the verify-set fetch to PROBED-BUCKET MEMBERS before the
+    // join: sigs/ rows carry the full shingle-hash arrays (the widest
+    // rows this family owns), and an unpruned join lets the planner
+    // shuffle the whole layout (guide §2.3 "shuffle keys, not
+    // payloads"). Every candidate pair's endpoints are members of some
+    // kept bucket, so the member-id set is an exact superset of the
+    // verify endpoints; only the compact id list is materialized — the
+    // candidate pipeline itself stays lazy, so the served plan keeps
+    // its pruned bands scan.
+    val memberIds = probe.select(col("doc_id")).distinct().localCheckpoint()
+    val sigs = spark.read.parquet(s"$path/sigs")
+      .join(Parallelism.boundedBroadcast(memberIds), Seq("doc_id"), "leftsemi")
+    verifyJaccard(dcands, sigs, threshold)
   }
 
   // ------------------------------------------------------------------
@@ -970,23 +1001,45 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, path: String,
       deltaDocs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, maxPostingSize: Int): DataFrame = {
-    val shards = shingleSets(deltaDocs, idCol, textCol, shingleN)
+    // delta shingle-hash set, materialized once: feeds the bounded
+    // shard collect AND the (h) semi prune below
+    val qhs = shingleSets(deltaDocs, idCol, textCol, shingleN)
       .select(explode(col("hs")).as("h"))
+      .distinct().localCheckpoint()
+    val shards = qhs
       .select(pmod(col("h"), lit(256)).cast("int").as("shard"))
       .distinct().collect().map(_.getInt(0))
     val probe = spark.read.parquet(s"$path/postings")
       .filter(col("shard").isin(shards.toSeq: _*))
-    val pairs = emitSortedPairs(probe, keys = Seq("blk", "h"),
-      item = struct(col("doc_id"), col("n")), capCol = "posting_n",
+      // the PRUNED-REGIME semi (r21 — the q219 argument on the ngram
+      // member, h-only because the caller carries no block column:
+      // every shared shingle of a snapshot-endpoint pair is one the
+      // snapshot document itself posts; a coincidental same-h group in
+      // ANOTHER block survives the prune but contains no delta doc, so
+      // the endpoint filter below drops its pairs — kept groups retain
+      // FULL membership, so cap accounting matches the fresh run)
+      .join(Parallelism.boundedBroadcast(qhs), Seq("h"), "leftsemi")
+    // EARLY endpoint filter — same as [[winnowPairsIndexed]]: don't
+    // emit or aggregate (base, base) pairs the final filter discards
+    val deltaIds = deltaDocs.select(col(idCol).cast("long").as("doc_id"))
+      .distinct().localCheckpoint()
+    val flagged = probe
+      .join(broadcast(deltaIds.withColumn("__delta", lit(true))),
+        Seq("doc_id"), "left")
+      .withColumn("__delta", coalesce(col("__delta"), lit(false)))
+    val pairs = emitSortedPairs(flagged, keys = Seq("blk", "h"),
+      item = struct(col("doc_id"), col("n"), col("__delta")),
+      capCol = "posting_n",
       maxGroupSize = maxPostingSize, aName = "a", bName = "b",
       carry = Seq("blk"), dedupPairs = false)
+      .filter(col("a.__delta") || col("b.__delta"))
       .groupBy(col("blk"), col("a.doc_id").as("doc_a"),
         col("b.doc_id").as("doc_b"), col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("i"))
-    val fa = deltaDocs.select(col(idCol).cast("long").as("doc_a"))
-      .distinct().withColumn("fa", lit(1))
-    val fb = deltaDocs.select(col(idCol).cast("long").as("doc_b"))
-      .distinct().withColumn("fb", lit(1))
+    val fa = deltaIds.select(col("doc_id").as("doc_a"))
+      .withColumn("fa", lit(1))
+    val fb = deltaIds.select(col("doc_id").as("doc_b"))
+      .withColumn("fb", lit(1))
     pairs
       .join(broadcast(fa), Seq("doc_a"), "left")
       .join(broadcast(fb), Seq("doc_b"), "left")
@@ -1416,19 +1469,41 @@ object Dedup {
       // construction; above the bound it degrades to the planner's
       // choice — the 100 TB posture where the delta itself is huge.
       .join(Parallelism.boundedBroadcast(qfps), Seq("blk", "h"), "leftsemi")
-    val pairs = emitSortedPairs(probe, keys = Seq("blk", "h"),
-      item = struct(col("doc_id"), col("n")), capCol = "posting_n",
+    // EARLY endpoint filter (r21, guide §2.3 "aggregate before you
+    // shuffle" inverted: don't shuffle what the endpoint filter will
+    // discard): matched posting lists still contain base docs, and a
+    // base-base pair — both endpoints outside the delta — is discarded
+    // by the final endpoint filter no matter its multiplicity, yet the
+    // old plan emitted and AGGREGATED it (measured at sf1: 104.9M raw
+    // pairs into the groupBy, 124.8k rows out — 52 s in the pair agg
+    // alone). Riding a broadcast __delta flag on each posting row and
+    // filtering (a.__delta OR b.__delta) AT EMISSION — the same stage,
+    // before the pair exchange — keeps exactly the pairs the final
+    // filter keeps, with identical multiplicity: per (blk, h) group
+    // membership, order (doc_id is unique per group, so the extra
+    // struct field never reorders), and the cap count are all
+    // unchanged; only already-doomed (base, base) rows skip the wire.
+    val deltaIds = deltaDocs.select(col(idCol).cast("long").as("doc_id"))
+      .distinct().localCheckpoint()
+    val flagged = probe
+      .join(broadcast(deltaIds.withColumn("__delta", lit(true))),
+        Seq("doc_id"), "left")
+      .withColumn("__delta", coalesce(col("__delta"), lit(false)))
+    val pairs = emitSortedPairs(flagged, keys = Seq("blk", "h"),
+      item = struct(col("doc_id"), col("n"), col("__delta")),
+      capCol = "posting_n",
       maxGroupSize = maxPostingSize, aName = "a", bName = "b",
       carry = Seq("blk"), dedupPairs = false)
+      .filter(col("a.__delta") || col("b.__delta"))
       .groupBy(col("blk"), col("a.doc_id").as("doc_a"),
         col("b.doc_id").as("doc_b"), col("a.n").as("na"),
         col("b.n").as("nb"))
       .agg(count(lit(1)).as("i"))
       .filter(col("i") >= minShared)
-    val fa = deltaDocs.select(col(idCol).cast("long").as("doc_a"))
-      .distinct().withColumn("fa", lit(1))
-    val fb = deltaDocs.select(col(idCol).cast("long").as("doc_b"))
-      .distinct().withColumn("fb", lit(1))
+    val fa = deltaIds.select(col("doc_id").as("doc_a"))
+      .withColumn("fa", lit(1))
+    val fb = deltaIds.select(col("doc_id").as("doc_b"))
+      .withColumn("fb", lit(1))
     pairs
       .join(broadcast(fa), Seq("doc_a"), "left")
       .join(broadcast(fb), Seq("doc_b"), "left")

@@ -105,9 +105,19 @@ object SubstringDedup {
       .withColumn("posting_n", count(lit(1)).over(capW))
       .filter(col("posting_n") <= maxPostingSize)
       .drop("posting_n")
+    // EARLY endpoint filter (r21): when the caller rode a `__delta`
+    // flag on the window rows ([[substringPairsIndexed]]), drop
+    // (base, base) pairs AT THE JOIN — they fail the final endpoint
+    // filter whatever their diagonals, and the run-merge windows are
+    // pair-local, so removing whole pairs here is exact. Without the
+    // flag (fresh [[substringPairs]]) the predicate is absent.
+    val endpointPred =
+      if (windows.columns.contains("__delta"))
+        col("x.__delta") || col("y.__delta")
+      else lit(true)
     val pairs = capped.as("x").join(capped.as("y"),
         col("x.h") === col("y.h") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") && endpointPred)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.pos").as("pa"), col("y.pos").as("pb"),
         (col("x.pos") - col("y.pos")).as("d"))
@@ -186,14 +196,19 @@ object SubstringDedup {
       .select(substring(col("h"), 1, 2).as("shard"))
       .distinct().collect().map(_.getString(0))
     val snapIds = deltaDocs.select(col(idCol).cast("long").as("doc_id"))
-      .distinct()
+      .distinct().localCheckpoint()
     val probe = spark.read.parquet(s"$path/postings")
       .filter(col("shard").isin(shards.toSeq: _*))
       // bounded-delta broadcast for the (h) semi prune — same rationale
       // as [[Dedup.winnowPairsIndexed]]: keep the corpus-sized postings
       // scan out of any shuffle by construction (guide §3.1)
       .join(Parallelism.boundedBroadcast(qw), Seq("h"), "leftsemi")
-      .select(col("doc_id"), col("pos"), col("h"))
+      // ride the snapshot-endpoint flag so pairsFromWindows can drop
+      // (base, base) pairs at emission instead of after the run merge
+      .join(broadcast(snapIds.withColumn("__delta", lit(true))),
+        Seq("doc_id"), "left")
+      .withColumn("__delta", coalesce(col("__delta"), lit(false)))
+      .select(col("doc_id"), col("pos"), col("h"), col("__delta"))
     pairsFromWindows(probe, minLen, maxPostingSize)
       .join(broadcast(snapIds.select(col("doc_id").as("doc_a"))
           .withColumn("fa", lit(1))),

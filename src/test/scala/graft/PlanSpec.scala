@@ -622,6 +622,13 @@ class PlanSpec extends AnyFunSuite {
     // same capped incremental pair emission as the fresh path
     assert("bucket_n#\\d+L? <= \\d+".r.findFirstIn(p).isDefined,
       s"bucket-size cap filter missing:\n$p")
+    // r21 pruned regime on the minhash member: the (bk) semi prune
+    // gates which buckets emit, and the broadcast __delta flag drops
+    // (base, base) pairs at emission
+    assert(p.contains("LeftSemi"),
+      s"the (bk) band-key semi prune must gate the bands scan:\n$p")
+    assert(p.contains("__delta"),
+      s"the early snapshot-endpoint filter must gate pair emission:\n$p")
     assert(p.contains("Generate posexplode") && "slice\\(ds#".r.findFirstIn(p).isDefined,
       s"pair emission must be incremental (posexplode + slice):\n$p")
     // the snapshot-id filter is two broadcast probes, never a loop join
@@ -1224,9 +1231,14 @@ class PlanSpec extends AnyFunSuite {
     // the pruned-regime core: pair emission is gated by a LeftSemi join
     // against the delta's own (blk, h) fingerprint set — probe cost
     // tracks the delta's matches, not the touched shards' full content
-    // (AQE re-plans it broadcast at runtime for a delta this small)
+    // (r21: broadcast EXPLICITLY below spark.graft.probe.broadcastMaxKeys)
     assert(p.contains("LeftSemi"),
       s"the (blk, h) fingerprint semi prune must gate pair emission:\n$p")
+    // r21 EARLY endpoint filter: (base, base) pairs are dropped AT
+    // EMISSION via the broadcast __delta flag, before the pair
+    // exchange — the fix for the measured 104.9M-raw-pair aggregation
+    assert(p.contains("__delta"),
+      s"the early snapshot-endpoint filter must gate pair emission:\n$p")
     assert("posting_n#\\d+L? <= \\d+".r.findFirstIn(p).isDefined,
       s"posting-size cap filter missing:\n$p")
     assert(!p.contains("CartesianProduct"), "no all-pairs fallback")
@@ -1260,6 +1272,10 @@ class PlanSpec extends AnyFunSuite {
       s"snapshot window shards must prune the postings scan:\n$p")
     assert(p.contains("LeftSemi"),
       s"the (h) window-set semi prune must gate pair emission:\n$p")
+    // r21: (base, base) pairs are dropped AT THE PAIR JOIN via the
+    // broadcast __delta flag, before the diagonal run merge
+    assert(p.contains("__delta"),
+      s"the early snapshot-endpoint filter must gate the pair join:\n$p")
     assert("posting_n#\\d+L? <= \\d+".r.findFirstIn(p).isDefined,
       s"posting-size cap filter missing:\n$p")
     assert(!p.contains("CartesianProduct"), "no all-pairs fallback")
