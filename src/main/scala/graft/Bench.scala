@@ -14,6 +14,15 @@ object Bench {
       // fires at production scale — no effect at test SF, pure win at
       // 100 TB (mechanism pinned in PlanSpec)
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // the written indexes are 256-shard directory layouts with few
+      // files per shard: listing 256 paths on the driver (~50 ms) beats
+      // the 256-task distributed listing JOB the default threshold (32
+      // paths) triggers on every such read (measured 0.6 s per listing
+      // job; ~3 s/query on the repair lifecycles). Parameterised: at
+      // file counts where a distributed listing wins (thousands of
+      // files per shard), set SPARK_GRAFT_LISTING_THRESHOLD=32.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LISTING_THRESHOLD", "1024"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up outside the timed region: JVM/codegen/broadcast-infra spinup

@@ -18,6 +18,10 @@ object Verify {
       // same production default as Bench (inert at test SF — the size
       // thresholds gate it; mechanism pinned in PlanSpec)
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // driver-side listing for the 256-shard index layouts — same
+      // rationale and env override as Bench
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LISTING_THRESHOLD", "1024"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

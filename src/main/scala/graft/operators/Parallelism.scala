@@ -38,7 +38,24 @@ object Parallelism {
       val current =
         try df.rdd.getNumPartitions
         catch { case _: org.apache.spark.sql.AnalysisException => target }
-      if (current >= target) df else df.repartition(target, col(byCol))
+      // size guard: an under-partitioned input is only worth an
+      // exchange when its partitions carry real work (a streaming
+      // member's few-hundred-row staged micro-batch fanned out to 32
+      // partitions pays the exchange and 32 tiny tasks for nothing).
+      // The callers amplify 10-1000x (explode per char/shingle/frame),
+      // so the floor is low: 128 KB of COMPRESSED projected input per
+      // partition ≈ ~0.5M chars ≈ seconds of single-core hashing — the
+      // boundary where an exchange starts paying for itself (Catalyst
+      // scales scan estimates by the projected-column ratio, so this is
+      // deliberately below the raw file floor). Catalyst's sizeInBytes
+      // is exact-ish for scans/checkpoints and huge for object
+      // barriers — unknown counts as big, preserving the fan-out.
+      val bytesPerPartition =
+        try df.queryExecution.optimizedPlan.stats.sizeInBytes /
+          math.max(current, 1)
+        catch { case scala.util.control.NonFatal(_) => BigInt(Long.MaxValue) }
+      if (current >= target || bytesPerPartition < (128L << 10)) df
+      else df.repartition(target, col(byCol))
     }
   }
 
